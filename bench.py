@@ -1,0 +1,92 @@
+"""Benchmark: MNIST CNN epoch time on one TPU chip vs the reference's
+M4-Pro/BLAS number (~13 s/epoch, reference README.md:22).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <epoch_s>, "unit": "s/epoch", "vs_baseline": N}
+
+``vs_baseline`` > 1 means faster than the reference (13.0 / epoch_s).
+Also trains the MLP config and reports accuracies in extra fields.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+from taper_tpu import data, models, ops, optim
+from taper_tpu.train import Trainer
+
+REF_CNN_EPOCH_S = 13.0   # reference README.md:22 (M4 Pro, BLAS)
+REF_MLP_TOTAL_S = 2.0    # reference README.md:21 (10 epochs)
+
+
+def bench_cnn(train_ds, test_ds, backend: str, epochs: int = 3):
+    ops.set_backend(backend)
+    model = models.mnist_cnn()
+    trainer = Trainer(model, optim.Adam(0.01, weight_decay=1e-4),
+                      scheduler=optim.StepLR(0.01, 5, 0.8))
+    # device-resident scanned epochs; epoch 0 pays compile, take the best
+    # steady-state epoch (train time only — eval runs separately below)
+    m = trainer.fit_device(train_ds.images, train_ds.labels,
+                           test_ds.images, test_ds.labels, epochs,
+                           batch_size=256, early_stop_acc=2.0,
+                           verbose=False)
+    acc = m.val_acc[-1]
+    times = m.epoch_times
+    steady = min(times[1:]) if len(times) > 1 else times[0]
+    return steady, acc
+
+
+def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
+    ops.set_backend(backend)
+    model = models.mnist_mlp()
+    trainer = Trainer(model, optim.Adam(1e-3, weight_decay=1e-4))
+    t0 = time.perf_counter()
+    trainer.fit_device(train_ds.images, train_ds.labels,
+                       test_ds.images, test_ds.labels, epochs,
+                       batch_size=256, early_stop_acc=2.0, verbose=False)
+    total = time.perf_counter() - t0
+    acc = trainer.metrics.val_acc[-1]
+    return total, acc
+
+
+def main():
+    train_ds = data.MNISTDataset(train=True)
+    test_ds = data.MNISTDataset(train=False)
+
+    results = {}
+    for backend in ("xla", "pallas"):
+        try:
+            epoch_s, acc = bench_cnn(train_ds, test_ds, backend)
+            results[backend] = (epoch_s, acc)
+        except Exception as e:  # keep the bench robust per-backend
+            print(f"[bench] cnn backend={backend} failed: {e}",
+                  file=sys.stderr)
+
+    best_backend, (epoch_s, cnn_acc) = min(
+        results.items(), key=lambda kv: kv[1][0])
+
+    mlp_total, mlp_acc = bench_mlp(train_ds, test_ds, best_backend)
+
+    print(json.dumps({
+        "metric": "mnist_cnn_epoch_time",
+        "value": round(epoch_s, 4),
+        "unit": "s/epoch",
+        "vs_baseline": round(REF_CNN_EPOCH_S / epoch_s, 2),
+        "cnn_test_acc": round(float(cnn_acc), 4),
+        "mlp_train_total_s": round(mlp_total, 2),
+        "mlp_vs_baseline": round(REF_MLP_TOTAL_S / mlp_total, 2),
+        "mlp_test_acc": round(float(mlp_acc), 4),
+        "backend": best_backend,
+        "backends_cnn_epoch_s": {k: round(v[0], 4)
+                                 for k, v in results.items()},
+        "data_source": train_ds.source,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

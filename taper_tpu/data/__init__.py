@@ -1,0 +1,11 @@
+"""Data pipeline: MNIST dataset + batching loader."""
+
+from taper_tpu.data.mnist import (
+    MNISTDataset, parse_idx_images, parse_idx_labels, synthesize_images,
+)
+from taper_tpu.data.loader import DataLoader
+
+__all__ = [
+    "MNISTDataset", "DataLoader",
+    "parse_idx_images", "parse_idx_labels", "synthesize_images",
+]

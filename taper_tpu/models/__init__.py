@@ -1,0 +1,6 @@
+"""Model zoo: the reference's example architectures as factory functions."""
+
+from taper_tpu.models.mnist import mnist_mlp, mnist_cnn, xor_mlp
+from taper_tpu.models.resnet import resnet8
+
+__all__ = ["mnist_mlp", "mnist_cnn", "xor_mlp", "resnet8"]

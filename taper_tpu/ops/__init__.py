@@ -1,0 +1,139 @@
+"""Op library with a pluggable kernel backend.
+
+Public compute surface of the framework (the analogue of the reference's
+``src/ops.rs`` + ``src/tensor.rs`` op inventory).  Every op dispatches to the
+active backend — ``'xla'`` (jnp/lax, XLA-fused; the correctness oracle) or
+``'pallas'`` (hand-written MXU/VPU kernels) — selected via
+:func:`set_backend` / :func:`use_backend`, mirroring the reference's
+cargo-feature GEMM backend switch (``Cargo.toml:22-29``).
+
+All ops are differentiable through JAX tracing; the Pallas ops carry
+``jax.custom_vjp`` rules whose formulas match the reference tape closures.
+"""
+
+from __future__ import annotations
+
+from taper_tpu.ops.backend import (
+    set_backend, get_backend, use_backend, on_tpu,
+)
+from taper_tpu.ops import xla as _xla
+
+
+def _impl():
+    if get_backend() == "pallas":
+        from taper_tpu.ops import pallas as _pl
+        return _pl
+    return _xla
+
+
+# -- elementwise -------------------------------------------------------------
+
+def relu(x):
+    return _impl().relu(x)
+
+
+def sigmoid(x):
+    return _impl().sigmoid(x)
+
+
+def add(a, b):
+    return _impl().add(a, b)
+
+
+def mul(a, b):
+    return _impl().mul(a, b)
+
+
+# -- matmul / linear ---------------------------------------------------------
+
+def matmul(a, b):
+    """2-D ``[m,k] @ [k,n]`` (reference ``src/ops.rs:200-298``)."""
+    return _impl().matmul(a, b)
+
+
+def _is_qtensor(w):
+    from taper_tpu.quantization.qtensor import QuantizedTensor
+    return isinstance(w, QuantizedTensor)
+
+
+def _dequant(w):
+    if w is None or not _is_qtensor(w):
+        return w
+    return w.dequantize()
+
+
+def linear(x, w, b=None, *, activation=None):
+    """Fused ``x @ wᵀ (+ b) (+ activation)`` with ``w``: ``[out, in]``.
+
+    ``w`` may be a :class:`QuantizedTensor` — int8 weights then run the
+    dequant-on-load Pallas kernel (weights never hit HBM in f32); other
+    formats dequantize on the fly (XLA fuses the cast into the GEMM).
+    """
+    if _is_qtensor(w):
+        from taper_tpu.quantization.config import QuantizationType
+        b = _dequant(b)
+        name = (activation if isinstance(activation, str)
+                else "none" if activation is None
+                else getattr(activation, "__name__", "none"))
+        if w.qtype == QuantizationType.INT8 and get_backend() == "pallas":
+            from taper_tpu.ops.pallas import quant as _q
+            if b is None:
+                return _q.linear_q8(x, w.values, w.scale, w.zero_point,
+                                    None, epilogue=name, has_bias=False)
+            return _q.linear_q8(x, w.values, w.scale, w.zero_point, b,
+                                epilogue=name, has_bias=True)
+        w = w.dequantize()
+        return linear(x, w, b, activation=activation)
+    impl = _impl()
+    if impl is _xla:
+        act = {None: None, "none": None,
+               "relu": _xla.relu, "sigmoid": _xla.sigmoid}[
+                   activation if isinstance(activation, (str, type(None)))
+                   else getattr(activation, "__name__", None)]
+        return _xla.linear(x, w, b, activation=act)
+    name = activation if isinstance(activation, str) else (
+        "none" if activation is None
+        else getattr(activation, "__name__", "none"))
+    if b is None:
+        y = impl.matmul(x, w.T)
+        if name == "relu":
+            y = relu(y)
+        elif name == "sigmoid":
+            y = sigmoid(y)
+        return y
+    return impl.linear(x, w, b, name)
+
+
+# -- conv / pool -------------------------------------------------------------
+
+def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
+           activation=None):
+    if isinstance(activation, str):
+        activation = {"none": None, "relu": _xla.relu,
+                      "sigmoid": _xla.sigmoid}[activation]
+    w, b = _dequant(w), _dequant(b)
+    return _impl().conv2d(x, w, b, stride=stride, padding=padding,
+                          groups=groups, activation=activation)
+
+
+def conv2d_relu(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1):
+    w, b = _dequant(w), _dequant(b)
+    return _impl().conv2d_relu(x, w, b, stride=stride, padding=padding,
+                               groups=groups)
+
+
+def max_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
+    return _impl().max_pool2d(x, kernel=kernel, stride=stride,
+                              padding=padding)
+
+
+def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
+    return _impl().avg_pool2d(x, kernel=kernel, stride=stride,
+                              padding=padding)
+
+
+__all__ = [
+    "set_backend", "get_backend", "use_backend", "on_tpu",
+    "relu", "sigmoid", "add", "mul", "matmul", "linear",
+    "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d",
+]

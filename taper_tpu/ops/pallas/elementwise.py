@@ -1,0 +1,142 @@
+"""Pallas VPU elementwise kernels.
+
+TPU-native replacement for the reference's hand-rolled SIMD module
+(``src/tensor.rs:14-234``: AVX/SSE/NEON add/mul/fma) and the SSE ReLU fast
+path (``src/ops.rs:312-350``).  On TPU the VPU (8×128 lanes) plays the role
+of the CPU vector units; arrays are flattened, padded to lane tiles, and
+processed in VMEM-resident blocks.
+
+These exist mainly to mirror the reference's "kernel backend" layer and for
+fusion experiments — in practice XLA fuses elementwise chains automatically,
+which is why the default backend is 'xla'.  Gradients come from
+``jax.custom_vjp`` with the same analytic formulas as the reference tape
+closures (``src/ops.rs:8-120``, ``:358-370``; ``src/tensor.rs:594-634``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taper_tpu.ops import backend as _backend
+
+_LANES = 128
+_BLOCK_ROWS = 512  # 512×128 f32 = 256 KiB per block in VMEM
+
+
+def _to_tiles(x):
+    """Flatten to [rows, 128], padding the tail; return array + true size."""
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    rows = max(1, -(-n // _LANES))
+    rows_p = -(-rows // 8) * 8
+    flat = jnp.pad(flat, (0, rows_p * _LANES - n))
+    return flat.reshape(rows_p, _LANES), n
+
+
+def _ew_call(kernel, *arrays):
+    tiled, n = _to_tiles(arrays[0])
+    tiles = [tiled] + [_to_tiles(a)[0] for a in arrays[1:]]
+    rows = tiled.shape[0]
+    br = min(_BLOCK_ROWS, rows)
+    grid = (-(-rows // br),)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, _LANES), lambda i: (i, 0))
+                  for _ in tiles],
+        out_specs=pl.BlockSpec((br, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(tiled.shape, tiled.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_backend.pallas_interpret_mode(),
+    )(*tiles)
+    return out.reshape(-1)[:n].reshape(arrays[0].shape)
+
+
+def _relu_kernel(x_ref, o_ref):
+    o_ref[:] = jnp.maximum(x_ref[:], 0.0)
+
+
+def _sigmoid_kernel(x_ref, o_ref):
+    o_ref[:] = jax.nn.sigmoid(x_ref[:])
+
+
+def _add_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] + b_ref[:]
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] * b_ref[:]
+
+
+@jax.custom_vjp
+def relu(x):
+    return _ew_call(_relu_kernel, x)
+
+
+def _relu_fwd(x):
+    y = relu(x)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, 0.0),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
+@jax.custom_vjp
+def sigmoid(x):
+    return _ew_call(_sigmoid_kernel, x)
+
+
+def _sigmoid_fwd(x):
+    y = sigmoid(x)
+    return y, y
+
+
+def _sigmoid_bwd(y, g):
+    return (g * y * (1.0 - y),)
+
+
+sigmoid.defvjp(_sigmoid_fwd, _sigmoid_bwd)
+
+
+@jax.custom_vjp
+def add(a, b):
+    return _ew_call(_add_kernel, a, b)
+
+
+def _add_fwd(a, b):
+    return add(a, b), None
+
+
+def _add_bwd(_, g):
+    return g, g
+
+
+add.defvjp(_add_fwd, _add_bwd)
+
+
+@jax.custom_vjp
+def mul(a, b):
+    return _ew_call(_mul_kernel, a, b)
+
+
+def _mul_fwd(a, b):
+    return mul(a, b), (a, b)
+
+
+def _mul_bwd(res, g):
+    a, b = res
+    return g * b, g * a
+
+
+mul.defvjp(_mul_fwd, _mul_bwd)

@@ -1,0 +1,123 @@
+"""Dequant-on-load quantized matmul (Pallas, MXU).
+
+The BASELINE.json north-star item: int8 weights stay packed in HBM; each
+weight tile is dequantized **inside the kernel** on its way through VMEM,
+so the f32 weights never exist in HBM (the reference instead dequantizes
+whole tensors up front and caches them — ``nn.rs:89-122`` — getting memory
+savings only at rest).
+
+Math trick: with affine weights ``w = (q − zp)·scale`` (per-tensor or
+per-output-channel), the layer output factorizes as
+
+    y[m,n] = scale[n]·( Σ_k x[m,k]·q[n,k] )  −  scale[n]·zp[n]·( Σ_k x[m,k] )
+
+so the MXU runs on the raw int8 codes (cast to bf16 — exact for int8's
+integer range) and the affine correction is a cheap VPU epilogue using the
+per-tile row-sum of ``x``.  Symmetric weights (zp = 0) skip the correction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taper_tpu.ops import backend as _backend
+from taper_tpu.ops.pallas.gemm import _pad2, _pick_block, _round_up
+
+
+def _q8_kernel(x_ref, q_ref, scale_ref, zp_ref, b_ref, o_ref,
+               acc_ref, xsum_ref, *, n_k, epilogue, has_bias):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xsum_ref[:] = jnp.zeros_like(xsum_ref)
+
+    x = x_ref[:]
+    q = q_ref[:].astype(jnp.bfloat16)       # int8 codes: exact in bf16
+    acc_ref[:] += jax.lax.dot_general(
+        x.astype(jnp.bfloat16), q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xsum_ref[:] += jnp.sum(x, axis=1, keepdims=True)   # [bm, 1]
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        scale = scale_ref[:]                 # [1, bn]
+        zp = zp_ref[:]                       # [1, bn]
+        out = acc_ref[:] * scale - xsum_ref[:] * (scale * zp)
+        if has_bias:
+            out = out + b_ref[:]
+        if epilogue == "relu":
+            out = jnp.maximum(out, 0.0)
+        elif epilogue == "sigmoid":
+            out = jax.nn.sigmoid(out)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("epilogue", "has_bias"))
+def linear_q8(x, q, scale, zp, b, *, epilogue: str = "none",
+              has_bias: bool = True):
+    """``y = x @ dequant(q)ᵀ (+ b)`` with q int8 ``[N, K]``, scale/zp
+    per-tensor scalars or per-channel ``[N]`` vectors."""
+    M, K = x.shape
+    N, K2 = q.shape
+    assert K == K2, (x.shape, q.shape)
+
+    bm = _pick_block(M, 128, 8)
+    bn = _pick_block(N, 128, 128)
+    bk = _pick_block(K, 512, 128)
+    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
+
+    xp = _pad2(x, Mp, Kp)
+    qp = _pad2(q, Np, Kp)
+    scale_row = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(-1), (N,))
+    zp_row = jnp.broadcast_to(
+        jnp.asarray(zp, jnp.float32).reshape(-1), (N,))
+    scale_p = jnp.pad(scale_row, (0, Np - N)).reshape(1, Np)
+    zp_p = jnp.pad(zp_row, (0, Np - N)).reshape(1, Np)
+    n_k = Kp // bk
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+    ]
+    args = [xp, qp, scale_p, zp_p]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
+        args.append(jnp.pad(b, (0, Np - N)).reshape(1, Np))
+        kernel = functools.partial(_q8_kernel, n_k=n_k, epilogue=epilogue,
+                                   has_bias=True)
+    else:
+        def kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, xs_ref):
+            _q8_kernel(x_ref, q_ref, s_ref, z_ref, None, o_ref, acc_ref,
+                       xs_ref, n_k=n_k, epilogue=epilogue, has_bias=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=4 * Mp * Kp + Np * Kp + 4 * Mp * Np,
+            transcendentals=0,
+        ),
+        interpret=_backend.pallas_interpret_mode(),
+    )(*args)
+    if (Mp, Np) != (M, N):
+        out = out[:M, :N]
+    return out

@@ -1,0 +1,160 @@
+"""XLA-backed op implementations (the always-available correctness oracle).
+
+Each function here corresponds to a kernel family in the reference:
+
+* ``matmul``      — reference ``src/ops.rs:200-298`` (GEMM via ``src/gemm.rs``)
+* ``linear``      — reference ``src/nn.rs:54-59`` (transpose + matmul + bias)
+* ``conv2d``      — reference ``src/tensor.rs:1221-1285`` (im2col + GEMM)
+* ``conv2d_relu`` — reference ``src/tensor.rs:1379-1389`` (fused Conv+ReLU)
+* ``max_pool2d``  — reference ``src/tensor.rs:1391-1521``
+* ``avg_pool2d``  — reference ``src/tensor.rs:1524-1660``
+* elementwise     — reference ``src/ops.rs`` / ``src/tensor.rs`` SIMD module
+
+Unlike the reference (whose conv weight/input gradients are severed — see
+SURVEY.md §2.2 ⚠), everything here is fully differentiable via JAX tracing.
+
+Layout: the public API is NCHW / OIHW to match the reference's tensor
+contract; XLA re-lays out to the TPU-preferred tiling internally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Elementwise (VPU)
+# ---------------------------------------------------------------------------
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def add(a, b):
+    return a + b
+
+
+def mul(a, b):
+    return a * b
+
+
+# ---------------------------------------------------------------------------
+# Matmul (MXU)
+# ---------------------------------------------------------------------------
+
+def matmul(a, b, *, precision=None):
+    """2-D matmul ``[m,k] @ [k,n]`` with f32 accumulation on the MXU."""
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32,
+                      precision=precision)
+
+
+def linear(x, w, b=None, *, activation=None):
+    """``x @ w.T (+ b)`` with an optional fused activation epilogue.
+
+    ``w`` is ``[out_features, in_features]`` exactly like the reference's
+    ``Linear`` (``src/nn.rs:34-50``); XLA folds the transpose into the GEMM.
+    """
+    y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    if activation is not None:
+        y = activation(y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+_CONV_DIMS = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
+           activation=None):
+    """2-D convolution, NCHW input / OIHW weight, optional fused epilogue.
+
+    Grouped convolution maps to ``feature_group_count`` (the reference
+    hand-slices channels per group, ``src/nn.rs:278-334``; XLA does this
+    natively and keeps the whole op differentiable).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=_CONV_DIMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    if activation is not None:
+        y = activation(y)
+    return y
+
+
+def conv2d_relu(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1):
+    """Fused Conv2d + bias + ReLU (the reference's headline fusion feature)."""
+    return conv2d(x, w, b, stride=stride, padding=padding, groups=groups,
+                  activation=relu)
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+def max_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    stride = kernel if stride is None else stride
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 1, kernel[0], kernel[1]),
+        window_strides=(1, 1, stride[0], stride[1]),
+        padding=((0, 0), (0, 0), (padding[0], padding[0]),
+                 (padding[1], padding[1])),
+    )
+
+
+def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    stride = kernel if stride is None else stride
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    summed = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, 1, kernel[0], kernel[1]),
+        window_strides=(1, 1, stride[0], stride[1]),
+        padding=((0, 0), (0, 0), (padding[0], padding[0]),
+                 (padding[1], padding[1])),
+    )
+    if padding == (0, 0):
+        return summed / (kernel[0] * kernel[1])
+    # With padding, divide by the actual (edge-clipped) window sizes.
+    ones = jnp.ones_like(x)
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add,
+        window_dimensions=(1, 1, kernel[0], kernel[1]),
+        window_strides=(1, 1, stride[0], stride[1]),
+        padding=((0, 0), (0, 0), (padding[0], padding[0]),
+                 (padding[1], padding[1])),
+    )
+    return summed / counts

@@ -1,0 +1,302 @@
+"""Optimizers and LR schedulers (reference ``src/optim.rs``, rebuilt functional).
+
+Each optimizer is a pure ``(init, update)`` pair: ``init(params) -> state``,
+``update(grads, state, params) -> (new_params, new_state)``.  Both are
+jit-compatible, so the whole train step (forward + backward + update)
+compiles to a single XLA program — the design that replaces the reference's
+eager per-element update loops (``src/optim.rs:83-113``).
+
+Two update paths, selected by the global op backend:
+
+* ``'xla'``    — tree-wise ``jnp`` math; XLA fuses it into a few loops.
+* ``'pallas'`` — the whole parameter pytree is raveled into one flat vector
+  and updated by ONE fused Pallas kernel (``ops/pallas/optim_kernels.py``),
+  the BASELINE.json north-star formulation.
+
+The learning rate and step count live in the optimizer *state* as arrays, so
+schedulers can change them every epoch without triggering recompilation
+(the reference mutates ``self.lr`` via ``set_lr``, ``src/optim.rs:121-127``).
+
+Parity inventory:
+
+* ``SGD``       — ``src/optim.rs:8-40`` (the reference's momentum TODO at
+  ``:15`` is implemented here)
+* ``Adam``      — ``src/optim.rs:43-128`` (L2-style decay added to grads,
+  bias-corrected step size)
+* ``AdamW``     — ``src/optim.rs:131-181`` (decoupled decay)
+* ``StepLR`` / ``ExponentialLR`` / ``CosineAnnealingLR`` /
+  ``ReduceLROnPlateau`` — ``src/optim.rs:190-352``
+
+Non-trainable leaves (names starting with ``running_``, e.g. BatchNorm
+statistics) are masked out of every update.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from taper_tpu.ops import backend as _backend
+
+Params = Any
+State = Dict[str, Any]
+
+
+def _trainable_mask(params):
+    """1.0 for trainable leaves, 0.0 for running statistics."""
+
+    def walk(node, frozen):
+        if isinstance(node, dict):
+            return {k: walk(v, frozen or str(k).startswith("running_"))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = [walk(v, frozen) for v in node]
+            return type(node)(t) if isinstance(node, tuple) else t
+        return jnp.zeros_like(node) if frozen else jnp.ones_like(node)
+
+    return walk(params, False)
+
+
+class Optimizer:
+    """Base: functional optimizer with dynamic lr/step in state."""
+
+    def __init__(self, lr: float, weight_decay: float = 0.0):
+        self.lr = float(lr)
+        self.weight_decay = float(weight_decay)
+
+    def init(self, params) -> State:
+        raise NotImplementedError
+
+    def update(self, grads, state: State, params) -> Tuple[Params, State]:
+        raise NotImplementedError
+
+    # lr plumbing (used by schedulers / Trainer)
+    @staticmethod
+    def get_lr(state: State) -> float:
+        return float(state["lr"])
+
+    @staticmethod
+    def set_lr(state: State, lr: float) -> State:
+        return {**state, "lr": jnp.asarray(lr, jnp.float32)}
+
+    def _use_fused(self) -> bool:
+        return _backend.get_backend() == "pallas"
+
+
+class SGD(Optimizer):
+    """SGD with optional momentum and L2 weight decay."""
+
+    def __init__(self, lr: float, momentum: float = 0.0,
+                 weight_decay: float = 0.0):
+        super().__init__(lr, weight_decay)
+        self.momentum = float(momentum)
+
+    def init(self, params) -> State:
+        state: State = {
+            "lr": jnp.asarray(self.lr, jnp.float32),
+            "mask": _trainable_mask(params),
+        }
+        if self.momentum != 0.0 or True:  # slot kept for fused-kernel shape
+            state["m"] = jax.tree.map(jnp.zeros_like, params)
+        return state
+
+    def update(self, grads, state, params):
+        lr = state["lr"]
+        if self._use_fused():
+            from taper_tpu.ops.pallas import optim_kernels as ok
+            p_flat, unravel = ravel_pytree(params)
+            g_flat, _ = ravel_pytree(grads)
+            m_flat, _ = ravel_pytree(state["m"])
+            k_flat, _ = ravel_pytree(state["mask"])
+            p_new, m_new = ok.sgd_update_flat(
+                p_flat, g_flat, m_flat, k_flat, lr,
+                momentum=self.momentum, wd=self.weight_decay)
+            return unravel(p_new), {**state, "m": unravel(m_new)}
+
+        def upd(p, g, m, k):
+            if self.weight_decay != 0.0:
+                g = g + self.weight_decay * p
+            if self.momentum != 0.0:
+                m = self.momentum * m + g
+                step = m
+            else:
+                step = g
+            return jnp.where(k > 0, p - lr * step, p), m
+
+        flat = jax.tree.map(upd, params, grads, state["m"], state["mask"])
+        new_params = jax.tree.map(lambda t: t[0], flat,
+                                  is_leaf=lambda t: isinstance(t, tuple))
+        new_m = jax.tree.map(lambda t: t[1], flat,
+                             is_leaf=lambda t: isinstance(t, tuple))
+        return new_params, {**state, "m": new_m}
+
+    def zero_grad(self, grads):
+        """Parity shim — functional grads need no zeroing; returns zeros."""
+        return jax.tree.map(jnp.zeros_like, grads)
+
+
+class Adam(Optimizer):
+    """Adam with L2-style weight decay folded into the gradient."""
+
+    decoupled = False
+
+    def __init__(self, lr: float = 1e-3, betas=(0.9, 0.999),
+                 eps: float = 1e-8, weight_decay: float = 0.0):
+        super().__init__(lr, weight_decay)
+        self.b1, self.b2 = float(betas[0]), float(betas[1])
+        self.eps = float(eps)
+
+    def init(self, params) -> State:
+        return {
+            "lr": jnp.asarray(self.lr, jnp.float32),
+            "step": jnp.asarray(0, jnp.int32),
+            "m": jax.tree.map(jnp.zeros_like, params),
+            "v": jax.tree.map(jnp.zeros_like, params),
+            "mask": _trainable_mask(params),
+        }
+
+    def update(self, grads, state, params):
+        lr = state["lr"]
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+
+        if self._use_fused():
+            from taper_tpu.ops.pallas import optim_kernels as ok
+            p_flat, unravel = ravel_pytree(params)
+            g_flat, _ = ravel_pytree(grads)
+            m_flat, _ = ravel_pytree(state["m"])
+            v_flat, _ = ravel_pytree(state["v"])
+            k_flat, _ = ravel_pytree(state["mask"])
+            p_new, m_new, v_new = ok.adam_update_flat(
+                p_flat, g_flat, m_flat, v_flat, k_flat, lr, tf,
+                b1=self.b1, b2=self.b2, eps=self.eps,
+                wd=self.weight_decay, decoupled=self.decoupled)
+            return unravel(p_new), {**state, "step": t,
+                                    "m": unravel(m_new),
+                                    "v": unravel(v_new)}
+
+        # Bias-corrected step size precomputed once per step, exactly the
+        # reference's formulation (src/optim.rs:88-90).
+        step_size = lr * jnp.sqrt(1.0 - self.b2 ** tf) / (1.0 - self.b1 ** tf)
+
+        def upd(p, g, m, v, k):
+            if self.weight_decay != 0.0 and not self.decoupled:
+                g = g + self.weight_decay * p
+            m = self.b1 * m + (1.0 - self.b1) * g
+            v = self.b2 * v + (1.0 - self.b2) * g * g
+            p_out = p
+            if self.weight_decay != 0.0 and self.decoupled:
+                p_out = p_out * (1.0 - lr * self.weight_decay)
+            p_out = p_out - step_size * m / (jnp.sqrt(v) + self.eps)
+            return jnp.where(k > 0, p_out, p), m, v
+
+        flat = jax.tree.map(upd, params, grads, state["m"], state["v"],
+                            state["mask"])
+        pick = lambda i: jax.tree.map(
+            lambda tup: tup[i], flat,
+            is_leaf=lambda tup: isinstance(tup, tuple))
+        return pick(0), {**state, "step": t, "m": pick(1), "v": pick(2)}
+
+    def zero_grad(self, grads):
+        return jax.tree.map(jnp.zeros_like, grads)
+
+
+class AdamW(Adam):
+    """Adam with decoupled weight decay (reference ``src/optim.rs:131-181``)."""
+
+    decoupled = True
+
+
+# ---------------------------------------------------------------------------
+# LR schedulers — small host-side epoch-level objects; call ``step()`` per
+# epoch and push ``get_lr()`` into the optimizer state with ``set_lr``.
+# ---------------------------------------------------------------------------
+
+class LRScheduler:
+    def __init__(self, initial_lr: float):
+        self.initial_lr = float(initial_lr)
+        self.lr = float(initial_lr)
+        self.epoch = 0
+
+    def step(self, metric: Optional[float] = None) -> float:
+        self.epoch += 1
+        self.lr = self._compute(metric)
+        return self.lr
+
+    def get_lr(self) -> float:
+        return self.lr
+
+    def _compute(self, metric) -> float:
+        raise NotImplementedError
+
+
+class StepLR(LRScheduler):
+    """Multiply by ``gamma`` every ``step_size`` epochs."""
+
+    def __init__(self, initial_lr: float, step_size: int, gamma: float = 0.1):
+        super().__init__(initial_lr)
+        self.step_size = int(step_size)
+        self.gamma = float(gamma)
+
+    def _compute(self, metric):
+        return self.initial_lr * self.gamma ** (self.epoch // self.step_size)
+
+
+class ExponentialLR(LRScheduler):
+    def __init__(self, initial_lr: float, gamma: float):
+        super().__init__(initial_lr)
+        self.gamma = float(gamma)
+
+    def _compute(self, metric):
+        return self.initial_lr * self.gamma ** self.epoch
+
+
+class CosineAnnealingLR(LRScheduler):
+    def __init__(self, initial_lr: float, t_max: int, min_lr: float = 0.0):
+        super().__init__(initial_lr)
+        self.t_max = int(t_max)
+        self.min_lr = float(min_lr)
+
+    def _compute(self, metric):
+        t = min(self.epoch, self.t_max)
+        cos = (1.0 + math.cos(math.pi * t / self.t_max)) / 2.0
+        return self.min_lr + (self.initial_lr - self.min_lr) * cos
+
+
+class ReduceLROnPlateau(LRScheduler):
+    """Cut lr by ``factor`` after ``patience`` epochs without improvement."""
+
+    def __init__(self, initial_lr: float, mode: str = "min",
+                 factor: float = 0.1, patience: int = 10,
+                 min_lr: float = 0.0, threshold: float = 1e-4):
+        super().__init__(initial_lr)
+        assert mode in ("min", "max")
+        self.mode = mode
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.min_lr = float(min_lr)
+        self.threshold = float(threshold)
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def _compute(self, metric):
+        if metric is None:
+            return self.lr
+        improved = (self.best is None
+                    or (self.mode == "min"
+                        and metric < self.best - self.threshold)
+                    or (self.mode == "max"
+                        and metric > self.best + self.threshold))
+        if improved:
+            self.best = float(metric)
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.bad_epochs = 0
+                return max(self.lr * self.factor, self.min_lr)
+        return self.lr

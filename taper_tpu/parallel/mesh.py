@@ -1,0 +1,78 @@
+"""Device mesh + sharding helpers (SPMD over TPU slices).
+
+The reference is single-process with intra-op parallelism only (SURVEY.md
+§2.9: rayon loops + threaded BLAS; no DP/TP of any kind).  On TPU the
+idiomatic scale-out is GSPMD: build a ``jax.sharding.Mesh`` over the chips,
+annotate batch and parameter shardings with ``NamedSharding``, and let XLA
+insert the collectives (psum / all-gather / reduce-scatter) over ICI.
+
+Axes used by this library:
+
+* ``data``  — batch (data parallelism); gradients all-reduce over ICI.
+* ``model`` — feature/channel dimension of weight matrices (tensor
+  parallelism); activations all-gather / reduce-scatter as XLA sees fit.
+
+Everything here also runs on a CPU "virtual TPU" mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``) for testing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 0, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh; ``data=0`` means "use all remaining"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == 0:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params, tensor_parallel: bool = False):
+    """Sharding pytree for parameters.
+
+    * DP only (default): fully replicated — XLA all-reduces grads over
+      'data' automatically.
+    * ``tensor_parallel=True``: 2-D+ weights shard their leading (output
+      feature / out-channel) dimension over 'model' when divisible; 1-D
+      biases shard over 'model' when divisible.  XLA inserts the matching
+      collectives in forward and backward.
+    """
+    tp = mesh.shape.get("model", 1)
+
+    def rule(leaf):
+        if not tensor_parallel or tp == 1:
+            return NamedSharding(mesh, P())
+        shape = np.shape(leaf)
+        if len(shape) >= 2 and shape[0] % tp == 0:
+            spec = ("model",) + (None,) * (len(shape) - 1)
+            return NamedSharding(mesh, P(*spec))
+        if len(shape) == 1 and shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_params(params, shardings):
+    """Place a parameter pytree according to a sharding pytree."""
+    return jax.tree.map(jax.device_put, params, shardings)

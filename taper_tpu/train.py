@@ -1,0 +1,402 @@
+"""Training loop: jitted train/eval steps, metrics, fit, checkpointing.
+
+Rebuild of the reference's ``src/train.rs``:
+
+* ``Metrics``            — ``train.rs:9-71`` (per-epoch vectors + summary)
+* ``Trainer``            — ``train.rs:74-95``
+* ``train_epoch``        — ``train.rs:98-144``
+* ``evaluate``           — ``train.rs:147-172`` (here truly grad-free:
+  ``eval_step`` never builds a backward program, unlike the reference whose
+  eval keeps recording tape nodes)
+* ``fit``                — ``train.rs:175-261`` (scheduler + early stop)
+* checkpoint save **and load** — the reference saves only (``:264-292``)
+* ``quick_train_mnist``  — ``train.rs:296-312``
+* ``test_samples`` / ``print_digit`` ASCII renderer — ``train.rs:315-378``
+
+TPU design: ONE jitted XLA program per train step containing forward,
+backward, and the (optionally Pallas-fused) optimizer update, with params
+and optimizer state donated so updates happen in place in HBM.  Optional
+``mesh`` enables data/tensor parallel execution via GSPMD shardings.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taper_tpu import losses as L
+from taper_tpu import optim as opt_mod
+from taper_tpu import parallel
+from taper_tpu.utils import checkpoint as ckpt
+
+
+@dataclass
+class Metrics:
+    train_loss: List[float] = field(default_factory=list)
+    train_acc: List[float] = field(default_factory=list)
+    val_loss: List[float] = field(default_factory=list)
+    val_acc: List[float] = field(default_factory=list)
+    epoch_times: List[float] = field(default_factory=list)
+
+    def record(self, tl, ta, vl, va, dt) -> None:
+        self.train_loss.append(float(tl))
+        self.train_acc.append(float(ta))
+        self.val_loss.append(float(vl))
+        self.val_acc.append(float(va))
+        self.epoch_times.append(float(dt))
+
+    def print_last(self) -> None:
+        e = len(self.train_loss)
+        print(f"epoch {e:3d} | train loss {self.train_loss[-1]:.4f} "
+              f"acc {self.train_acc[-1]*100:5.2f}% | val loss "
+              f"{self.val_loss[-1]:.4f} acc {self.val_acc[-1]*100:5.2f}% | "
+              f"{self.epoch_times[-1]:.2f}s")
+
+    def plot_summary(self) -> None:
+        if not self.val_acc:
+            print("no epochs recorded")
+            return
+        best = max(self.val_acc)
+        print("—" * 60)
+        print(f"best val acc  : {best*100:.2f}%")
+        print(f"final val acc : {self.val_acc[-1]*100:.2f}%")
+        print(f"total time    : {sum(self.epoch_times):.2f}s "
+              f"({np.mean(self.epoch_times):.2f}s/epoch)")
+        print("—" * 60)
+
+
+class Trainer:
+    """Owns model + optimizer; compiles the fused train/eval steps."""
+
+    def __init__(self, model, optimizer: opt_mod.Optimizer,
+                 scheduler: Optional[opt_mod.LRScheduler] = None,
+                 loss_fn: Callable = L.cross_entropy_loss,
+                 seed: int = 0, mesh=None, tensor_parallel: bool = False,
+                 train_uses_rng: bool = False):
+        self.model = model
+        self.optimizer = optimizer
+        self.scheduler = scheduler
+        self.loss_fn = loss_fn
+        self.metrics = Metrics()
+        self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
+        self.train_uses_rng = train_uses_rng
+
+        key = jax.random.PRNGKey(seed)
+        self.init_key, self.dropout_key = jax.random.split(key)
+        self.params = model.init(self.init_key)
+        self.opt_state = optimizer.init(self.params)
+        self._step_count = 0
+
+        if mesh is not None:
+            p_shard = parallel.param_sharding(mesh, self.params,
+                                              tensor_parallel)
+            self.params = parallel.shard_params(self.params, p_shard)
+            # Optimizer slots (m/v/mask) mirror the param shardings;
+            # lr/step scalars are replicated.
+            for slot in ("m", "v", "mask"):
+                if slot in self.opt_state:
+                    self.opt_state[slot] = parallel.shard_params(
+                        self.opt_state[slot], p_shard)
+            self._batch_sharding = parallel.batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _build_train_step(self):
+        model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
+        uses_rng = self.train_uses_rng
+
+        def step(params, opt_state, x, y, rng):
+            def loss_of(p):
+                kwargs = {"train": True}
+                if uses_rng:
+                    kwargs["rng"] = rng
+                logits = model.apply(p, x, **kwargs)
+                return loss_fn(logits, y), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params)
+            acc = L.accuracy(logits, y)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return params, opt_state, loss, acc
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        model, loss_fn = self.model, self.loss_fn
+
+        def step(params, x, y, n_valid):
+            logits = model.apply(params, x, train=False)
+            # Per-sample losses so padded tail rows can be masked out
+            # (static shapes: the pad-and-mask strategy from SURVEY.md §7).
+            per_sample = jax.vmap(
+                lambda lg, yy: loss_fn(lg[None], yy[None]))(logits, y)
+            mask = jnp.arange(x.shape[0]) < n_valid
+            loss_sum = jnp.sum(jnp.where(mask, per_sample, 0.0))
+            preds = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum(jnp.where(
+                mask, (preds == y.reshape(-1).astype(preds.dtype)), False))
+            return loss_sum, correct
+
+        return jax.jit(step)
+
+    def _build_epoch_fn(self, batch_size: int, num_steps: int):
+        """Whole-epoch train function: ``lax.scan`` over device-resident
+        data — ONE dispatch per epoch (shuffle, forward, backward and the
+        fused optimizer update all stay on-chip).
+
+        This is the TPU-idiomatic replacement for the reference's per-batch
+        eager loop (``train.rs:98-144``): host↔device latency is paid once
+        per epoch instead of once per step, and metrics accumulate in
+        device scalars.
+        """
+        model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
+        uses_rng = self.train_uses_rng
+
+        def epoch(params, opt_state, images, labels, epoch_key):
+            n = images.shape[0]
+            perm = jax.random.permutation(epoch_key, n)
+            idxs = perm[: num_steps * batch_size].reshape(
+                num_steps, batch_size)
+
+            def body(carry, step_in):
+                params, opt_state, loss_sum, acc_sum = carry
+                idx, step_i = step_in
+                x = jnp.take(images, idx, axis=0)
+                y = jnp.take(labels, idx, axis=0)
+
+                def loss_of(p):
+                    kwargs = {"train": True}
+                    if uses_rng:
+                        kwargs["rng"] = jax.random.fold_in(epoch_key, step_i)
+                    logits = model.apply(p, x, **kwargs)
+                    return loss_fn(logits, y), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(params)
+                params, opt_state = optimizer.update(grads, opt_state,
+                                                     params)
+                return (params, opt_state, loss_sum + loss,
+                        acc_sum + L.accuracy(logits, y)), None
+
+            init = (params, opt_state, jnp.float32(0.0), jnp.float32(0.0))
+            (params, opt_state, loss_sum, acc_sum), _ = jax.lax.scan(
+                body, init, (idxs, jnp.arange(num_steps)))
+            return (params, opt_state, loss_sum / num_steps,
+                    acc_sum / num_steps)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _build_eval_epoch_fn(self, batch_size: int, num_steps: int):
+        """Whole-split eval in one dispatch (padded tail masked out)."""
+        model, loss_fn = self.model, self.loss_fn
+
+        def eval_epoch(params, images, labels, n_valid):
+            def body(carry, i):
+                loss_sum, correct = carry
+                start = i * batch_size
+                x = jax.lax.dynamic_slice_in_dim(images, start, batch_size)
+                y = jax.lax.dynamic_slice_in_dim(labels, start, batch_size)
+                logits = model.apply(params, x, train=False)
+                per_sample = jax.vmap(
+                    lambda lg, yy: loss_fn(lg[None], yy[None]))(logits, y)
+                mask = start + jnp.arange(batch_size) < n_valid
+                loss_sum += jnp.sum(jnp.where(mask, per_sample, 0.0))
+                preds = jnp.argmax(logits, axis=-1)
+                correct += jnp.sum(jnp.where(
+                    mask, preds == y.reshape(-1).astype(preds.dtype),
+                    False))
+                return (loss_sum, correct), None
+
+            (loss_sum, correct), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), jnp.int32(0)),
+                jnp.arange(num_steps))
+            return loss_sum, correct
+
+        return jax.jit(eval_epoch)
+
+    def fit_device(self, train_images, train_labels, val_images, val_labels,
+                   epochs: int, batch_size: int = 256,
+                   early_stop_acc: float = 0.99, verbose: bool = True,
+                   eval_batch_size: int = 2000) -> Metrics:
+        """``fit`` with the dataset resident on device and each epoch
+        compiled to a single XLA program (scan over steps)."""
+        n = len(train_labels)
+        num_steps = n // batch_size
+        assert num_steps > 0, (n, batch_size)
+
+        ti = jnp.asarray(train_images)
+        tl = jnp.asarray(train_labels)
+        nv = len(val_labels)
+        eval_batch_size = min(eval_batch_size, nv)
+        ev_steps = -(-nv // eval_batch_size)
+        pad = ev_steps * eval_batch_size - nv
+        vi = jnp.asarray(np.pad(val_images, ((0, pad),) + ((0, 0),)
+                                * (val_images.ndim - 1)))
+        vl = jnp.asarray(np.pad(val_labels, (0, pad)))
+        if self._batch_sharding is not None:
+            ti = jax.device_put(ti, self._batch_sharding)
+            tl = jax.device_put(tl, self._batch_sharding)
+            vi = jax.device_put(vi, self._batch_sharding)
+            vl = jax.device_put(vl, self._batch_sharding)
+
+        epoch_fn = self._build_epoch_fn(batch_size, num_steps)
+        eval_fn = self._build_eval_epoch_fn(eval_batch_size, ev_steps)
+
+        for e in range(epochs):
+            t0 = time.perf_counter()
+            key = jax.random.fold_in(self.dropout_key, e)
+            self.params, self.opt_state, tr_loss, tr_acc = epoch_fn(
+                self.params, self.opt_state, ti, tl, key)
+            loss_sum, correct = eval_fn(self.params, vi, vl, nv)
+            va_loss = float(loss_sum) / nv
+            va_acc = float(correct) / nv
+            dt = time.perf_counter() - t0
+            self.metrics.record(float(tr_loss), float(tr_acc), va_loss,
+                                va_acc, dt)
+            if verbose:
+                self.metrics.print_last()
+            if self.scheduler is not None:
+                lr = self.scheduler.step(va_loss)
+                self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
+            if va_acc > early_stop_acc:
+                if verbose:
+                    print(f"early stop: val acc {va_acc*100:.2f}% > "
+                          f"{early_stop_acc*100:.1f}%")
+                break
+        return self.metrics
+
+    # -- epoch loops -------------------------------------------------------
+
+    def _device_batch(self, x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+            y = jax.device_put(y, self._batch_sharding)
+        return x, y
+
+    def train_epoch(self, loader, log_every: int = 0) -> Dict[str, float]:
+        # Per-step losses stay on device; the host syncs once at epoch end
+        # (a per-step ``float(loss)`` would serialize on dispatch latency).
+        losses, accs = [], []
+        for i, (bx, by) in enumerate(loader):
+            bx, by = self._device_batch(bx, by)
+            self._step_count += 1
+            rng = jax.random.fold_in(self.dropout_key, self._step_count)
+            self.params, self.opt_state, loss, acc = self._train_step(
+                self.params, self.opt_state, bx, by, rng)
+            losses.append(loss)
+            accs.append(acc)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"  batch {i+1}/{len(loader)} "
+                      f"loss {float(loss):.4f} acc {float(acc)*100:.2f}%")
+        if not losses:
+            return {"loss": 0.0, "acc": 0.0}
+        return {"loss": float(jnp.mean(jnp.stack(losses))),
+                "acc": float(jnp.mean(jnp.stack(accs)))}
+
+    def evaluate(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int = 2048) -> Dict[str, float]:
+        """Grad-free evaluation over a full split (fixed-size batches with a
+        padded, masked tail so jit never recompiles)."""
+        n = len(labels)
+        batch_size = min(batch_size, n)
+        tot_loss = 0.0
+        tot_correct = 0.0
+        for start in range(0, n, batch_size):
+            bx = images[start:start + batch_size]
+            by = labels[start:start + batch_size]
+            count = len(by)
+            if count < batch_size:
+                bx = np.pad(bx, ((0, batch_size - count),) +
+                            ((0, 0),) * (bx.ndim - 1))
+                by = np.pad(by, (0, batch_size - count))
+            bx, by = self._device_batch(bx, by)
+            loss_sum, correct = self._eval_step(self.params, bx, by, count)
+            tot_loss += float(loss_sum)
+            tot_correct += float(correct)
+        return {"loss": tot_loss / n, "acc": tot_correct / n}
+
+    def fit(self, train_loader, val_images, val_labels, epochs: int,
+            early_stop_acc: float = 0.99, log_every: int = 0,
+            verbose: bool = True) -> Metrics:
+        for _ in range(epochs):
+            t0 = time.perf_counter()
+            tr = self.train_epoch(train_loader, log_every=log_every)
+            va = self.evaluate(val_images, val_labels)
+            dt = time.perf_counter() - t0
+            self.metrics.record(tr["loss"], tr["acc"], va["loss"],
+                                va["acc"], dt)
+            if verbose:
+                self.metrics.print_last()
+            if self.scheduler is not None:
+                lr = self.scheduler.step(va["loss"])
+                self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
+            if va["acc"] > early_stop_acc:
+                if verbose:
+                    print(f"early stop: val acc {va['acc']*100:.2f}% > "
+                          f"{early_stop_acc*100:.1f}%")
+                break
+        return self.metrics
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        ckpt.save_checkpoint(path, {"params": self.params,
+                                    "opt_state": self.opt_state},
+                             metadata={"epochs": len(self.metrics.val_acc)})
+
+    def load_checkpoint(self, path: str) -> None:
+        tree, _ = ckpt.load_checkpoint(
+            path, {"params": self.params, "opt_state": self.opt_state})
+        self.params = jax.tree.map(jnp.asarray, tree["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+
+
+def quick_train_mnist(model, lr: float = 1e-3, epochs: int = 10,
+                      batch_size: int = 256, data_dir: str = "data/mnist",
+                      verbose: bool = True) -> Trainer:
+    """Adam(wd=1e-4) + StepLR(10, 0.5) + fit — reference ``train.rs:296-312``."""
+    from taper_tpu import data as data_mod
+
+    train_ds = data_mod.MNISTDataset(train=True, data_dir=data_dir)
+    test_ds = data_mod.MNISTDataset(train=False, data_dir=data_dir)
+    loader = data_mod.DataLoader(train_ds, batch_size)
+    optimizer = opt_mod.Adam(lr, weight_decay=1e-4)
+    sched = opt_mod.StepLR(lr, step_size=10, gamma=0.5)
+    trainer = Trainer(model, optimizer, scheduler=sched)
+    trainer.fit(loader, test_ds.images, test_ds.labels, epochs,
+                verbose=verbose)
+    return trainer
+
+
+def print_digit(image: np.ndarray) -> None:
+    """ASCII renderer for a 784-vector digit (reference ``train.rs:345-378``)."""
+    img = np.asarray(image).reshape(28, 28)
+    chars = " .:-=+*#%@"
+    for row in img:
+        line = "".join(chars[min(int(v * (len(chars) - 1)), len(chars) - 1)]
+                       for v in row)
+        print(line)
+
+
+def test_samples(trainer: Trainer, images: np.ndarray, labels: np.ndarray,
+                 n: int = 5) -> None:
+    """Print n sample digits with predicted vs true labels."""
+    x = jnp.asarray(images[:n])
+    logits = trainer.model.apply(trainer.params, x, train=False)
+    preds = np.argmax(np.asarray(logits), axis=-1)
+    for i in range(n):
+        print_digit(images[i])
+        print(f"predicted: {preds[i]}  true: {int(labels[i])}\n")

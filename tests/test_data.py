@@ -1,0 +1,105 @@
+"""Data pipeline tests: IDX parsing, synthetic fallback, DataLoader."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from taper_tpu.data import (
+    DataLoader, MNISTDataset, parse_idx_images, parse_idx_labels,
+    synthesize_images,
+)
+from taper_tpu.data.mnist import _decompress_gzip
+
+
+def _fake_idx_images(n=10, rows=28, cols=28, seed=0):
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, (n, rows * cols), dtype=np.uint8)
+    header = struct.pack(">IIII", 0x803, n, rows, cols)
+    return header + pix.tobytes(), pix
+
+
+def _fake_idx_labels(n=10, seed=0):
+    rng = np.random.default_rng(seed)
+    labs = rng.integers(0, 10, n, dtype=np.uint8)
+    return struct.pack(">II", 0x801, n) + labs.tobytes(), labs
+
+
+def test_parse_idx_images_roundtrip():
+    raw, pix = _fake_idx_images()
+    imgs = parse_idx_images(raw)
+    assert imgs.shape == (10, 784)
+    np.testing.assert_allclose(imgs, pix.astype(np.float32) / 255.0)
+
+
+def test_parse_idx_labels_roundtrip():
+    raw, labs = _fake_idx_labels()
+    out = parse_idx_labels(raw)
+    np.testing.assert_array_equal(out, labs.astype(np.int32))
+
+
+def test_parse_rejects_bad_magic():
+    with pytest.raises(ValueError):
+        parse_idx_images(struct.pack(">IIII", 0x123, 1, 28, 28) + b"\0" * 784)
+    with pytest.raises(ValueError):
+        parse_idx_labels(struct.pack(">II", 0x999, 1) + b"\0")
+
+
+def test_gzip_magic_recovery():
+    # Reference scans for the gzip magic when mirrors prepend junk
+    # (mnist.rs:166-179).
+    payload = gzip.compress(b"hello idx")
+    assert _decompress_gzip(b"<html>error</html>" + payload) == b"hello idx"
+    with pytest.raises(ValueError):
+        _decompress_gzip(b"no magic here")
+
+
+def test_synthetic_images_deterministic_and_classlike():
+    labels = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9] * 3, np.int32)
+    a = synthesize_images(labels, seed=7)
+    b = synthesize_images(labels, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (30, 784)
+    assert 0.0 <= a.min() and a.max() <= 1.0
+    # same digit renders correlate more than different digits
+    same = np.corrcoef(a[0], a[10])[0, 1]
+    diff = np.corrcoef(a[0], a[11])[0, 1]
+    assert same > diff
+
+
+def test_mnist_dataset_from_label_files(tmp_path):
+    raw, labs = _fake_idx_labels(n=50)
+    (tmp_path / "train_labels").write_bytes(raw)
+    ds = MNISTDataset(train=True, data_dir=str(tmp_path),
+                      allow_download=False)
+    assert len(ds) == 50
+    np.testing.assert_array_equal(ds.labels, labs.astype(np.int32))
+    assert ds.images.shape == (50, 784)
+    assert ds.source == "synthetic"  # images were rendered
+    x, y = ds.get_batch([0, 3, 7])
+    assert x.shape == (3, 784) and y.shape == (3,)
+
+
+def test_dataloader_shapes_and_reshuffle():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def get_batch(self, idx):
+            return np.asarray(idx, np.float32)[:, None], np.asarray(idx)
+
+    dl = DataLoader(DS(), batch_size=4, seed=0)
+    assert dl.num_batches == 2  # drop_last floor
+    epoch1 = [tuple(y.tolist()) for _, y in dl]
+    epoch2 = [tuple(y.tolist()) for _, y in dl]
+    assert len(epoch1) == 2
+    assert all(len(b) == 4 for b in epoch1)
+    assert epoch1 != epoch2  # reshuffled between epochs
+
+    dl2 = DataLoader(DS(), batch_size=4, drop_last=False, shuffle=False,
+                     with_count=True)
+    batches = list(dl2)
+    assert len(batches) == 3
+    assert batches[-1][2] == 2  # true count of ragged tail
+    assert batches[-1][0].shape == (4, 1)  # padded to full batch

@@ -1,0 +1,190 @@
+"""Op-level tests: Pallas-vs-XLA parity and finite-difference gradients.
+
+Exceeds the reference's hand-checked-scalar style (``tests/smoke.rs:19-70``)
+with systematic finite differences and full backend cross-checks
+(SURVEY.md §4 "Implication for the rebuild").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taper_tpu import ops
+from taper_tpu.ops import use_backend
+
+TOL = 1e-4
+
+
+def _fd_grad(f, x, eps=1e-3):
+    """Central finite differences on a flat array function."""
+    x = np.asarray(x, np.float64)
+    g = np.zeros_like(x)
+    it = np.nditer(x, flags=["multi_index"])
+    while not it.finished:
+        i = it.multi_index
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        g[i] = (f(jnp.asarray(xp, jnp.float32))
+                - f(jnp.asarray(xm, jnp.float32))) / (2 * eps)
+        it.iternext()
+    return g
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_matmul_forward_and_grad(backend):
+    a = jax.random.normal(jax.random.PRNGKey(0), (5, 7))
+    b = jax.random.normal(jax.random.PRNGKey(1), (7, 4))
+    with use_backend(backend):
+        out = ops.matmul(a, b)
+    np.testing.assert_allclose(out, a @ b, atol=TOL)
+
+    def f(a_):
+        with use_backend(backend):
+            return float(jnp.sum(ops.matmul(a_, b) ** 2))
+
+    with use_backend(backend):
+        g = jax.grad(lambda a_: jnp.sum(ops.matmul(a_, b) ** 2))(a)
+    np.testing.assert_allclose(g, _fd_grad(f, a), rtol=5e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("activation", [None, "relu", "sigmoid"])
+def test_linear_parity(backend, activation):
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 11))
+    w = jax.random.normal(jax.random.PRNGKey(1), (9, 11))
+    b = jax.random.normal(jax.random.PRNGKey(2), (9,))
+    ref = x @ w.T + b
+    if activation == "relu":
+        ref = jnp.maximum(ref, 0)
+    elif activation == "sigmoid":
+        ref = jax.nn.sigmoid(ref)
+    with use_backend(backend):
+        out = ops.linear(x, w, b, activation=activation)
+    np.testing.assert_allclose(out, ref, atol=TOL)
+
+
+def test_linear_grads_match_across_backends():
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 11))
+    w = jax.random.normal(jax.random.PRNGKey(1), (9, 11))
+    b = jax.random.normal(jax.random.PRNGKey(2), (9,))
+
+    def loss(backend):
+        def f(x_, w_, b_):
+            with use_backend(backend):
+                return jnp.sum(ops.linear(x_, w_, b_, activation="relu") ** 2)
+        return f
+
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, w, b)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gx, gp):
+        np.testing.assert_allclose(a, c, atol=TOL)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_elementwise(backend):
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 17))
+    y = jax.random.normal(jax.random.PRNGKey(1), (3, 17))
+    with use_backend(backend):
+        np.testing.assert_allclose(ops.relu(x), jnp.maximum(x, 0), atol=TOL)
+        np.testing.assert_allclose(ops.sigmoid(x), jax.nn.sigmoid(x),
+                                   atol=TOL)
+        np.testing.assert_allclose(ops.add(x, y), x + y, atol=TOL)
+        np.testing.assert_allclose(ops.mul(x, y), x * y, atol=TOL)
+
+
+def test_relu_grad_masks_negative():
+    # Reference semantics: grad passes only where input > 0
+    # (src/ops.rs:358-370).
+    x = jnp.array([[-1.0, 0.5, 2.0, -0.2]])
+    for backend in ("xla", "pallas"):
+        with use_backend(backend):
+            g = jax.grad(lambda t: jnp.sum(ops.relu(t)))(x)
+        np.testing.assert_allclose(g, [[0.0, 1.0, 1.0, 0.0]], atol=TOL)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("cfg", [
+    dict(cin=3, cout=4, k=3, stride=1, padding=1),
+    dict(cin=2, cout=5, k=1, stride=1, padding=0),
+    dict(cin=3, cout=4, k=3, stride=2, padding=0),
+])
+def test_conv2d_parity(backend, cfg):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, cfg["cin"], 8, 8))
+    w = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg["cout"], cfg["cin"], cfg["k"], cfg["k"]))
+    b = jax.random.normal(jax.random.PRNGKey(2), (cfg["cout"],))
+    ref = ops.conv2d(x, w, b, stride=cfg["stride"], padding=cfg["padding"])
+    with use_backend(backend):
+        out = ops.conv2d(x, w, b, stride=cfg["stride"],
+                         padding=cfg["padding"])
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_conv2d_grads_match_across_backends():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 6, 6))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 3, 3))
+    b = jax.random.normal(jax.random.PRNGKey(2), (4,))
+
+    def loss(backend):
+        def f(x_, w_, b_):
+            with use_backend(backend):
+                return jnp.sum(ops.conv2d_relu(x_, w_, b_, padding=1) ** 2)
+        return f
+
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, w, b)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gx, gp):
+        np.testing.assert_allclose(a, c, atol=1e-3)
+
+
+def test_conv_weight_grad_finite_difference():
+    """The reference's conv weight grads are severed (SURVEY.md §2.2 ⚠);
+    ours must match finite differences."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 5, 5))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 3, 3)) * 0.5
+
+    def f(w_):
+        return float(jnp.sum(ops.conv2d(x, w_, None, padding=1) ** 2))
+
+    g = jax.grad(lambda w_: jnp.sum(ops.conv2d(x, w_, None, padding=1) ** 2))(w)
+    np.testing.assert_allclose(g, _fd_grad(f, w), atol=5e-2, rtol=1e-2)
+
+
+def test_grouped_conv_is_differentiable():
+    # The reference's grouped path is non-differentiable (src/nn.rs:278-334
+    # slices/cat are untracked); ours must produce nonzero weight grads.
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 6, 6))
+    w = jax.random.normal(jax.random.PRNGKey(1), (6, 2, 3, 3))
+    for backend in ("xla", "pallas"):
+        with use_backend(backend):
+            g = jax.grad(lambda w_: jnp.sum(
+                ops.conv2d(x, w_, None, padding=1, groups=2) ** 2))(w)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("mode", ["max", "avg"])
+def test_pool_parity(backend, mode):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 9, 9))
+    fn = ops.max_pool2d if mode == "max" else ops.avg_pool2d
+    ref = fn(x, kernel=2)  # default xla backend
+    with use_backend(backend):
+        out = fn(x, kernel=2)
+    assert out.shape == (2, 3, 4, 4)
+    np.testing.assert_allclose(out, ref, atol=TOL)
+
+
+def test_pool_grads_match_across_backends():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 8, 8))
+
+    def loss(backend):
+        def f(t):
+            with use_backend(backend):
+                return (jnp.sum(ops.max_pool2d(t, kernel=2) ** 2)
+                        + jnp.sum(ops.avg_pool2d(t, kernel=2) ** 2))
+        return f
+
+    gx = jax.grad(loss("xla"))(x)
+    gp = jax.grad(loss("pallas"))(x)
+    np.testing.assert_allclose(gx, gp, atol=TOL)

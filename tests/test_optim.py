@@ -1,0 +1,146 @@
+"""Optimizer + scheduler tests (reference ``src/optim.rs:354-423`` and
+beyond: fused-Pallas vs XLA update parity, momentum, decoupled decay)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taper_tpu import optim
+from taper_tpu.ops import use_backend
+
+
+def _toy():
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    grads = {"w": jnp.full((4, 3), 0.5), "b": jnp.full((3,), -1.0)}
+    return params, grads
+
+
+def test_sgd_vanilla_step():
+    params, grads = _toy()
+    opt = optim.SGD(lr=0.1)
+    state = opt.init(params)
+    new, _ = opt.update(grads, state, params)
+    np.testing.assert_allclose(new["w"], 1.0 - 0.1 * 0.5, atol=1e-6)
+    np.testing.assert_allclose(new["b"], 0.1, atol=1e-6)
+
+
+def test_sgd_momentum_accumulates():
+    params, grads = _toy()
+    opt = optim.SGD(lr=0.1, momentum=0.9)
+    state = opt.init(params)
+    p1, state = opt.update(grads, state, params)
+    p2, state = opt.update(grads, state, p1)
+    # second step is larger: m = g, then m = 0.9 g + g = 1.9 g
+    step1 = float(params["w"][0, 0] - p1["w"][0, 0])
+    step2 = float(p1["w"][0, 0] - p2["w"][0, 0])
+    np.testing.assert_allclose(step2 / step1, 1.9, atol=1e-4)
+
+
+def test_adam_step_changes_params_and_respects_lr():
+    params, grads = _toy()
+    opt = optim.Adam(lr=1e-3)
+    state = opt.init(params)
+    new, state2 = opt.update(grads, state, params)
+    assert not np.allclose(new["w"], params["w"])
+    assert int(state2["step"]) == 1
+    # First Adam step magnitude ≈ lr (bias-corrected)
+    np.testing.assert_allclose(np.abs(new["w"] - params["w"]),
+                               1e-3, rtol=0.05)
+
+
+def test_adam_matches_manual_formula():
+    p = jnp.array([1.0, -2.0])
+    g = jnp.array([0.3, -0.7])
+    opt = optim.Adam(lr=0.01, betas=(0.9, 0.999), eps=1e-8)
+    state = opt.init(p)
+    new, _ = opt.update(g, state, p)
+    m = 0.1 * g
+    v = 0.001 * g * g
+    step = 0.01 * np.sqrt(1 - 0.999) / (1 - 0.9)
+    ref = p - step * m / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(new, ref, atol=1e-6)
+
+
+def test_adamw_decoupled_vs_adam_l2():
+    params, grads = _toy()
+    adam = optim.Adam(lr=0.01, weight_decay=0.1)
+    adamw = optim.AdamW(lr=0.01, weight_decay=0.1)
+    pa, _ = adam.update(grads, adam.init(params), params)
+    pw, _ = adamw.update(grads, adamw.init(params), params)
+    assert not np.allclose(pa["w"], pw["w"])
+    # AdamW scales weights by (1 − lr·wd) before the update
+    # (reference src/optim.rs:147-156).
+
+
+def test_running_stats_are_not_updated():
+    params = {"scale": jnp.ones(3), "running_mean": jnp.zeros(3)}
+    grads = {"scale": jnp.ones(3), "running_mean": jnp.ones(3)}
+    opt = optim.Adam(lr=0.1, weight_decay=0.5)
+    new, _ = opt.update(grads, opt.init(params), params)
+    assert not np.allclose(new["scale"], params["scale"])
+    np.testing.assert_allclose(new["running_mean"], params["running_mean"])
+
+
+@pytest.mark.parametrize("opt_cls,kwargs", [
+    (optim.SGD, dict(lr=0.05, momentum=0.9, weight_decay=0.01)),
+    (optim.Adam, dict(lr=0.01, weight_decay=0.01)),
+    (optim.AdamW, dict(lr=0.01, weight_decay=0.01)),
+])
+def test_fused_pallas_update_matches_xla(opt_cls, kwargs):
+    params = {"w": jax.random.normal(jax.random.PRNGKey(0), (5, 7)),
+              "b": jax.random.normal(jax.random.PRNGKey(1), (7,))}
+    grads = {"w": jax.random.normal(jax.random.PRNGKey(2), (5, 7)),
+             "b": jax.random.normal(jax.random.PRNGKey(3), (7,))}
+    opt = opt_cls(**kwargs)
+    with use_backend("xla"):
+        px, sx = opt.update(grads, opt.init(params), params)
+        px2, _ = opt.update(grads, sx, px)
+    with use_backend("pallas"):
+        pp, sp = opt.update(grads, opt.init(params), params)
+        pp2, _ = opt.update(grads, sp, pp)
+    for k in params:
+        np.testing.assert_allclose(px[k], pp[k], atol=1e-5)
+        np.testing.assert_allclose(px2[k], pp2[k], atol=1e-5)
+
+
+def test_set_lr_changes_step_size_without_recompile():
+    params, grads = _toy()
+    opt = optim.SGD(lr=0.1)
+    state = opt.init(params)
+    state = opt.set_lr(state, 0.2)
+    assert abs(opt.get_lr(state) - 0.2) < 1e-7
+    new, _ = opt.update(grads, state, params)
+    np.testing.assert_allclose(new["b"], 0.2, atol=1e-6)
+
+
+# -- schedulers (reference src/optim.rs:190-352) ----------------------------
+
+def test_step_lr():
+    s = optim.StepLR(1.0, step_size=2, gamma=0.5)
+    lrs = [s.step() for _ in range(5)]
+    np.testing.assert_allclose(lrs, [1.0, 0.5, 0.5, 0.25, 0.25])
+
+
+def test_exponential_lr():
+    s = optim.ExponentialLR(1.0, gamma=0.9)
+    lrs = [s.step() for _ in range(3)]
+    np.testing.assert_allclose(lrs, [0.9, 0.81, 0.729], atol=1e-9)
+
+
+def test_cosine_annealing_lr():
+    s = optim.CosineAnnealingLR(1.0, t_max=10, min_lr=0.1)
+    lrs = [s.step() for _ in range(10)]
+    assert lrs[-1] == pytest.approx(0.1, abs=1e-6)
+    assert all(lrs[i] >= lrs[i + 1] for i in range(9))
+
+
+def test_reduce_lr_on_plateau():
+    s = optim.ReduceLROnPlateau(1.0, mode="min", factor=0.5, patience=1)
+    assert s.step(1.0) == 1.0   # first metric = best
+    assert s.step(1.0) == 1.0   # bad epoch 1 (<= patience)
+    assert s.step(1.0) == 0.5   # bad epoch 2 → cut
+    assert s.step(0.4) == 0.5   # improvement resets
+    s2 = optim.ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=0)
+    assert s2.step(0.9) == 1.0
+    assert s2.step(0.8) == 0.5  # lower is worse in max mode

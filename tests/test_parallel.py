@@ -1,0 +1,67 @@
+"""Multi-device tests on the virtual 8-CPU mesh: DP and TP train steps
+must produce the same numbers as single-device execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taper_tpu import nn, optim, parallel
+from taper_tpu.data.loader import DataLoader
+from taper_tpu.train import Trainer
+from tests.test_train import FakeDataset
+
+
+def _model():
+    return nn.Sequential(nn.Linear(32, 16, activation="relu"),
+                         nn.Linear(16, 8, activation="relu"),
+                         nn.Linear(8, 4))
+
+
+def test_mesh_construction():
+    mesh = parallel.make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh2 = parallel.make_mesh(model=2)  # data inferred
+    assert mesh2.shape["data"] == 4
+
+
+def test_param_sharding_rules():
+    mesh = parallel.make_mesh(data=4, model=2)
+    params = {"w": jnp.ones((16, 8)), "b": jnp.ones((16,)),
+              "odd": jnp.ones((3, 5))}
+    shard = parallel.param_sharding(mesh, params, tensor_parallel=True)
+    assert shard["w"].spec == jax.sharding.PartitionSpec("model", None)
+    assert shard["b"].spec == jax.sharding.PartitionSpec("model")
+    # non-divisible dims stay replicated
+    assert shard["odd"].spec == jax.sharding.PartitionSpec()
+
+
+def _run(mesh, tensor_parallel=False, seed=0):
+    ds = FakeDataset(n=256)
+    loader = DataLoader(ds, batch_size=64, seed=seed, shuffle=False)
+    trainer = Trainer(_model(), optim.Adam(1e-2), seed=seed, mesh=mesh,
+                      tensor_parallel=tensor_parallel)
+    trainer.train_epoch(loader)
+    return trainer.evaluate(ds.images, ds.labels)
+
+
+def test_data_parallel_matches_single_device():
+    single = _run(None)
+    mesh = parallel.make_mesh(data=8, model=1)
+    dp = _run(mesh)
+    np.testing.assert_allclose(dp["loss"], single["loss"], atol=1e-4)
+    np.testing.assert_allclose(dp["acc"], single["acc"], atol=1e-6)
+
+
+def test_tensor_parallel_matches_single_device():
+    single = _run(None)
+    mesh = parallel.make_mesh(data=2, model=4)
+    tp = _run(mesh, tensor_parallel=True)
+    np.testing.assert_allclose(tp["loss"], single["loss"], atol=1e-4)
+    np.testing.assert_allclose(tp["acc"], single["acc"], atol=1e-6)
+
+
+def test_dp_batch_is_actually_sharded():
+    mesh = parallel.make_mesh(data=8, model=1)
+    x = jnp.ones((64, 32))
+    xs = jax.device_put(x, parallel.batch_sharding(mesh))
+    assert len(xs.sharding.device_set) == 8
