@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 
 import jax
 
+from taper_tpu.utils.cache import enable_compilation_cache
 from taper_tpu import data, models, ops, optim
 from taper_tpu.train import Trainer
 
@@ -54,6 +55,7 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
 
 
 def main():
+    enable_compilation_cache()
     train_ds = data.MNISTDataset(train=True)
     test_ds = data.MNISTDataset(train=False)
 

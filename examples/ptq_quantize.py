@@ -1,0 +1,85 @@
+"""Post-training quantization walkthrough (reference
+``examples/ptq_quantize.rs``): train the CNN briefly, quantize to Int8 and
+Float16, compare outputs, full-test-set accuracy, timing, and model size.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taper_tpu import data, models, ops, optim
+from taper_tpu.quantization import ptq
+from taper_tpu.quantization.config import QuantizationConfig
+from taper_tpu.train import Trainer
+from taper_tpu.utils.cache import enable_compilation_cache
+
+
+def evaluate_quantized(qmodel, qparams, images, labels, batch=2000):
+    n = len(labels)
+    correct = 0
+    apply = jax.jit(lambda p, x: qmodel.apply(p, x))
+    t0 = time.perf_counter()
+    for s in range(0, n - n % batch, batch):
+        logits = apply(qparams, jnp.asarray(images[s:s + batch]))
+        correct += int(jnp.sum(jnp.argmax(logits, -1)
+                               == jnp.asarray(labels[s:s + batch])))
+    dt = time.perf_counter() - t0
+    return correct / (n - n % batch), dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--data-dir", default="data/mnist")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    ops.set_backend(args.backend)
+
+    print("=== PTQ: train → quantize → compare (reference ptq_quantize.rs)")
+    train_ds = data.MNISTDataset(train=True, data_dir=args.data_dir)
+    test_ds = data.MNISTDataset(train=False, data_dir=args.data_dir)
+
+    model = models.mnist_cnn()
+    trainer = Trainer(model, optim.Adam(0.01, weight_decay=1e-4))
+    trainer.fit_device(train_ds.images, train_ds.labels,
+                       test_ds.images, test_ds.labels, args.epochs,
+                       early_stop_acc=2.0)
+    params = trainer.params
+    f32_bytes = model.param_bytes(params)
+
+    qmodels = {}
+    for name, cfg in [("int8", QuantizationConfig.int8()),
+                      ("float16", QuantizationConfig.float16())]:
+        qm, qp = ptq.quantize_model(model, params, cfg)
+        qmodels[name] = (qm, qp)
+
+    # output-difference diagnostic (ptq_quantize.rs:249-278)
+    x = jnp.asarray(test_ds.images[:256])
+    ref = model.apply(params, x)
+    for name, (qm, qp) in qmodels.items():
+        diff = float(jnp.max(jnp.abs(qm.apply(qp, x) - ref)))
+        print(f"max |{name} − f32| logit diff over 256 samples: {diff:.5f}")
+
+    # full-test-set accuracy + timing + size table (:281-411)
+    base_acc, base_dt = evaluate_quantized(
+        ptq.QuantizedModel(model), params, test_ds.images, test_ds.labels)
+    print(f"\n{'model':10s} {'accuracy':>9s} {'drop':>7s} "
+          f"{'size':>10s} {'ratio':>6s} {'eval_s':>7s}")
+    print(f"{'f32':10s} {base_acc*100:8.2f}% {0.0:6.2f}% "
+          f"{f32_bytes/1e6:8.2f}MB {1.0:5.1f}x {base_dt:7.2f}")
+    for name, (qm, qp) in qmodels.items():
+        acc, dt = evaluate_quantized(qm, qp, test_ds.images, test_ds.labels)
+        nbytes = ptq.quantized_bytes(qp)
+        print(f"{name:10s} {acc*100:8.2f}% {(base_acc-acc)*100:6.2f}% "
+              f"{nbytes/1e6:8.2f}MB {f32_bytes/nbytes:5.1f}x {dt:7.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ sys.path.insert(0, ".")
 
 from taper_tpu import data, models, nn, ops, optim
 from taper_tpu.train import Trainer
+from taper_tpu.utils.cache import enable_compilation_cache
 
 
 def main():
@@ -25,6 +26,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--data-dir", default="data/mnist")
     args = ap.parse_args()
+
+    enable_compilation_cache()
 
     ops.set_backend(args.backend)
 

@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 
 from taper_tpu import data, models, ops, optim
 from taper_tpu.train import Trainer
+from taper_tpu.utils.cache import enable_compilation_cache
 
 
 def main():
@@ -31,6 +32,8 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--data-dir", default="data/mnist")
     args = ap.parse_args()
+
+    enable_compilation_cache()
 
     ops.set_backend(args.backend)
 

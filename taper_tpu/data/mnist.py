@@ -42,19 +42,8 @@ _FILES = {
     "test_labels": ("t10k-labels-idx1-ubyte.gz", 4542, 10008),
 }
 
-# 5×7 digit glyphs for the synthetic renderer (classic bitmap font).
-_GLYPHS = {
-    0: ["01110", "10001", "10011", "10101", "11001", "10001", "01110"],
-    1: ["00100", "01100", "00100", "00100", "00100", "00100", "01110"],
-    2: ["01110", "10001", "00001", "00010", "00100", "01000", "11111"],
-    3: ["11111", "00010", "00100", "00010", "00001", "10001", "01110"],
-    4: ["00010", "00110", "01010", "10010", "11111", "00010", "00010"],
-    5: ["11111", "10000", "11110", "00001", "00001", "10001", "01110"],
-    6: ["00110", "01000", "10000", "11110", "10001", "10001", "01110"],
-    7: ["11111", "00001", "00010", "00100", "01000", "01000", "01000"],
-    8: ["01110", "10001", "10001", "01110", "10001", "10001", "01110"],
-    9: ["01110", "10001", "10001", "01111", "00001", "00010", "01100"],
-}
+from taper_tpu.data import native as _native
+from taper_tpu.data.synth import synthesize_images
 
 
 def _decompress_gzip(raw: bytes) -> bytes:
@@ -97,6 +86,9 @@ def parse_idx_images(data: bytes) -> np.ndarray:
     if len(data) < expect:
         raise ValueError(f"truncated IDX image file: {len(data)} < {expect}")
     imgs = np.frombuffer(data, np.uint8, count=n * rows * cols, offset=16)
+    out = _native.parse_idx_pixels(imgs, n, rows * cols)  # threaded C++
+    if out is not None:
+        return out
     return imgs.reshape(n, rows * cols).astype(np.float32) / 255.0
 
 
@@ -107,40 +99,6 @@ def parse_idx_labels(data: bytes) -> np.ndarray:
     if len(data) < 8 + n:
         raise ValueError("truncated IDX label file")
     return np.frombuffer(data, np.uint8, count=n, offset=8).astype(np.int32)
-
-
-# ---------------------------------------------------------------------------
-# Synthetic renderer
-# ---------------------------------------------------------------------------
-
-def _render_digit(label: int, rng: np.random.Generator) -> np.ndarray:
-    glyph = np.array([[c == "1" for c in row] for row in _GLYPHS[label]],
-                     dtype=np.float32)  # [7, 5]
-    scale = rng.integers(2, 4)  # 2 or 3
-    img = np.kron(glyph, np.ones((scale, scale), np.float32))
-    gh, gw = img.shape
-    canvas = np.zeros((28, 28), np.float32)
-    max_y, max_x = 28 - gh, 28 - gw
-    y0 = int(np.clip(rng.normal(max_y / 2, 2.0), 0, max_y))
-    x0 = int(np.clip(rng.normal(max_x / 2, 2.0), 0, max_x))
-    canvas[y0:y0 + gh, x0:x0 + gw] = img
-    # Cheap separable blur for anti-aliased, MNIST-ish strokes.
-    k = np.array([0.25, 0.5, 0.25], np.float32)
-    canvas = np.apply_along_axis(
-        lambda r: np.convolve(r, k, mode="same"), 0, canvas)
-    canvas = np.apply_along_axis(
-        lambda r: np.convolve(r, k, mode="same"), 1, canvas)
-    canvas *= rng.uniform(0.8, 1.2)
-    canvas += rng.normal(0.0, 0.05, canvas.shape).astype(np.float32)
-    return np.clip(canvas, 0.0, 1.0)
-
-
-def synthesize_images(labels: np.ndarray, seed: int = 0) -> np.ndarray:
-    out = np.empty((len(labels), 784), np.float32)
-    for i, lab in enumerate(labels):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        out[i] = _render_digit(int(lab), rng).reshape(784)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +179,10 @@ class MNISTDataset:
         return len(self.labels)
 
     def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
-        idx = np.asarray(indices)
+        idx = np.asarray(indices, np.int32)
+        out = _native.gather_batch(self.images, self.labels, idx)
+        if out is not None:
+            return out  # threaded C++ gather (reference mnist.rs:290-302)
         return self.images[idx], self.labels[idx]
 
     def normalize(self, mean: float, std: float) -> "MNISTDataset":

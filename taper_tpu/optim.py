@@ -46,19 +46,26 @@ Params = Any
 State = Dict[str, Any]
 
 
+_FROZEN_PREFIXES = ("running_", "fq_")
+
+
+def _leaf_key(entry) -> str:
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
 def _trainable_mask(params):
-    """1.0 for trainable leaves, 0.0 for running statistics."""
+    """1.0 for trainable leaves, 0.0 for non-trainable state: running
+    statistics (BatchNorm) and fake-quant calibration (``fq_*``)."""
 
-    def walk(node, frozen):
-        if isinstance(node, dict):
-            return {k: walk(v, frozen or str(k).startswith("running_"))
-                    for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            t = [walk(v, frozen) for v in node]
-            return type(node)(t) if isinstance(node, tuple) else t
-        return jnp.zeros_like(node) if frozen else jnp.ones_like(node)
+    def rule(path, leaf):
+        frozen = any(_leaf_key(p).startswith(_FROZEN_PREFIXES)
+                     for p in path)
+        return jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf)
 
-    return walk(params, False)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 class Optimizer:

@@ -14,6 +14,7 @@ through the native dtype.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -45,12 +46,17 @@ ste_clip.defvjp(lambda x, lo, hi: (jnp.clip(x, lo, hi), None),
 
 
 def fake_quantize_int(x, scale, zero_point, qmin: int, qmax: int):
-    """Integer quantize-dequantize round trip with STE gradients."""
+    """Integer quantize-dequantize round trip with STE gradients.
+
+    scale/zero_point are calibration state, not trainable — gradients stop
+    at them (the reference never differentiates them either)."""
+    scale = jax.lax.stop_gradient(scale)
+    zero_point = jax.lax.stop_gradient(zero_point)
     q = ste_clip(ste_round(x / scale + zero_point), float(qmin), float(qmax))
     return (q - zero_point) * scale
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def fake_quantize_float(x, target: str):
     dtype = jnp.float16 if target == "float16" else jnp.bfloat16
     return x.astype(dtype).astype(jnp.float32)
@@ -58,22 +64,30 @@ def fake_quantize_float(x, target: str):
 
 fake_quantize_float.defvjp(
     lambda x, target: (fake_quantize_float(x, target), None),
-    lambda _, g: (g, None))
+    lambda target, _, g: (g,))
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 @dataclasses.dataclass
 class FakeQuantize:
     """Stateful fake-quant op: scale/zero-point calibrated from observed
     min/max (``fake_quantize.rs:70-91``), train/eval switched by the
-    ``apply`` flag.  A pytree, so it can live inside QAT layer params."""
+    ``apply`` flag.  A pytree, so it can live inside QAT layer params.
+
+    The children are keyed ``fq_scale``/``fq_zero_point`` so optimizers can
+    recognize and freeze them (calibration, not gradient descent, sets
+    quantization ranges — matching the reference, where scale/zp are plain
+    fields updated only by ``update_params``)."""
 
     scale: jnp.ndarray
     zero_point: jnp.ndarray
     config: QuantizationConfig
 
-    def tree_flatten(self):
-        return ((self.scale, self.zero_point), (self.config,))
+    def tree_flatten_with_keys(self):
+        return (((jax.tree_util.GetAttrKey("fq_scale"), self.scale),
+                 (jax.tree_util.GetAttrKey("fq_zero_point"),
+                  self.zero_point)),
+                (self.config,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):

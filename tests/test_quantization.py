@@ -1,0 +1,305 @@
+"""Quantization subsystem tests (reference ``src/quantization/*`` test
+modules, plus coverage the reference can't have: int4/NF4/bf16 actually
+round-trip, PTQ keeps model accuracy, dequant-on-load kernel parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taper_tpu import nn
+from taper_tpu.ops import use_backend
+from taper_tpu.quantization.config import (
+    QuantizationConfig, QuantizationSchema, QuantizationType,
+)
+from taper_tpu.quantization.fake_quantize import FakeQuantize
+from taper_tpu.quantization.observers import (
+    HistogramObserver, MinMaxObserver, ObserverManager,
+)
+from taper_tpu.quantization import ptq
+from taper_tpu.quantization.qat import (
+    QATConfig, QATLinear, QATSequential, QATState,
+)
+from taper_tpu.quantization.qtensor import QuantizedTensor, quantize
+
+
+# -- config (config.rs tests) ------------------------------------------------
+
+def test_config_ranges_and_widths():
+    assert QuantizationConfig.int8().compute_range() == (-128, 127)
+    assert QuantizationConfig.int4().compute_range() == (-8, 7)
+    assert QuantizationConfig.float16().compute_range() is None
+    assert QuantizationConfig.int8().bit_width() == 8
+    assert QuantizationConfig.nf4().bit_width() == 4
+    assert QuantizationConfig.compute_scale(-1.0, 1.0, -128, 127) == \
+        pytest.approx(2.0 / 255)
+
+
+# -- quantize/dequantize roundtrips -----------------------------------------
+
+def _roundtrip_err(x, config):
+    qt = quantize(x, config)
+    return float(jnp.max(jnp.abs(qt.dequantize() - x))), qt
+
+
+def test_int8_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 16))
+    err, qt = _roundtrip_err(x, QuantizationConfig.int8())
+    spread = float(jnp.max(x) - jnp.min(x))
+    assert err < spread / 255 * 1.01
+    assert qt.values.dtype == jnp.int8
+    assert qt.compression_ratio() > 3.5
+
+
+def test_int8_symmetric_zero_point_is_zero():
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+    qt = quantize(x, QuantizationConfig.int8(symmetric=True))
+    assert int(qt.zero_point) == 0
+
+
+def test_int8_per_channel_beats_per_tensor():
+    # one huge-range channel ruins per-tensor scales for the small ones
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 64))
+    x = x.at[0].mul(100.0)
+
+    def small_rows_err(config):
+        qt = quantize(x, config)
+        return float(jnp.max(jnp.abs(qt.dequantize()[1:] - x[1:]))), qt
+
+    err_t, _ = small_rows_err(QuantizationConfig.int8())
+    err_c, qt = small_rows_err(
+        QuantizationConfig.int8(schema=QuantizationSchema.PER_CHANNEL))
+    assert err_c < err_t / 10
+    assert qt.scale.shape == (4,)
+
+
+def test_int4_roundtrip_packed():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 17))  # odd count
+    err, qt = _roundtrip_err(x, QuantizationConfig.int4())
+    spread = float(jnp.max(x) - jnp.min(x))
+    assert err < spread / 15 * 1.01  # 4-bit grid
+    # packed storage: half a byte per element
+    assert qt.values.size == (8 * 17 + 1) // 2
+    assert qt.compression_ratio() > 6
+
+
+def test_float16_bfloat16_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+    err16, qt16 = _roundtrip_err(x, QuantizationConfig.float16())
+    errbf, qtbf = _roundtrip_err(x, QuantizationConfig.bfloat16())
+    assert err16 < 2e-3
+    assert errbf < 2e-2
+    assert qt16.values.dtype == jnp.float16
+    assert qtbf.values.dtype == jnp.bfloat16
+
+
+def test_nf4_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (100,)) * 0.1
+    err, qt = _roundtrip_err(x, QuantizationConfig.nf4())
+    # NF4 is tuned for normal data: error well under absmax/7
+    assert err < float(jnp.max(jnp.abs(x))) / 5
+    assert qt.compression_ratio() > 5
+
+
+def test_quantized_tensor_is_pytree():
+    x = jnp.ones((8, 8))
+    qt = quantize(x, QuantizationConfig.int8())
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(qt2.dequantize(), qt.dequantize())
+
+
+# -- PTQ ---------------------------------------------------------------------
+
+def _trained_like_params():
+    model = nn.Sequential(nn.Linear(32, 64, activation="relu"),
+                          nn.Linear(64, 10))
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("config,max_err", [
+    (QuantizationConfig.int8(), 0.05),
+    (QuantizationConfig.float16(), 1e-3),
+    (QuantizationConfig.int8(schema=QuantizationSchema.PER_CHANNEL), 0.05),
+])
+def test_ptq_output_close_to_f32(config, max_err):
+    model, params = _trained_like_params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    ref = model.apply(params, x)
+    qmodel, qparams = ptq.quantize_model(model, params, config)
+    out = qmodel.apply(qparams, x)
+    rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < max_err
+
+
+def test_ptq_compression_and_bias_passthrough():
+    model, params = _trained_like_params()
+    qparams = ptq.quantize_params(params, QuantizationConfig.int8())
+    assert isinstance(qparams[0]["w"], QuantizedTensor)
+    # small biases stay f32
+    assert not isinstance(qparams[0]["b"], QuantizedTensor)
+    orig = sum(p.size * 4 for p in jax.tree_util.tree_leaves(params))
+    assert ptq.quantized_bytes(qparams) < orig / 3
+
+
+def test_ptq_int8_pallas_dequant_on_load_matches_xla():
+    model, params = _trained_like_params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    qmodel, qparams = ptq.quantize_model(model, params,
+                                         QuantizationConfig.int8())
+    with use_backend("xla"):
+        ref = qmodel.apply(qparams, x)
+    with use_backend("pallas"):
+        out = qmodel.apply(qparams, x)
+    # bf16 activation cast inside the kernel bounds the difference
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+
+def test_dequantize_params_inverse():
+    model, params = _trained_like_params()
+    qparams = ptq.quantize_params(params, QuantizationConfig.float16())
+    deq = ptq.dequantize_params(qparams)
+    np.testing.assert_allclose(deq[0]["w"], params[0]["w"], atol=1e-3)
+
+
+# -- FakeQuantize / STE ------------------------------------------------------
+
+def test_fake_quantize_forward_snaps_to_grid():
+    fq = FakeQuantize.create(QuantizationConfig.int8(symmetric=True))
+    x = jnp.linspace(-1, 1, 11)
+    fq = fq.calibrate(x)
+    y = fq.apply(x)
+    # values snap to scale grid
+    scale = float(fq.scale)
+    np.testing.assert_allclose(y / scale, jnp.round(y / scale), atol=1e-5)
+    assert float(jnp.max(jnp.abs(y - x))) <= scale / 2 + 1e-6
+
+
+def test_fake_quantize_ste_identity_gradient():
+    fq = FakeQuantize.create(QuantizationConfig.int8(symmetric=True))
+    x = jax.random.normal(jax.random.PRNGKey(0), (32,))
+    fq = fq.calibrate(x)
+    g = jax.grad(lambda t: jnp.sum(fq.apply(t) ** 2))(x)
+    # STE: d/dx sum(fq(x)^2) = 2*fq(x) (identity through the rounding)
+    np.testing.assert_allclose(g, 2 * fq.apply(x), atol=1e-5)
+
+
+def test_fake_quantize_eval_passthrough():
+    fq = FakeQuantize.create()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8,))
+    np.testing.assert_allclose(fq.apply(x, active=False), x)
+
+
+def test_fake_quantize_float_formats():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64,))
+    fq16 = FakeQuantize.create(QuantizationConfig.float16())
+    y = fq16.apply(x)
+    np.testing.assert_allclose(
+        y, x.astype(jnp.float16).astype(jnp.float32))
+    g = jax.grad(lambda t: jnp.sum(fq16.apply(t)))(x)
+    np.testing.assert_allclose(g, jnp.ones_like(x))
+
+
+# -- observers ---------------------------------------------------------------
+
+def test_minmax_observer_running_range():
+    obs = MinMaxObserver()
+    obs.observe(np.array([1.0, 2.0]))
+    obs.observe(np.array([-3.0, 0.5]))
+    s = obs.get_stats()
+    assert s.min_val == -3.0 and s.max_val == 2.0 and s.num_batches == 2
+
+
+def test_histogram_observer_percentile():
+    obs = HistogramObserver(num_bins=100)
+    rng = np.random.default_rng(0)
+    obs.observe(rng.normal(0, 1, 10000))
+    lo100, hi100 = obs.get_range(100.0)
+    lo99, hi99 = obs.get_range(99.0)
+    assert lo100 <= lo99 < hi99 <= hi100
+    assert hi99 - lo99 < hi100 - lo100
+
+
+def test_observer_manager_registry():
+    mgr = ObserverManager()
+    mgr.observe("layer0.w", np.array([1.0, -1.0]))
+    mgr.observe("layer0.w", np.array([2.0]))
+    assert mgr.get("layer0.w").get_stats().max_val == 2.0
+    assert mgr.keys() == ["layer0.w"]
+
+
+# -- QAT ---------------------------------------------------------------------
+
+def test_qat_config_warmup_lr():
+    cfg = QATConfig.int8(lr=0.001, warmup_epochs=5)
+    assert cfg.is_warmup(3) and not cfg.is_warmup(5)
+    assert cfg.get_effective_lr(0) == pytest.approx(0.0001)
+    assert cfg.get_effective_lr(7) == pytest.approx(0.001)
+
+
+def test_qat_linear_disabled_matches_plain():
+    layer = QATLinear(16, 8)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    y_off = layer.apply(params, x, qat=QATState(enabled=False))
+    y_plain = layer.inner.apply(params["inner"], x)
+    np.testing.assert_allclose(y_off, y_plain)
+
+
+def test_qat_sequential_trains_and_quantizes():
+    model = QATSequential(
+        QATLinear(16, 32, module_id="fc1", activation="relu"),
+        QATLinear(32, 4, module_id="fc2"),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+
+    # calibrate ranges through observers, then fake-quant forward differs
+    # from plain forward but not by much
+    obs = ObserverManager()
+    params, _ = model.calibrate(params, x, obs)
+    assert set(obs.keys()) == {"fc1.weight", "fc1.act",
+                               "fc2.weight", "fc2.act"}
+    y_q = model.apply(params, x, qat=QATState(enabled=True))
+    y_f = model.apply(params, x, qat=QATState(enabled=False))
+    assert not np.allclose(y_q, y_f)
+    rel = float(jnp.max(jnp.abs(y_q - y_f))
+                / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.2
+
+    # gradients flow through the STE to the weights
+    def loss(p):
+        return jnp.sum(model.apply(p, x, qat=QATState(enabled=True)) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.sum(jnp.abs(g[0]["inner"]["w"]))) > 0
+
+
+def test_qat_status():
+    model = QATSequential(QATLinear(4, 4), QATLinear(4, 2))
+    st = QATState(enabled=True).status(model)
+    assert st["num_qat_layers"] == 2
+    assert st["enabled_percentage"] == 100.0
+
+
+def test_optimizer_freezes_fake_quant_state():
+    from taper_tpu import optim
+    model = QATSequential(QATLinear(8, 4, module_id="fc"))
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    params, _ = model.calibrate(params, x)
+    opt = optim.Adam(0.1, weight_decay=0.1)
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x, qat=QATState(enabled=True)) ** 2)
+
+    grads = jax.grad(loss)(params)
+    new, _ = opt.update(grads, state, params)
+    # weights move, calibration state does not
+    assert not np.allclose(new[0]["inner"]["w"], params[0]["inner"]["w"])
+    np.testing.assert_allclose(new[0]["weight_fq"].scale,
+                               params[0]["weight_fq"].scale)
+    np.testing.assert_allclose(new[0]["act_fq"].zero_point,
+                               params[0]["act_fq"].zero_point)
