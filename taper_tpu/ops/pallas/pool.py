@@ -75,7 +75,13 @@ def _pool_pallas(x, *, kh, kw, mode):
     # Trim ragged tails (floor semantics — matches reference output dims).
     if h != ho * kh or w != wo * kw:
         xr = xr[:, : ho * kh, : wo * kw]
-    br = min(rows, 512)
+    # Block rows sized against VMEM: lanes pad W→128 and sublanes pad
+    # H→multiple of 8, so the true in-VMEM block cost is
+    # br × roundup(H,8) × 128 × 4 bytes (double-buffered), plus the output.
+    hp = -(-(ho * kh) // 8) * 8
+    hop = -(-ho // 8) * 8
+    per_row = (hp + hop) * 128 * 4 * 2  # in+out, double-buffered
+    br = max(8, min(rows, (6 * 1024 * 1024 // per_row) // 8 * 8))
     out = pl.pallas_call(
         functools.partial(_pool_kernel, kh=kh, kw=kw, ho=ho, wo=wo,
                           mode=mode),
