@@ -7,13 +7,24 @@ TPU-native replacement for the reference's convolution engine
 
 Design: patch extraction is a strided-slice gather that XLA lays out well;
 the FLOPs live in the GEMM, which runs through the tiled Pallas MXU kernel
-from ``matmul.py`` with the bias + ReLU epilogue fused into the final K-step
+from ``gemm.py`` with the bias + ReLU epilogue fused into the final K-step
 (so the conv output never round-trips HBM before activation).  The 1×1 path
 skips patch extraction entirely and is a pure reshape + fused GEMM, matching
 the reference's 1×1-as-matmul specialization.
 
+**Dispatch policy (measured on v5e, see bench):** materializing the patch
+matrix costs ``kh·kw×`` the input bytes of HBM traffic, so for small
+contraction sizes (C·kh·kw < 1024 — e.g. every conv in the 28×28 MNIST
+CNN) the im2col route is memory-bound and XLA's native conv — which builds
+its patches in on-chip memory with specialized layouts — is ~6× faster
+(0.53 ms vs 3.4+1.6 ms per step at batch 256, 32→64ch 3×3).  Those convs
+therefore delegate to ``lax.conv_general_dilated`` even under the pallas
+backend; the Pallas im2col+GEMM engages at large K where MXU tiling
+amortizes the patch traffic, and for 1×1 convs (pure channel-mixing
+matmuls, where the fused Pallas GEMM is at parity with XLA).
+
 Unlike the reference — whose conv weight/input grads are severed (SURVEY.md
-§2.2 ⚠) — this path is fully differentiable: patches are extracted with
+§2.2 ⚠) — every path is fully differentiable: patches are extracted with
 differentiable XLA ops and the Pallas GEMM carries a custom VJP.
 """
 
@@ -84,6 +95,13 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
     n, c, h, wdim = x.shape
     o, ci, kh, kw = w.shape
     assert ci == c, (x.shape, w.shape)
+
+    # Small-K convs: XLA's native conv beats materialized im2col (see
+    # module docstring).  1×1 convs stay on the fused Pallas GEMM.
+    if (kh, kw) != (1, 1) and c * kh * kw < 1024:
+        from taper_tpu.ops import xla as _xla
+        return _xla.conv2d(x, w, b, stride=stride, padding=padding,
+                           activation=activation)
 
     if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):
         # 1×1 fast path: pure channel-mixing matmul.

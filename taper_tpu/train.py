@@ -241,9 +241,11 @@ class Trainer:
         eval_batch_size = min(eval_batch_size, nv)
         ev_steps = -(-nv // eval_batch_size)
         pad = ev_steps * eval_batch_size - nv
-        vi = jnp.asarray(np.pad(val_images, ((0, pad),) + ((0, 0),)
-                                * (val_images.ndim - 1)))
-        vl = jnp.asarray(np.pad(val_labels, (0, pad)))
+        # jnp.pad keeps already-device-resident inputs on device (uploading
+        # 60k MNIST images through a slow host link dominates otherwise).
+        vi = jnp.pad(jnp.asarray(val_images),
+                     ((0, pad),) + ((0, 0),) * (val_images.ndim - 1))
+        vl = jnp.pad(jnp.asarray(val_labels), (0, pad))
         if self._batch_sharding is not None:
             ti = jax.device_put(ti, self._batch_sharding)
             tl = jax.device_put(tl, self._batch_sharding)
