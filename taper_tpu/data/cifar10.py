@@ -37,10 +37,13 @@ def synthesize_cifar(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = len(labels)
     yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
-    # class-specific grating frequency/orientation + color mix
+    # class-specific grating frequency/orientation + color mix — drawn from
+    # a FIXED generator so train/test splits share class signatures (only
+    # the per-sample jitter below depends on the split seed)
     freqs = 1.0 + np.arange(10) * 0.7          # cycles per image
     angles = np.arange(10) * (np.pi / 10)
-    colors = rng.uniform(0.3, 1.0, (10, 3)).astype(np.float32)
+    colors = np.random.default_rng(42).uniform(
+        0.3, 1.0, (10, 3)).astype(np.float32)
     out = np.empty((n, 3, 32, 32), np.float32)
     phase = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     jitter = rng.normal(0, 0.08, (n, 2)).astype(np.float32)
