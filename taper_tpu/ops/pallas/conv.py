@@ -115,11 +115,7 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
     if b is not None:
         y = _mm.linear(xm, wm, b, epilogue)           # [N·Ho·Wo, O]
     else:
-        y = _mm.matmul(xm, wm.T)
-        if epilogue == "relu":
-            y = jnp.maximum(y, 0.0)
-        elif epilogue == "sigmoid":
-            y = jax.nn.sigmoid(y)
+        y = _mm.linear_nb(xm, wm, epilogue)
     return y.reshape(n, ho, wo, o).transpose(0, 3, 1, 2)
 
 

@@ -8,9 +8,20 @@ epilogue — is ONE tiled Pallas kernel: the MXU does the contraction, and the
 bias add + activation run on the VPU while the tile is still in VMEM (the
 fusion the reference approximates with ``conv2d_relu``-style hand fusion).
 
-Backward passes are expressed with the same tiled kernel via
-``jax.custom_vjp`` (dX = g @ W, dW = gᵀ @ X, db = Σg — the hand formulas in
-reference ``src/ops.rs:238-294``).
+Transposes never materialize: the kernel supports all three contraction
+modes the training step needs (the reference's ``sgemm_rowmajor(transA,
+transB, …)`` flags, ``gemm.rs:8``):
+
+* ``"nt"`` — ``y = a @ bᵀ``  (forward: ``x[M,K] · w[N,K]``)
+* ``"nn"`` — ``y = a @ b``    (backward dx: ``g[M,N] · w[N,K]``)
+* ``"tn"`` — ``y = aᵀ @ b``  (backward dw: ``g[M,N]ᵀ… as x[M,K]ᵀ·g``)
+
+so the backward pass (dX = g·W, dW = gᵀ·X, db = Σg — the hand formulas in
+reference ``src/ops.rs:238-294``) reads every operand in its natural layout.
+
+Compute dtype: ``set_compute_dtype('bfloat16')`` casts MXU inputs to bf16
+(the MXU's native format — single-pass instead of f32's multi-pass) while
+accumulating in f32.  Default is f32 for strict reference parity.
 """
 
 from __future__ import annotations
@@ -23,6 +34,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from taper_tpu.ops import backend as _backend
+
+_compute = {"dtype": "float32"}
+
+
+def set_compute_dtype(name: str) -> None:
+    """MXU input dtype for Pallas GEMMs: 'float32' or 'bfloat16'."""
+    assert name in ("float32", "bfloat16"), name
+    _compute["dtype"] = name
+
+
+def get_compute_dtype() -> str:
+    return _compute["dtype"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,21 +66,29 @@ def _pad2(x, m_to, n_to):
     return jnp.pad(x, ((0, m_to - m), (0, n_to - n)))
 
 
-# ---------------------------------------------------------------------------
-# Core tiled kernel:  out[bm, bn] += a[bm, bk] ·k b[bn, bk]ᵀ   (contract on k)
-# ``b`` arrives as [N, K] (row-major weights, reference layout) so no
-# transpose materialises anywhere — dot_general contracts dim 1 with dim 1.
-# ---------------------------------------------------------------------------
+# Contraction-mode table: for out[M, N] = contract_K(a, b),
+#   a_mk: True if a is laid out [M, K] (else [K, M])
+#   b_nk: True if b is laid out [N, K] (else [K, N])
+_MODES = {
+    "nt": (True, True),
+    "nn": (True, False),
+    "tn": (False, False),
+}
 
-def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, n_k: int,
-                   epilogue: str):
+
+def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, n_k, epilogue,
+                   dims, cdtype):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    a = x_ref[:]
+    b = w_ref[:]
+    if cdtype == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -73,44 +104,66 @@ def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, n_k: int,
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("epilogue", "has_bias"))
-def _linear_pallas_raw(x, w, b, *, epilogue: str = "none",
-                       has_bias: bool = True):
-    """y[M,N] = x[M,K] @ w[N,K]ᵀ (+ b[N]) (+ activation)."""
-    M, K = x.shape
-    N, K2 = w.shape
-    assert K == K2, (x.shape, w.shape)
+def _gemm(a, b, bias, *, epilogue: str = "none", has_bias: bool = True,
+          mode: str = "nt", cdtype: str = ""):
+    """out[M, N] = contract_K(a, b) (+ bias[N]) (+ activation)."""
+    # Resolve the compute dtype OUTSIDE the jitted body so switching it via
+    # set_compute_dtype retraces (it is part of the jit cache key).
+    return _gemm_jit(a, b, bias, epilogue=epilogue, has_bias=has_bias,
+                     mode=mode, cdtype=cdtype or _compute["dtype"])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("epilogue", "has_bias", "mode", "cdtype"))
+def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
+    a_mk, b_nk = _MODES[mode]
+    M, K = a.shape if a_mk else a.shape[::-1]
+    N, K2 = b.shape if b_nk else b.shape[::-1]
+    assert K == K2, (a.shape, b.shape, mode)
 
     bm = _pick_block(M, 128, 8)
     bn = _pick_block(N, 128, 128)
     bk = _pick_block(K, 512, 128)
-
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
-    xp = _pad2(x, Mp, Kp)
-    wp = _pad2(w, Np, Kp)
     n_k = Kp // bk
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
-    ]
-    args = [xp, wp]
+    if a_mk:
+        ap = _pad2(a, Mp, Kp)
+        a_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k))
+        a_dim = 1
+    else:
+        ap = _pad2(a, Kp, Mp)
+        a_spec = pl.BlockSpec((bk, bm), lambda i, j, k: (k, i))
+        a_dim = 0
+    if b_nk:
+        bp = _pad2(b, Np, Kp)
+        b_spec = pl.BlockSpec((bn, bk), lambda i, j, k: (j, k))
+        b_dim = 1
+    else:
+        bp = _pad2(b, Kp, Np)
+        b_spec = pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))
+        b_dim = 0
+    dims = ((a_dim,), (b_dim,))
+
+    in_specs = [a_spec, b_spec]
+    args = [ap, bp]
     if has_bias:
-        bp = jnp.pad(b, (0, Np - N)).reshape(1, Np)
         in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
-        args.append(bp)
-        kernel = functools.partial(_linear_kernel, n_k=n_k, epilogue=epilogue)
+        args.append(jnp.pad(bias, (0, Np - N)).reshape(1, Np))
+        kernel = functools.partial(_linear_kernel, n_k=n_k,
+                                   epilogue=epilogue, dims=dims,
+                                   cdtype=cdtype)
     else:
         def kernel(x_ref, w_ref, o_ref, acc_ref):
             _linear_kernel(x_ref, w_ref, None, o_ref, acc_ref, n_k=n_k,
-                           epilogue=epilogue)
+                           epilogue=epilogue, dims=dims, cdtype=cdtype)
 
     out = pl.pallas_call(
         kernel,
         grid=(Mp // bm, Np // bn, n_k),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -127,6 +180,11 @@ def _linear_pallas_raw(x, w, b, *, epilogue: str = "none",
     return out
 
 
+# Back-compat name used by quant.py
+def _linear_pallas_raw(x, w, b, *, epilogue="none", has_bias=True):
+    return _gemm(x, w, b, epilogue=epilogue, has_bias=has_bias, mode="nt")
+
+
 # ---------------------------------------------------------------------------
 # Public differentiable ops
 # ---------------------------------------------------------------------------
@@ -134,7 +192,7 @@ def _linear_pallas_raw(x, w, b, *, epilogue: str = "none",
 @jax.custom_vjp
 def matmul(a, b):
     """2-D ``a[M,K] @ b[K,N]`` on the MXU (Pallas backend)."""
-    return _linear_pallas_raw(a, b.T, None, epilogue="none", has_bias=False)
+    return _gemm(a, b, None, has_bias=False, mode="nn")
 
 
 def _matmul_fwd(a, b):
@@ -143,9 +201,9 @@ def _matmul_fwd(a, b):
 
 def _matmul_bwd(res, g):
     a, b = res
-    # dA = g @ Bᵀ ; dB = Aᵀ @ g — reference src/ops.rs:238-294.
-    da = _linear_pallas_raw(g, b, None, epilogue="none", has_bias=False)
-    db = _linear_pallas_raw(a.T, g.T, None, epilogue="none", has_bias=False)
+    # dA = g · Bᵀ ; dB = Aᵀ · g — reference src/ops.rs:238-294.
+    da = _gemm(g, b, None, has_bias=False, mode="nt")
+    db = _gemm(a, g, None, has_bias=False, mode="tn")
     return da, db
 
 
@@ -158,7 +216,7 @@ def linear(x, w, b, activation: str = "none"):
 
     ``w`` is ``[out, in]`` (reference ``Linear`` layout, ``src/nn.rs:34``).
     """
-    return _linear_pallas_raw(x, w, b, epilogue=activation, has_bias=True)
+    return _gemm(x, w, b, epilogue=activation, has_bias=True, mode="nt")
 
 
 def _linear_fwd(x, w, b, activation):
@@ -172,11 +230,36 @@ def _linear_bwd(activation, res, g):
         g = jnp.where(y > 0, g, 0.0)
     elif activation == "sigmoid":
         g = g * y * (1.0 - y)
-    # dX = g @ W ([M,N] @ [N,K]); dW = gᵀ @ X ([N,M] @ [M,K]); db = Σ_M g.
-    dx = _linear_pallas_raw(g, w.T, None, epilogue="none", has_bias=False)
-    dw = _linear_pallas_raw(g.T, x.T, None, epilogue="none", has_bias=False)
+    # dX = g @ W ([M,N]·[N,K]); dW = gᵀ @ X ([M,N]ᵀ·[M,K]); db = Σ_M g.
+    dx = _gemm(g, w, None, has_bias=False, mode="nn")
+    dw = _gemm(g, x, None, has_bias=False, mode="tn")
     db = jnp.sum(g, axis=0)
     return dx, dw, db
 
 
 linear.defvjp(_linear_fwd, _linear_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def linear_nb(x, w, activation: str = "none"):
+    """Bias-free fused ``x @ wᵀ`` (+ activation) — conv GEMM helper."""
+    return _gemm(x, w, None, epilogue=activation, has_bias=False, mode="nt")
+
+
+def _linear_nb_fwd(x, w, activation):
+    y = linear_nb(x, w, activation)
+    return y, (x, w, y)
+
+
+def _linear_nb_bwd(activation, res, g):
+    x, w, y = res
+    if activation == "relu":
+        g = jnp.where(y > 0, g, 0.0)
+    elif activation == "sigmoid":
+        g = g * y * (1.0 - y)
+    dx = _gemm(g, w, None, has_bias=False, mode="nn")
+    dw = _gemm(g, x, None, has_bias=False, mode="tn")
+    return dx, dw
+
+
+linear_nb.defvjp(_linear_nb_fwd, _linear_nb_bwd)

@@ -16,10 +16,10 @@ reshapes, so the classic "reshape into windows" trick doesn't tile):
   f32 copy), and the window reduce is max/sum over those kw copies.
   Padding-safe: only logical lanes are selected.
 
-Backward is a custom VJP (Pallas calls aren't auto-differentiable):
-upsampled-mask formulas identical to the reference's semantics, except ties
-in max share gradient sum-preservingly (the reference keeps the first
-argmax; ties are measure-zero for float activations).
+Backward is a custom VJP (Pallas calls aren't auto-differentiable): avg
+pool scatters the upsampled cotangent; max pool reuses XLA's
+select-and-scatter (first-match argmax, same semantics as the reference's
+captured argmax).
 
 Only the non-overlapping stride==kernel, no-padding case (everything the
 reference's models use, via ``MaxPool2d::new_2x2`` / global avg pools) runs
@@ -113,19 +113,18 @@ def _max_pool_p(x, kh, kw):
 
 
 def _max_pool_p_fwd(x, kh, kw):
-    y = _max_pool_p(x, kh, kw)
-    return y, (x, y)
+    return _max_pool_p(x, kh, kw), x
 
 
-def _max_pool_p_bwd(kh, kw, res, g):
-    x, y = res
-    h, w = x.shape[2], x.shape[3]
-    y_up = _upsample(y, kh, kw, h, w)
-    g_up = _upsample(g, kh, kw, h, w)
-    mask = (x == y_up).astype(x.dtype)
-    counts = _upsample(_pool_pallas(mask, kh=kh, kw=kw, mode="avg")
-                       * (kh * kw), kh, kw, h, w)
-    return (mask * g_up / jnp.maximum(counts, 1.0),)
+def _max_pool_p_bwd(kh, kw, x, g):
+    # Backward through XLA's select-and-scatter: first-match argmax
+    # semantics (same as the reference's captured argmax,
+    # tensor.rs:1435-1447) and ~4x cheaper than an explicit mask+tie-count
+    # recomputation (measured: pallas pools cost 3.3 ms/step extra in the
+    # scanned CNN epoch with the mask formulation).
+    _, vjp = jax.vjp(
+        lambda t: _xla.max_pool2d(t, kernel=(kh, kw), stride=(kh, kw)), x)
+    return vjp(g)
 
 
 _max_pool_p.defvjp(_max_pool_p_fwd, _max_pool_p_bwd)
@@ -149,8 +148,11 @@ _avg_pool_p.defvjp(_avg_pool_p_fwd, _avg_pool_p_bwd)
 
 def _eligible(x, kernel, stride, padding):
     kh, kw = kernel
+    wo = x.shape[3] // kw if kw else 0
+    # wo < 8 (e.g. global pools) wastes >90% of the 128-lane tile; XLA's
+    # reduce_window handles those shapes better.
     return (stride == kernel and padding == (0, 0)
-            and x.shape[2] >= kh and x.shape[3] >= kw)
+            and x.shape[2] >= kh and x.shape[3] >= kw and wo >= 8)
 
 
 def max_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):

@@ -103,26 +103,29 @@ class SGD(Optimizer):
         self.momentum = float(momentum)
 
     def init(self, params) -> State:
-        state: State = {
-            "lr": jnp.asarray(self.lr, jnp.float32),
-            "mask": _trainable_mask(params),
-        }
-        if self.momentum != 0.0 or True:  # slot kept for fused-kernel shape
+        state: State = {"lr": jnp.asarray(self.lr, jnp.float32)}
+        if self._use_fused():
+            # Fused-kernel representation: momentum + mask live as flat
+            # vectors so the per-step kernel never re-concatenates them
+            # (only params/grads are raveled each step).
+            k_flat, _ = ravel_pytree(_trainable_mask(params))
+            state["m_flat"] = jnp.zeros_like(k_flat)
+            state["mask_flat"] = k_flat
+        else:
+            state["mask"] = _trainable_mask(params)
             state["m"] = jax.tree.map(jnp.zeros_like, params)
         return state
 
     def update(self, grads, state, params):
         lr = state["lr"]
-        if self._use_fused():
+        if "m_flat" in state:
             from taper_tpu.ops.pallas import optim_kernels as ok
             p_flat, unravel = ravel_pytree(params)
             g_flat, _ = ravel_pytree(grads)
-            m_flat, _ = ravel_pytree(state["m"])
-            k_flat, _ = ravel_pytree(state["mask"])
             p_new, m_new = ok.sgd_update_flat(
-                p_flat, g_flat, m_flat, k_flat, lr,
+                p_flat, g_flat, state["m_flat"], state["mask_flat"], lr,
                 momentum=self.momentum, wd=self.weight_decay)
-            return unravel(p_new), {**state, "m": unravel(m_new)}
+            return unravel(p_new), {**state, "m_flat": m_new}
 
         def upd(p, g, m, k):
             if self.weight_decay != 0.0:
@@ -158,33 +161,38 @@ class Adam(Optimizer):
         self.eps = float(eps)
 
     def init(self, params) -> State:
-        return {
+        state: State = {
             "lr": jnp.asarray(self.lr, jnp.float32),
             "step": jnp.asarray(0, jnp.int32),
-            "m": jax.tree.map(jnp.zeros_like, params),
-            "v": jax.tree.map(jnp.zeros_like, params),
-            "mask": _trainable_mask(params),
         }
+        if self._use_fused():
+            k_flat, _ = ravel_pytree(_trainable_mask(params))
+            state["m_flat"] = jnp.zeros_like(k_flat)
+            state["v_flat"] = jnp.zeros_like(k_flat)
+            state["mask_flat"] = k_flat
+        else:
+            state["m"] = jax.tree.map(jnp.zeros_like, params)
+            state["v"] = jax.tree.map(jnp.zeros_like, params)
+            state["mask"] = _trainable_mask(params)
+        return state
 
     def update(self, grads, state, params):
         lr = state["lr"]
         t = state["step"] + 1
         tf = t.astype(jnp.float32)
 
-        if self._use_fused():
+        if "m_flat" in state:
             from taper_tpu.ops.pallas import optim_kernels as ok
             p_flat, unravel = ravel_pytree(params)
             g_flat, _ = ravel_pytree(grads)
-            m_flat, _ = ravel_pytree(state["m"])
-            v_flat, _ = ravel_pytree(state["v"])
-            k_flat, _ = ravel_pytree(state["mask"])
             p_new, m_new, v_new = ok.adam_update_flat(
-                p_flat, g_flat, m_flat, v_flat, k_flat, lr, tf,
+                p_flat, g_flat, state["m_flat"], state["v_flat"],
+                state["mask_flat"], lr, tf,
                 b1=self.b1, b2=self.b2, eps=self.eps,
                 wd=self.weight_decay, decoupled=self.decoupled)
             return unravel(p_new), {**state, "step": t,
-                                    "m": unravel(m_new),
-                                    "v": unravel(v_new)}
+                                    "m_flat": m_new,
+                                    "v_flat": v_new}
 
         # Bias-corrected step size precomputed once per step, exactly the
         # reference's formulation (src/optim.rs:88-90).

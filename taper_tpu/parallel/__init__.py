@@ -8,3 +8,10 @@ __all__ = [
     "make_mesh", "batch_sharding", "replicated", "param_sharding",
     "shard_params",
 ]
+
+from taper_tpu.parallel.spmd import (  # noqa: E402
+    make_dp_train_step, replicate_to_mesh, shard_batch_to_mesh,
+)
+
+__all__ += ["make_dp_train_step", "replicate_to_mesh",
+            "shard_batch_to_mesh"]

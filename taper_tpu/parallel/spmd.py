@@ -1,0 +1,65 @@
+"""Explicit-collective SPMD training step (``shard_map`` + ``pmean``).
+
+The GSPMD path in ``mesh.py`` lets XLA infer collectives from sharding
+annotations.  This module is the explicit alternative — the program states
+its communication: each device computes gradients on its batch shard, then
+all-reduces them over the ``data`` axis with ``jax.lax.pmean`` (lowered to
+an XLA all-reduce riding ICI on real slices).  Useful when you want the
+collective schedule pinned down rather than inferred, and as the direct
+analogue of what a NCCL all-reduce would be in a GPU stack (the reference
+has neither — SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from taper_tpu import losses as L
+
+
+def make_dp_train_step(model, optimizer, mesh: Mesh,
+                       loss_fn=L.cross_entropy_loss):
+    """Data-parallel train step with explicit gradient all-reduce.
+
+    Params/optimizer state are replicated; the batch is sharded over
+    ``data``.  Returns a jitted ``step(params, opt_state, x, y) ->
+    (params, opt_state, loss, acc)``.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def step(params, opt_state, x, y):
+        def loss_of(p):
+            logits = model.apply(p, x, train=True)
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        # The explicit ICI collective: mean-reduce grads across devices.
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        acc = jax.lax.pmean(L.accuracy(logits, y), "data")
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss, acc
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_batch_to_mesh(x, y, mesh: Mesh):
+    s = NamedSharding(mesh, P("data"))
+    return (jax.device_put(jnp.asarray(x), s),
+            jax.device_put(jnp.asarray(y), s))

@@ -166,17 +166,17 @@ def test_grouped_conv_is_differentiable():
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("mode", ["max", "avg"])
 def test_pool_parity(backend, mode):
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 9, 9))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 17, 17))
     fn = ops.max_pool2d if mode == "max" else ops.avg_pool2d
     ref = fn(x, kernel=2)  # default xla backend
     with use_backend(backend):
         out = fn(x, kernel=2)
-    assert out.shape == (2, 3, 4, 4)
+    assert out.shape == (2, 3, 8, 8)
     np.testing.assert_allclose(out, ref, atol=TOL)
 
 
 def test_pool_grads_match_across_backends():
-    x = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 16, 16))
 
     def loss(backend):
         def f(t):

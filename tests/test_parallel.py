@@ -65,3 +65,37 @@ def test_dp_batch_is_actually_sharded():
     x = jnp.ones((64, 32))
     xs = jax.device_put(x, parallel.batch_sharding(mesh))
     assert len(xs.sharding.device_set) == 8
+
+
+def test_shard_map_dp_matches_single_device():
+    """Explicit pmean-collective DP step == single-device step."""
+    from taper_tpu.parallel import (
+        make_dp_train_step, replicate_to_mesh, shard_batch_to_mesh,
+    )
+    from taper_tpu import losses as L
+
+    model = _model()
+    opt = optim.Adam(1e-2)
+    params = model.init(jax.random.PRNGKey(0))
+    state = opt.init(params)
+    x = np.random.default_rng(0).normal(0, 1, (64, 32)).astype(np.float32)
+    y = (np.arange(64) % 4).astype(np.int32)
+
+    # single device reference
+    def loss_of(p):
+        logits = model.apply(p, jnp.asarray(x))
+        return L.cross_entropy_loss(logits, jnp.asarray(y))
+    loss_ref, grads = jax.value_and_grad(loss_of)(params)
+    p_ref, _ = opt.update(grads, state, params)
+
+    mesh = parallel.make_mesh(data=8, model=1)
+    step = make_dp_train_step(model, opt, mesh)
+    p_m = replicate_to_mesh(params, mesh)
+    s_m = replicate_to_mesh(opt.init(params), mesh)
+    bx, by = shard_batch_to_mesh(x, y, mesh)
+    p_new, s_new, loss, acc = step(p_m, s_m, bx, by)
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_new),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
