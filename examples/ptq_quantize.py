@@ -11,7 +11,6 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from taper_tpu import data, models, ops, optim
 from taper_tpu.quantization import ptq

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from taper_tpu import data, losses, models, nn, ops, optim
+from taper_tpu import data, losses, nn, ops, optim
 from taper_tpu.quantization.config import QuantizationConfig
 from taper_tpu.quantization.observers import ObserverManager
 from taper_tpu.quantization.qat import (

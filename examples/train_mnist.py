@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from taper_tpu import data, models, nn, ops, optim
+from taper_tpu import data, models, ops, optim
 from taper_tpu.train import Trainer
 from taper_tpu.utils.cache import enable_compilation_cache
 

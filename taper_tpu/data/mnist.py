@@ -25,7 +25,7 @@ import gzip
 import os
 import struct
 import urllib.request
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -30,7 +30,6 @@ differentiable XLA ops and the Pallas GEMM carries a custom VJP.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

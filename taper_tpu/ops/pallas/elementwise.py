@@ -15,8 +15,6 @@ closures (``src/ops.rs:8-120``, ``:358-370``; ``src/tensor.rs:594-634``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

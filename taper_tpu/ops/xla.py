@@ -19,8 +19,6 @@ contract; XLA re-lays out to the TPU-preferred tiling internally.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -17,10 +17,9 @@ reference declares but never wires (SURVEY.md §2.10).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from taper_tpu import nn
 from taper_tpu.nn.module import Module

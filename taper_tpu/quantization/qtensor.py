@@ -20,7 +20,7 @@ jit / checkpoints / sharding like any other leaf structure.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

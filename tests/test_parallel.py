@@ -99,3 +99,17 @@ def test_shard_map_dp_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(p_new),
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fit_device_on_mesh_matches_single_device():
+    """Scanned-epoch training under GSPMD sharding == single-device."""
+    ds = FakeDataset(n=256)
+    results = []
+    for mesh in (None, parallel.make_mesh(data=8, model=1)):
+        trainer = Trainer(_model(), optim.Adam(1e-2), seed=0, mesh=mesh)
+        m = trainer.fit_device(ds.images, ds.labels, ds.images[:128],
+                               ds.labels[:128], epochs=2, batch_size=64,
+                               early_stop_acc=2.0, verbose=False)
+        results.append((m.train_loss[-1], m.val_acc[-1]))
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)

@@ -10,7 +10,7 @@ import pytest
 from taper_tpu import nn
 from taper_tpu.ops import use_backend
 from taper_tpu.quantization.config import (
-    QuantizationConfig, QuantizationSchema, QuantizationType,
+    QuantizationConfig, QuantizationSchema,
 )
 from taper_tpu.quantization.fake_quantize import FakeQuantize
 from taper_tpu.quantization.observers import (

@@ -4,13 +4,11 @@ lacks entirely)."""
 
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from taper_tpu import nn, optim
 from taper_tpu.data.loader import DataLoader
-from taper_tpu.train import Trainer, quick_train_mnist
+from taper_tpu.train import Trainer
 
 
 class FakeDataset:
