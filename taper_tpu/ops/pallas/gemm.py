@@ -121,8 +121,12 @@ def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
     N, K2 = b.shape if b_nk else b.shape[::-1]
     assert K == K2, (a.shape, b.shape, mode)
 
-    bm = _pick_block(M, 128, 8)
-    bn = _pick_block(N, 128, 128)
+    # Block sizes swept on v5e at 4096³ (see benchmarks/kernels.py history):
+    # (512, 1024, 512) reaches 233 TFLOP/s bf16 / 117 TFLOP/s f32 vs
+    # 22 TFLOP/s at the naive (128, 128, 512) — large bm·bn amortizes
+    # operand refetch across the K loop and keeps the MXU pipeline full.
+    bm = _pick_block(M, 512, 8)
+    bn = _pick_block(N, 1024, 128)
     bk = _pick_block(K, 512, 128)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
     n_k = Kp // bk

@@ -68,8 +68,8 @@ def linear_q8(x, q, scale, zp, b, *, epilogue: str = "none",
     N, K2 = q.shape
     assert K == K2, (x.shape, q.shape)
 
-    bm = _pick_block(M, 128, 8)
-    bn = _pick_block(N, 128, 128)
+    bm = _pick_block(M, 512, 8)
+    bn = _pick_block(N, 1024, 128)
     bk = _pick_block(K, 512, 128)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
 

@@ -21,6 +21,7 @@ and optimizer state donated so updates happen in place in HBM.  Optional
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -228,9 +229,32 @@ class Trainer:
     def fit_device(self, train_images, train_labels, val_images, val_labels,
                    epochs: int, batch_size: int = 256,
                    early_stop_acc: float = 0.99, verbose: bool = True,
-                   eval_batch_size: int = 2000) -> Metrics:
+                   eval_batch_size: int = 2000,
+                   checkpoint_path: Optional[str] = None,
+                   save_every: int = 1, resume: bool = False) -> Metrics:
         """``fit`` with the dataset resident on device and each epoch
-        compiled to a single XLA program (scan over steps)."""
+        compiled to a single XLA program (scan over steps).
+
+        With ``checkpoint_path``, params + optimizer state + epoch count are
+        saved every ``save_every`` epochs, and ``resume=True`` continues an
+        interrupted run from the last checkpoint (the resume capability the
+        reference lacks — SURVEY.md §5.4).  The LR scheduler is fast-
+        forwarded by the completed epoch count.
+        """
+        start_epoch = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            self.load_checkpoint(checkpoint_path)
+            _, meta = ckpt.load_checkpoint(
+                checkpoint_path, {"params": self.params,
+                                  "opt_state": self.opt_state})
+            start_epoch = int(meta.get("epochs", 0))
+            for _ in range(start_epoch):
+                if self.scheduler is not None:
+                    self.optimizer.set_lr(self.opt_state,
+                                          self.scheduler.step(None))
+            if verbose and start_epoch:
+                print(f"resumed from {checkpoint_path} "
+                      f"at epoch {start_epoch}")
         n = len(train_labels)
         num_steps = n // batch_size
         assert num_steps > 0, (n, batch_size)
@@ -255,7 +279,7 @@ class Trainer:
         epoch_fn = self._build_epoch_fn(batch_size, num_steps)
         eval_fn = self._build_eval_epoch_fn(eval_batch_size, ev_steps)
 
-        for e in range(epochs):
+        for e in range(start_epoch, epochs):
             t0 = time.perf_counter()
             key = jax.random.fold_in(self.dropout_key, e)
             self.params, self.opt_state, tr_loss, tr_acc = epoch_fn(
@@ -271,6 +295,11 @@ class Trainer:
             if self.scheduler is not None:
                 lr = self.scheduler.step(va_loss)
                 self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
+            if checkpoint_path and (e + 1) % max(save_every, 1) == 0:
+                ckpt.save_checkpoint(
+                    checkpoint_path,
+                    {"params": self.params, "opt_state": self.opt_state},
+                    metadata={"epochs": e + 1})
             if va_acc > early_stop_acc:
                 if verbose:
                     print(f"early stop: val acc {va_acc*100:.2f}% > "

@@ -93,3 +93,30 @@ def test_dropout_model_trains_with_rng():
     tr.train_epoch(loader)
     after = tr.evaluate(ds.images, ds.labels)
     assert after["loss"] < before["loss"]
+
+
+def test_fit_device_checkpoint_resume(tmp_path):
+    ds = FakeDataset(n=256)
+    path = os.path.join(tmp_path, "resume.npz")
+
+    # interrupted run: 2 of 4 epochs
+    t1, _ = _small_trainer()
+    t1.fit_device(ds.images, ds.labels, ds.images[:128], ds.labels[:128],
+                  epochs=2, batch_size=64, early_stop_acc=2.0,
+                  verbose=False, checkpoint_path=path)
+    assert os.path.exists(path)
+
+    # resumed run continues at epoch 2 with restored state
+    t2, _ = _small_trainer()
+    m = t2.fit_device(ds.images, ds.labels, ds.images[:128],
+                      ds.labels[:128], epochs=4, batch_size=64,
+                      early_stop_acc=2.0, verbose=False,
+                      checkpoint_path=path, resume=True)
+    assert len(m.val_acc) == 2  # only epochs 2..3 ran
+
+    # uninterrupted 4-epoch run from the same seed for comparison
+    t3, _ = _small_trainer()
+    m3 = t3.fit_device(ds.images, ds.labels, ds.images[:128],
+                       ds.labels[:128], epochs=4, batch_size=64,
+                       early_stop_acc=2.0, verbose=False)
+    np.testing.assert_allclose(m.val_acc[-1], m3.val_acc[-1], atol=0.05)
