@@ -37,24 +37,28 @@ from taper_tpu.quantization.qtensor import quantize  # noqa: E402
 N_HI, N_LO = 60, 10
 
 
-def _run(jp, init, n):
+def _run(jp, init, n, consts=()):
     t0 = time.perf_counter()
-    out = jp(init, n)
+    out = jp(init, n, *consts)
     # force real materialization (block_until_ready is unreliable here)
     float(jnp.sum(jax.tree_util.tree_leaves(out)[0][:1]))
     return time.perf_counter() - t0
 
 
-def timeit_scan(step, init):
-    """Per-iteration seconds of ``step`` chained inside one scan program."""
-    def prog(c, n):
-        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
+def timeit_scan(step, init, consts=()):
+    """Per-iteration seconds of ``step`` chained inside one scan program.
+
+    ``consts`` are threaded as jit ARGUMENTS — closure-captured arrays would
+    be constant-folded into the HLO (a 256 MB weight blows the remote
+    compiler's upload limit)."""
+    def prog(c, n, *cs):
+        return jax.lax.scan(lambda c, _: (step(c, *cs), None), c, None,
                             length=n)[0]
     jp = jax.jit(prog, static_argnums=(1,))
-    _run(jp, init, N_LO)   # compile both lengths
-    _run(jp, init, N_HI)
-    t_lo = min(_run(jp, init, N_LO) for _ in range(3))
-    t_hi = min(_run(jp, init, N_HI) for _ in range(3))
+    _run(jp, init, N_LO, consts)   # compile both lengths
+    _run(jp, init, N_HI, consts)
+    t_lo = min(_run(jp, init, N_LO, consts) for _ in range(3))
+    t_hi = min(_run(jp, init, N_HI, consts) for _ in range(3))
     return max(t_hi - t_lo, 1e-9) / (N_HI - N_LO)
 
 
@@ -76,39 +80,64 @@ def main():
     flops = 2.0 * M * N * K
 
     report("pallas_linear_f32_4096",
-           timeit_scan(lambda c: G.linear(c, b, bias, "none") * 1e-2, a),
-           flops)
+           timeit_scan(lambda c, w, bb: G.linear(c, w, bb, "none") * 1e-2,
+                       a, (b, bias)), flops)
     G.set_compute_dtype("bfloat16")
     report("pallas_linear_bf16_4096",
-           timeit_scan(lambda c: G._gemm(c, b, bias, mode="nt") * 1e-2, a),
-           flops)
+           timeit_scan(lambda c, w, bb: G._gemm(c, w, bb, mode="nt") * 1e-2,
+                       a, (b, bias)), flops)
     G.set_compute_dtype("float32")
     report("xla_linear_f32_4096",
-           timeit_scan(lambda c: X.linear(c, b, bias) * 1e-2, a), flops)
-    bbf = b.astype(jnp.bfloat16)
-    report("xla_linear_bf16w_4096",
-           timeit_scan(lambda c: X.linear(c, bbf.astype(jnp.float32),
-                                          bias) * 1e-2, a), flops)
+           timeit_scan(lambda c, w, bb: X.linear(c, w, bb) * 1e-2,
+                       a, (b, bias)), flops)
 
     # int8 dequant-on-load vs XLA dequant-then-matmul
     qt = quantize(b, QuantizationConfig.int8())
     report("pallas_q8_linear_4096",
-           timeit_scan(lambda c: Q.linear_q8(
-               c, qt.values, qt.scale, qt.zero_point, bias) * 1e-2, a),
-           flops)
+           timeit_scan(lambda c, qv, qs, qz, bb: Q.linear_q8(
+               c, qv, qs, qz, bb) * 1e-2,
+               a, (qt.values, qt.scale, qt.zero_point, bias)), flops)
 
-    def xla_deq(c):
-        w = ((qt.values.astype(jnp.float32)
-              - qt.zero_point.astype(jnp.float32)) * qt.scale)
-        return X.linear(c, w, bias) * 1e-2
-    report("xla_dequant_linear_4096", timeit_scan(xla_deq, a), flops)
+    def xla_deq(c, qv, qs, qz, bb):
+        w = (qv.astype(jnp.float32) - qz.astype(jnp.float32)) * qs
+        return X.linear(c, w, bb) * 1e-2
+    report("xla_dequant_linear_4096",
+           timeit_scan(xla_deq, a,
+                       (qt.values, qt.scale, qt.zero_point, bias)), flops)
+
+    # Serving shape: skinny batch, fat weights — weight-bandwidth-bound,
+    # where int8 dequant-on-load reads 4x fewer bytes than f32.
+    Ms, Ns, Ks = 128, 8192, 8192
+    xs = jax.random.normal(key, (Ms, Ks)) * 0.01
+    ws = jax.random.normal(jax.random.PRNGKey(3), (Ns, Ks)) * 0.01
+    bs = jnp.zeros((Ns,))
+    flops_s = 2.0 * Ms * Ns * Ks
+    qs = quantize(ws, QuantizationConfig.int8())
+
+    def _chain(y):  # [Ms, Ns] -> [Ms, Ks] to keep the scan dependency
+        return y[:, :Ks] * 1e-2
+
+    report("xla_linear_f32_serve_128x8192",
+           timeit_scan(lambda c, w, bb: _chain(X.linear(c, w, bb)),
+                       xs, (ws, bs)), flops_s)
+    report("pallas_q8_linear_serve_128x8192",
+           timeit_scan(lambda c, qv, sc, zp, bb: _chain(Q.linear_q8(
+               c, qv, sc, zp, bb)),
+               xs, (qs.values, qs.scale, qs.zero_point, bs)), flops_s)
+
+    def xla_deq_s(c, qv, sc, zp, bb):
+        w = (qv.astype(jnp.float32) - zp.astype(jnp.float32)) * sc
+        return _chain(X.linear(c, w, bb))
+    report("xla_dequant_linear_serve_128x8192",
+           timeit_scan(xla_deq_s, xs,
+                       (qs.values, qs.scale, qs.zero_point, bs)), flops_s)
 
     # pooling (bandwidth-bound; chain adds ~2 elementwise passes)
     xp = jax.random.normal(key, (256, 64, 64, 64))
     gb = xp.size * 4 * 1.25 / 1e9
     report("pallas_maxpool2x2_256x64x64x64",
            timeit_scan(lambda c: c + 1e-9 * jnp.mean(
-               P.max_pool2d(c, kernel=2)), xp), None, gb)
+               P._max_pool_p(c, 2, 2)), xp), None, gb)
     report("xla_maxpool2x2_256x64x64x64",
            timeit_scan(lambda c: c + 1e-9 * jnp.mean(
                X.max_pool2d(c, kernel=2)), xp), None, gb)
@@ -117,31 +146,29 @@ def main():
     n = 25_000_000
     p0 = jax.random.normal(key, (n,)) * 0.01
     g0 = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.01
-    mask = jnp.ones(n)
-    gb = n * 4 * 7 / 1e9  # read p,g,m,v,mask + write p,m,v
 
-    def pallas_adam(c):
+    gb = n * 4 * 6 / 1e9  # read p,g,m,v + write p,m,v (in-place aliased)
+
+    def pallas_adam(c, g):
         p, m, v = c
         p, m, v = OK.adam_update_flat(
-            p, g0, m, v, mask, jnp.float32(1e-3), jnp.float32(10.0),
+            p, g, m, v, None, jnp.float32(1e-3), jnp.float32(10.0),
             b1=0.9, b2=0.999, eps=1e-8, wd=1e-2, decoupled=True)
         return (p, m, v)
     report("pallas_fused_adamw_25M",
-           timeit_scan(pallas_adam, (p0, jnp.zeros(n), jnp.zeros(n))),
-           None, gb)
+           timeit_scan(pallas_adam, (p0, jnp.zeros(n), jnp.zeros(n)),
+                       (g0,)), None, gb)
 
-    def xla_adam(c):
+    def xla_adam(c, g):
         p, m, v = c
-        m = 0.9 * m + 0.1 * g0
-        v = 0.999 * v + 0.001 * g0 * g0
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
         step = 1e-3 * jnp.sqrt(1 - 0.999 ** 10.0) / (1 - 0.9 ** 10.0)
-        p = jnp.where(mask > 0,
-                      p * (1 - 1e-3 * 1e-2) - step * m / (jnp.sqrt(v) + 1e-8),
-                      p)
+        p = p * (1 - 1e-3 * 1e-2) - step * m / (jnp.sqrt(v) + 1e-8)
         return (p, m, v)
     report("xla_adamw_25M",
-           timeit_scan(xla_adam, (p0, jnp.zeros(n), jnp.zeros(n))),
-           None, gb)
+           timeit_scan(xla_adam, (p0, jnp.zeros(n), jnp.zeros(n)),
+                       (g0,)), None, gb)
 
 
 if __name__ == "__main__":

@@ -120,3 +120,50 @@ def test_fit_device_checkpoint_resume(tmp_path):
                        ds.labels[:128], epochs=4, batch_size=64,
                        early_stop_acc=2.0, verbose=False)
     np.testing.assert_allclose(m.val_acc[-1], m3.val_acc[-1], atol=0.05)
+
+
+def test_print_digit_and_test_samples(capsys):
+    from taper_tpu.train import print_digit, test_samples
+    img = np.zeros(784, np.float32)
+    img[300:340] = 1.0
+    print_digit(img)
+    out = capsys.readouterr().out
+    assert "@" in out and len(out.splitlines()) == 28
+
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 784)).astype(np.float32)
+
+    class _M:
+        def apply(self, p, x, train=False):
+            return np.zeros((x.shape[0], 10), np.float32)
+
+    class _T:
+        model = _M()
+        params = {}
+
+    test_samples(_T(), imgs, np.array([3, 7]), n=2)
+    out = capsys.readouterr().out
+    assert "predicted:" in out
+
+
+def test_quick_train_mnist(tmp_path):
+    import struct
+    from taper_tpu import nn
+    from taper_tpu.train import quick_train_mnist
+    # tiny fake label files -> synthetic images
+    for name, n in (("train_labels", 64), ("test_labels", 32)):
+        labs = (np.arange(n) % 10).astype(np.uint8)
+        (tmp_path / name).write_bytes(
+            struct.pack(">II", 0x801, n) + labs.tobytes())
+    model = nn.Sequential(nn.Linear(784, 16, activation="relu"),
+                          nn.Linear(16, 10))
+    trainer = quick_train_mnist(model, epochs=1, batch_size=32,
+                                data_dir=str(tmp_path), verbose=False)
+    assert len(trainer.metrics.val_acc) == 1
+
+
+def test_dataset_normalize():
+    from taper_tpu.data.mnist import MNISTDataset as M
+    ds = object.__new__(M)
+    ds.images = np.array([[0.0, 1.0]], np.float32)
+    ds.normalize(0.5, 0.5)
+    np.testing.assert_allclose(ds.images, [[-1.0, 1.0]])
