@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from taper_tpu.ops import backend as _backend
 
 _LANES = 128
-_BLOCK_ROWS = 1024  # 1024×128 f32 = 512 KiB per operand block
+_BLOCK_ROWS = 2048  # 2048x128 f32 = 1 MiB per operand block
+# Swept on v5e at 24M params (see commit history): 2048-row blocks with a
+# sequential ('arbitrary') grid reach 1033 GB/s for the maskless AdamW
+# stream vs 773 GB/s for the XLA-fused equivalent; 1024-row blocks: 791.
 
 
 def _tile(x):

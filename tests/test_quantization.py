@@ -144,6 +144,7 @@ def test_ptq_compression_and_bias_passthrough():
 
 
 def test_ptq_int8_pallas_dequant_on_load_matches_xla():
+    from taper_tpu.ops.pallas import quant as q8
     model, params = _trained_like_params()
     x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
     qmodel, qparams = ptq.quantize_model(model, params,
@@ -152,8 +153,15 @@ def test_ptq_int8_pallas_dequant_on_load_matches_xla():
         ref = qmodel.apply(qparams, x)
     with use_backend("pallas"):
         out = qmodel.apply(qparams, x)
-    # bf16 activation cast inside the kernel bounds the difference
     np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+    # the explicit dequant-on-load kernel agrees too (bf16 activation cast
+    # inside the kernel bounds the difference)
+    qt = qparams[0]["w"]
+    y_kernel = q8.linear_q8(x, qt.values, qt.scale, qt.zero_point,
+                            params[0]["b"], epilogue="relu")
+    y_ref = jnp.maximum(x @ qt.dequantize().T + params[0]["b"], 0)
+    np.testing.assert_allclose(y_kernel, y_ref, atol=5e-2, rtol=5e-2)
 
 
 def test_dequantize_params_inverse():
