@@ -91,7 +91,16 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.init_key, self.dropout_key = jax.random.split(key)
         self.params = model.init(self.init_key)
-        self.opt_state = optimizer.init(self.params)
+        if mesh is not None:
+            # Sharded params must keep the tree-form optimizer state: the
+            # fused flat path would ravel (all-gather) the whole pytree
+            # every step.  update() dispatches on the state representation,
+            # so forcing tree-form at init pins the right path.
+            from taper_tpu.ops import use_backend as _ub
+            with _ub("xla"):
+                self.opt_state = optimizer.init(self.params)
+        else:
+            self.opt_state = optimizer.init(self.params)
         self._step_count = 0
 
         if mesh is not None:
@@ -350,9 +359,11 @@ class Trainer:
             by = labels[start:start + batch_size]
             count = len(by)
             if count < batch_size:
-                bx = np.pad(bx, ((0, batch_size - count),) +
-                            ((0, 0),) * (bx.ndim - 1))
-                by = np.pad(by, (0, batch_size - count))
+                # jnp.pad keeps device-resident inputs on device
+                bx = jnp.pad(jnp.asarray(bx),
+                             ((0, batch_size - count),)
+                             + ((0, 0),) * (bx.ndim - 1))
+                by = jnp.pad(jnp.asarray(by), (0, batch_size - count))
             bx, by = self._device_batch(bx, by)
             loss_sum, correct = self._eval_step(self.params, bx, by, count)
             tot_loss += float(loss_sum)

@@ -188,3 +188,26 @@ def test_pool_grads_match_across_backends():
     gx = jax.grad(loss("xla"))(x)
     gp = jax.grad(loss("pallas"))(x)
     np.testing.assert_allclose(gx, gp, atol=TOL)
+
+
+def test_conv2d_large_k_pallas_path():
+    """C*kh*kw >= 1024 engages the Pallas im2col+GEMM route (small-K convs
+    delegate to XLA — see conv.py dispatch policy)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 6, 6)) * 0.1
+    w = jax.random.normal(jax.random.PRNGKey(1), (32, 128, 3, 3)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (32,))
+    ref = ops.conv2d(x, w, b, padding=1, activation="relu")
+    with use_backend("pallas"):
+        out = ops.conv2d(x, w, b, padding=1, activation="relu")
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    def loss(backend):
+        def f(w_):
+            with use_backend(backend):
+                return jnp.sum(ops.conv2d(x, w_, b, padding=1,
+                                          activation="relu") ** 2)
+        return f
+
+    gx = jax.grad(loss("xla"))(w)
+    gp = jax.grad(loss("pallas"))(w)
+    np.testing.assert_allclose(gx, gp, atol=1e-2, rtol=1e-2)
