@@ -103,6 +103,9 @@ def main():
         print(f"QAT epoch {epoch+1}: loss {ls:.4f} acc {ac*100:.2f}% "
               f"lr={eff_lr:g}{warm} [{time.perf_counter()-t0:.1f}s]")
 
+    # refresh frozen ranges from the trained network before eval
+    params, _ = model.calibrate(params, jnp.asarray(cal_x), observers)
+
     # final quantized-mode vs float-mode eval
     n = len(test_ds) - len(test_ds) % 2000
     correct_q = correct_f = 0

@@ -99,12 +99,25 @@ class _QATMixin:
     def _apply_fq(self, params, x, qat: Optional[QATState], train, rng):
         inner = params["inner"]
         active = qat is not None and qat.enabled
+        dynamic = active and train and (qat is None or qat.training)
         if active:
-            w = params["weight_fq"].apply(inner["w"])
+            wfq = params["weight_fq"]
+            if dynamic:
+                # Training recalibrates ranges from the live tensors every
+                # step (the reference's FakeQuantize observes min/max on
+                # each training forward, fake_quantize.rs:118-172; stale
+                # ranges clip the growing activations and stall learning).
+                # stop_gradient inside calibrate keeps ranges out of the
+                # backward pass; eval uses the stored (frozen) ranges.
+                wfq = wfq.calibrate(jax.lax.stop_gradient(inner["w"]))
+            w = wfq.apply(inner["w"])
             inner = {**inner, "w": w}
         y = self.inner.apply(inner, x, train=train, rng=rng)
         if active:
-            y = params["act_fq"].apply(y)
+            afq = params["act_fq"]
+            if dynamic:
+                afq = afq.calibrate(jax.lax.stop_gradient(y))
+            y = afq.apply(y)
         return y
 
     def calibrate(self, params, x, observers: Optional[ObserverManager]

@@ -311,3 +311,38 @@ def test_optimizer_freezes_fake_quant_state():
                                params[0]["weight_fq"].scale)
     np.testing.assert_allclose(new[0]["act_fq"].zero_point,
                                params[0]["act_fq"].zero_point)
+
+
+def test_qat_training_actually_learns():
+    """Dynamic range recalibration during training (the reference observes
+    min/max every forward) — without it, stale activation ranges clip the
+    growing signal and loss stalls near ln(10)."""
+    from taper_tpu import optim
+    from taper_tpu.losses import cross_entropy_loss
+
+    rng = np.random.default_rng(0)
+    means = rng.normal(0, 1, (4, 16)).astype(np.float32)
+    y = (np.arange(128) % 4).astype(np.int32)
+    x = jnp.asarray(means[y] + rng.normal(0, 0.2, (128, 16)).astype(np.float32))
+    y = jnp.asarray(y)
+
+    model = QATSequential(QATLinear(16, 32, activation="relu"),
+                          QATLinear(32, 4))
+    params = model.init(jax.random.PRNGKey(0))
+    params, _ = model.calibrate(params, x)
+    opt = optim.Adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_of(p):
+            logits = model.apply(p, x, train=True, qat=QATState(True, True))
+            return cross_entropy_loss(logits, y)
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        params, state = opt.update(grads, state, params)
+        return params, state, loss
+
+    params, state, loss0 = step(params, state)
+    for _ in range(60):
+        params, state, loss = step(params, state)
+    assert float(loss) < float(loss0) * 0.3, (float(loss0), float(loss))
