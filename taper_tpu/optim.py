@@ -34,6 +34,8 @@ statistics) are masked out of every update.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -98,8 +100,20 @@ class Optimizer:
     def set_lr(state: State, lr: float) -> State:
         return {**state, "lr": jnp.asarray(lr, jnp.float32)}
 
-    def _use_fused(self) -> bool:
-        return _backend.get_backend() == "pallas"
+    # Below ~1M params the per-step ravel of params/grads costs more than
+    # the fused kernel saves (measured: 164k-param CNN, flat 0.51 ms vs
+    # XLA tree update 0.27 ms per scanned step); above it the fused stream
+    # wins (24M params: 1033 GB/s vs 773 GB/s).
+    FUSED_MIN_PARAMS = 1 << 20
+
+    def _use_fused(self, params=None) -> bool:
+        if _backend.get_backend() != "pallas":
+            return False
+        if params is None:
+            return True
+        total = sum(int(np.prod(l.shape)) if hasattr(l, "shape") else 1
+                    for l in jax.tree_util.tree_leaves(params))
+        return total >= self.FUSED_MIN_PARAMS
 
 
 class SGD(Optimizer):
@@ -112,7 +126,7 @@ class SGD(Optimizer):
 
     def init(self, params) -> State:
         state: State = {"lr": jnp.asarray(self.lr, jnp.float32)}
-        if self._use_fused():
+        if self._use_fused(params):
             # Fused-kernel representation: momentum + mask live as flat
             # vectors so the per-step kernel never re-concatenates them
             # (only params/grads are raveled each step).  All-trainable
@@ -177,7 +191,7 @@ class Adam(Optimizer):
             "lr": jnp.asarray(self.lr, jnp.float32),
             "step": jnp.asarray(0, jnp.int32),
         }
-        if self._use_fused():
+        if self._use_fused(params):
             p_flat, _ = ravel_pytree(params)
             state["m_flat"] = jnp.zeros_like(p_flat)
             state["v_flat"] = jnp.zeros_like(p_flat)

@@ -96,8 +96,10 @@ def test_fused_pallas_update_matches_xla(opt_cls, kwargs):
     with use_backend("xla"):
         px, sx = opt.update(grads, opt.init(params), params)
         px2, _ = opt.update(grads, sx, px)
+    opt.FUSED_MIN_PARAMS = 0  # force the fused kernel despite tiny params
     with use_backend("pallas"):
         pp, sp = opt.update(grads, opt.init(params), params)
+        assert "m_flat" in sp  # fused representation engaged
         pp2, _ = opt.update(grads, sp, pp)
     for k in params:
         np.testing.assert_allclose(px[k], pp[k], atol=1e-5)
