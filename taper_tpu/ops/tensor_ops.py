@@ -118,3 +118,23 @@ def slice_1d(x, start: int, end: int):
 
 def cat(tensors, axis: int = 1):
     return jnp.concatenate(tensors, axis=axis)
+
+
+# -- operator parity (reference src/ops.rs Add/Mul/Sub/Div overloads) --------
+
+def add(a, b):
+    return a + b
+
+
+def mul(a, b):
+    return a * b
+
+
+def sub(a, b):
+    """grad: (+g, −g) — reference ``src/ops.rs:377-416``."""
+    return a - b
+
+
+def div(a, b):
+    """grad: (g/b, −g·a/b²) — reference ``src/ops.rs:440-496``."""
+    return a / b

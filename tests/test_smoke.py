@@ -113,3 +113,17 @@ def test_mnist_simulation_linear_model():
         params, state = opt.update(g, state, params)
     loss1 = float(L.cross_entropy_loss(layer.apply(params, x), y))
     assert loss1 < loss0
+
+
+def test_sub_div_grads():
+    # reference src/ops.rs Sub (:377-416) and Div (:440-496) grad formulas
+    a = jnp.array([2.0, 6.0])
+    b = jnp.array([4.0, 3.0])
+    ga, gb = jax.grad(lambda a_, b_: jnp.sum(T.sub(a_, b_)),
+                      argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(ga, jnp.ones(2))
+    np.testing.assert_allclose(gb, -jnp.ones(2))
+    ga, gb = jax.grad(lambda a_, b_: jnp.sum(T.div(a_, b_)),
+                      argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(ga, 1.0 / b)
+    np.testing.assert_allclose(gb, -a / b ** 2)
