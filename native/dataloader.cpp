@@ -54,6 +54,9 @@ const char* kGlyphs[10][7] = {
 };
 
 void render_one(int label, uint64_t seed, float* out /* 784 */) {
+  // Labels come from downloaded IDX files unvalidated; clamp so a corrupt
+  // byte can't index past kGlyphs (the NumPy fallback raises instead).
+  label = std::min(9, std::max(0, label));
   Rng rng(seed);
   // Draw order (must match synth.py): scale, y0, x0, intensity, noise[784].
   int scale = 2 + static_cast<int>(rng.next() & 1);

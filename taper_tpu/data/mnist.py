@@ -98,7 +98,12 @@ def parse_idx_labels(data: bytes) -> np.ndarray:
         raise ValueError(f"bad IDX label magic {magic:#x}")
     if len(data) < 8 + n:
         raise ValueError("truncated IDX label file")
-    return np.frombuffer(data, np.uint8, count=n, offset=8).astype(np.int32)
+    labels = np.frombuffer(data, np.uint8, count=n, offset=8).astype(np.int32)
+    if labels.size and labels.max() > 9:
+        # Corrupt/malicious mirror payload; a >9 label would index past the
+        # 10-glyph table in downstream consumers.
+        raise ValueError(f"IDX label out of range: max {labels.max()}")
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +173,9 @@ class MNISTDataset:
                 try:
                     with open(path, "rb") as f:
                         return parser(f.read())
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error: file shorter than the IDX header (the
+                    # size check is skipped when allow_download=False).
                     pass
         if allow_download and _download(name, path):
             with open(path, "rb") as f:

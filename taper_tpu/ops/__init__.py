@@ -46,6 +46,12 @@ def mul(a, b):
     return _impl().mul(a, b)
 
 
+def fma(a, b, c):
+    """Fused multiply-add ``a*b + c`` (reference ``fma_f32_simd``,
+    ``src/tensor.rs:203-233``)."""
+    return _impl().fma(a, b, c)
+
+
 # -- matmul / linear ---------------------------------------------------------
 
 def matmul(a, b):
@@ -146,6 +152,6 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
 
 __all__ = [
     "set_backend", "get_backend", "use_backend", "on_tpu",
-    "relu", "sigmoid", "add", "mul", "matmul", "linear",
+    "relu", "sigmoid", "add", "mul", "fma", "matmul", "linear",
     "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d",
 ]

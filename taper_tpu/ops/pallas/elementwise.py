@@ -37,6 +37,10 @@ def _to_tiles(x):
 
 
 def _ew_call(kernel, *arrays):
+    # Binary kernels index all operands with one tiling, so shapes must
+    # already agree here; ``add``/``mul`` broadcast before dispatching.
+    for a in arrays[1:]:
+        assert a.shape == arrays[0].shape, (a.shape, arrays[0].shape)
     tiled, n = _to_tiles(arrays[0])
     tiles = [tiled] + [_to_tiles(a)[0] for a in arrays[1:]]
     rows = tiled.shape[0]
@@ -71,6 +75,10 @@ def _add_kernel(a_ref, b_ref, o_ref):
 
 def _mul_kernel(a_ref, b_ref, o_ref):
     o_ref[:] = a_ref[:] * b_ref[:]
+
+
+def _fma_kernel(a_ref, b_ref, c_ref, o_ref):
+    o_ref[:] = a_ref[:] * b_ref[:] + c_ref[:]
 
 
 @jax.custom_vjp
@@ -108,28 +116,28 @@ sigmoid.defvjp(_sigmoid_fwd, _sigmoid_bwd)
 
 
 @jax.custom_vjp
-def add(a, b):
+def _add_eq(a, b):
     return _ew_call(_add_kernel, a, b)
 
 
 def _add_fwd(a, b):
-    return add(a, b), None
+    return _add_eq(a, b), None
 
 
 def _add_bwd(_, g):
     return g, g
 
 
-add.defvjp(_add_fwd, _add_bwd)
+_add_eq.defvjp(_add_fwd, _add_bwd)
 
 
 @jax.custom_vjp
-def mul(a, b):
+def _mul_eq(a, b):
     return _ew_call(_mul_kernel, a, b)
 
 
 def _mul_fwd(a, b):
-    return mul(a, b), (a, b)
+    return _mul_eq(a, b), (a, b)
 
 
 def _mul_bwd(res, g):
@@ -137,4 +145,53 @@ def _mul_bwd(res, g):
     return g * b, g * a
 
 
-mul.defvjp(_mul_fwd, _mul_bwd)
+_mul_eq.defvjp(_mul_fwd, _mul_bwd)
+
+
+@jax.custom_vjp
+def _fma_eq(a, b, c):
+    return _ew_call(_fma_kernel, a, b, c)
+
+
+def _fma_fwd(a, b, c):
+    return _fma_eq(a, b, c), (a, b)
+
+
+def _fma_bwd(res, g):
+    a, b = res
+    return g * b, g * a, g
+
+
+_fma_eq.defvjp(_fma_fwd, _fma_bwd)
+
+
+def add(a, b):
+    """Broadcasting add matching the xla backend's semantics; the broadcast
+    happens outside the custom_vjp so JAX reduces gradients over the
+    broadcast dimensions."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    return _add_eq(a, b)
+
+
+def mul(a, b):
+    """Broadcasting multiply; see :func:`add`."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    return _mul_eq(a, b)
+
+
+def fma(a, b, c):
+    """Fused multiply-add ``a*b + c`` in a single VPU pass — the TPU
+    counterpart of the reference's ``fma_f32_simd``
+    (``src/tensor.rs:203-233``, AVX ``_mm256_fmadd_ps``)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    if not (a.shape == b.shape == c.shape):
+        a, b, c = jnp.broadcast_arrays(a, b, c)
+    return _fma_eq(a, b, c)

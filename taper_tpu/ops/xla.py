@@ -44,6 +44,12 @@ def mul(a, b):
     return a * b
 
 
+def fma(a, b, c):
+    """``a*b + c`` — XLA fuses this into one VPU pass (reference
+    ``src/tensor.rs:203-233`` ``fma_f32_simd``)."""
+    return a * b + c
+
+
 # ---------------------------------------------------------------------------
 # Matmul (MXU)
 # ---------------------------------------------------------------------------

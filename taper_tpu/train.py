@@ -259,8 +259,8 @@ class Trainer:
             start_epoch = int(meta.get("epochs", 0))
             for _ in range(start_epoch):
                 if self.scheduler is not None:
-                    self.optimizer.set_lr(self.opt_state,
-                                          self.scheduler.step(None))
+                    self.opt_state = self.optimizer.set_lr(
+                        self.opt_state, self.scheduler.step(None))
             if verbose and start_epoch:
                 print(f"resumed from {checkpoint_path} "
                       f"at epoch {start_epoch}")

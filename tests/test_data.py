@@ -46,6 +46,27 @@ def test_parse_rejects_bad_magic():
         parse_idx_labels(struct.pack(">II", 0x999, 1) + b"\0")
 
 
+def test_parse_rejects_out_of_range_labels():
+    # A corrupt mirror byte >9 would index past the 10-glyph table in the
+    # synthetic renderer; the parser must reject it (ADVICE round 1).
+    raw = struct.pack(">II", 0x801, 3) + bytes([1, 250, 3])
+    with pytest.raises(ValueError):
+        parse_idx_labels(raw)
+
+
+def test_truncated_header_degrades_to_fallback(tmp_path):
+    # A file shorter than the IDX header raises struct.error from the
+    # parser; _load_or_fetch must catch it (ADVICE round 1) so the dataset
+    # degrades to the synthetic fallback instead of aborting.
+    d = tmp_path / "mnist"
+    d.mkdir()
+    (d / "test_labels").write_bytes(b"\x00\x08")   # 2-byte stub
+    ds = MNISTDataset(train=False, data_dir=str(d), allow_download=False,
+                      allow_synthetic=True)
+    assert ds.source == "synthetic"
+    assert len(ds) == 10000
+
+
 def test_gzip_magic_recovery():
     # Reference scans for the gzip magic when mirrors prepend junk
     # (mnist.rs:166-179).

@@ -93,6 +93,36 @@ def test_elementwise(backend):
         np.testing.assert_allclose(ops.mul(x, y), x * y, atol=TOL)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_elementwise_broadcasting(backend):
+    # The pallas backend must match xla broadcasting semantics
+    # (ADVICE round 1: add((4,1),(4,5)) silently returned (4,1)).
+    a = jax.random.normal(jax.random.PRNGKey(0), (4, 1))
+    b = jax.random.normal(jax.random.PRNGKey(1), (4, 5))
+    row = jax.random.normal(jax.random.PRNGKey(2), (5,))
+    with use_backend(backend):
+        np.testing.assert_allclose(ops.add(a, b), a + b, atol=TOL)
+        np.testing.assert_allclose(ops.mul(a, b), a * b, atol=TOL)
+        np.testing.assert_allclose(ops.add(b, row), b + row, atol=TOL)
+        # Gradients reduce over the broadcast dimensions.
+        ga = jax.grad(lambda t: jnp.sum(ops.add(t, b) * b))(a)
+    np.testing.assert_allclose(ga, jnp.sum(b, axis=1, keepdims=True),
+                               atol=TOL)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_fma(backend):
+    # Reference fma_f32_simd (src/tensor.rs:203-233): out = a*b + c.
+    a = jax.random.normal(jax.random.PRNGKey(0), (3, 17))
+    b = jax.random.normal(jax.random.PRNGKey(1), (3, 17))
+    c = jax.random.normal(jax.random.PRNGKey(2), (3, 17))
+    with use_backend(backend):
+        np.testing.assert_allclose(ops.fma(a, b, c), a * b + c, atol=TOL)
+        g = jax.grad(
+            lambda t: jnp.sum(ops.fma(t, b, c)), argnums=0)(a)
+    np.testing.assert_allclose(g, b, atol=TOL)
+
+
 def test_relu_grad_masks_negative():
     # Reference semantics: grad passes only where input > 0
     # (src/ops.rs:358-370).
