@@ -235,6 +235,232 @@ class Trainer:
 
         return jax.jit(eval_epoch)
 
+    def _build_fit_program(self, n: int, batch_size: int, num_steps: int,
+                           eval_batch_size: int, ev_steps: int, nv: int,
+                           epochs: int, early_stop_acc: float,
+                           with_lr_schedule: bool):
+        """ALL epochs — train scan, eval scan, early stop — as ONE jitted
+        XLA program.  The host dispatches once and fetches the per-epoch
+        metric vectors once; there are no per-epoch host syncs at all
+        (each separate dispatch pays a host round-trip on this hardware,
+        which dominated the round-1 MLP benchmark).
+
+        Early stop is evaluated ON DEVICE: once val accuracy exceeds the
+        threshold, the remaining epochs' bodies are skipped via
+        ``lax.cond`` (their metrics report NaN, which the host trims).
+        """
+        model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
+        uses_rng = self.train_uses_rng
+
+        def train_one_epoch(params, opt_state, epoch_key):
+            perm = jax.random.permutation(epoch_key, n)
+            idxs = perm[: num_steps * batch_size].reshape(
+                num_steps, batch_size)
+
+            def body(carry, step_in):
+                params, opt_state, loss_sum, acc_sum, images, labels = carry
+                idx, step_i = step_in
+                x = jnp.take(images, idx, axis=0)
+                y = jnp.take(labels, idx, axis=0)
+
+                def loss_of(p):
+                    kwargs = {"train": True}
+                    if uses_rng:
+                        kwargs["rng"] = jax.random.fold_in(epoch_key, step_i)
+                    logits = model.apply(p, x, **kwargs)
+                    return loss_fn(logits, y), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(params)
+                params, opt_state = optimizer.update(grads, opt_state,
+                                                     params)
+                return (params, opt_state, loss_sum + loss,
+                        acc_sum + L.accuracy(logits, y), images, labels), None
+
+            return body, idxs
+
+        def eval_split(params, images, labels):
+            def body(carry, i):
+                loss_sum, correct = carry
+                start = i * eval_batch_size
+                x = jax.lax.dynamic_slice_in_dim(images, start,
+                                                 eval_batch_size)
+                y = jax.lax.dynamic_slice_in_dim(labels, start,
+                                                 eval_batch_size)
+                logits = model.apply(params, x, train=False)
+                per_sample = jax.vmap(
+                    lambda lg, yy: loss_fn(lg[None], yy[None]))(logits, y)
+                mask = start + jnp.arange(eval_batch_size) < nv
+                loss_sum += jnp.sum(jnp.where(mask, per_sample, 0.0))
+                preds = jnp.argmax(logits, axis=-1)
+                correct += jnp.sum(jnp.where(
+                    mask, preds == y.reshape(-1).astype(preds.dtype),
+                    False))
+                return (loss_sum, correct), None
+
+            (loss_sum, correct), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), jnp.int32(0)),
+                jnp.arange(ev_steps))
+            return loss_sum / nv, correct.astype(jnp.float32) / nv
+
+        def program(params, opt_state, ti, tl, vi, vl, key, lrs):
+            def epoch_step(carry, e):
+                params, opt_state, done = carry
+
+                def run(operand):
+                    params, opt_state = operand
+                    if with_lr_schedule:
+                        opt_state = optimizer.set_lr(opt_state, lrs[e])
+                    epoch_key = jax.random.fold_in(key, e)
+                    body, idxs = train_one_epoch(params, opt_state,
+                                                 epoch_key)
+                    init = (params, opt_state, jnp.float32(0.0),
+                            jnp.float32(0.0), ti, tl)
+                    (params, opt_state, loss_sum, acc_sum, _, _), _ = (
+                        jax.lax.scan(body, init,
+                                     (idxs, jnp.arange(num_steps))))
+                    va_loss, va_acc = eval_split(params, vi, vl)
+                    return (params, opt_state, loss_sum / num_steps,
+                            acc_sum / num_steps, va_loss, va_acc)
+
+                def skip(operand):
+                    params, opt_state = operand
+                    nan = jnp.float32(jnp.nan)
+                    return params, opt_state, nan, nan, nan, nan
+
+                params, opt_state, tr_l, tr_a, va_l, va_a = jax.lax.cond(
+                    done, skip, run, (params, opt_state))
+                done = jnp.logical_or(done, va_a > early_stop_acc)
+                return (params, opt_state, done), (tr_l, tr_a, va_l, va_a)
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                epoch_step, (params, opt_state, jnp.bool_(False)),
+                jnp.arange(epochs))
+            return params, opt_state, metrics
+
+        return jax.jit(program, donate_argnums=(0, 1))
+
+    def _precompute_lr_schedule(self, epochs: int):
+        """Per-epoch lr array for metric-independent schedulers; epoch 0
+        uses the scheduler's current lr (mirrors ``fit_device``'s
+        step-after-epoch ordering)."""
+        import copy
+
+        if self.scheduler is None:
+            return None
+        if isinstance(self.scheduler, opt_mod.ReduceLROnPlateau):
+            raise ValueError(
+                "ReduceLROnPlateau needs per-epoch metrics on host; "
+                "use fit_device instead of fit_device_fused")
+        sim = copy.deepcopy(self.scheduler)
+        lrs = [sim.lr]
+        for _ in range(epochs - 1):
+            lrs.append(sim.step(None))
+        return np.asarray(lrs, np.float32)
+
+    def fit_device_fused(self, train_images, train_labels, val_images,
+                         val_labels, epochs: int, batch_size: int = 256,
+                         early_stop_acc: float = 0.99, verbose: bool = True,
+                         eval_batch_size: int = 2000,
+                         checkpoint_path: Optional[str] = None) -> Metrics:
+        """``fit_device`` with EVERY epoch fused into one XLA dispatch.
+
+        The idiomatic end state of replacing the reference's eager loop
+        (``train.rs:175-261``): one program trains, evaluates and early-
+        stops across all epochs; the host fetches four metric vectors at
+        the end.  Metric-independent schedulers are precomputed into a
+        per-epoch lr array (``ReduceLROnPlateau`` is rejected — it needs
+        host metrics; use :meth:`fit_device`).
+        """
+        lrs = self._precompute_lr_schedule(epochs)
+        n = len(train_labels)
+        num_steps = n // batch_size
+        assert num_steps > 0, (n, batch_size)
+
+        ti = jnp.asarray(train_images)
+        tl = jnp.asarray(train_labels)
+        nv = len(val_labels)
+        eval_batch_size = min(eval_batch_size, nv)
+        ev_steps = -(-nv // eval_batch_size)
+        pad = ev_steps * eval_batch_size - nv
+        vi = jnp.pad(jnp.asarray(val_images),
+                     ((0, pad),) + ((0, 0),) * (val_images.ndim - 1))
+        vl = jnp.pad(jnp.asarray(val_labels), (0, pad))
+        if self._batch_sharding is not None:
+            ti = jax.device_put(ti, self._batch_sharding)
+            tl = jax.device_put(tl, self._batch_sharding)
+            vi = jax.device_put(vi, self._batch_sharding)
+            vl = jax.device_put(vl, self._batch_sharding)
+
+        # Cache the jitted program: a rebuilt closure would retrace (and
+        # redo the executable-cache lookup) on every fit call.
+        sig = (n, batch_size, num_steps, eval_batch_size, ev_steps, nv,
+               epochs, early_stop_acc, lrs is not None)
+        if not hasattr(self, "_fit_programs"):
+            self._fit_programs = {}
+        program = self._fit_programs.get(sig)
+        if program is None:
+            program = self._build_fit_program(
+                n, batch_size, num_steps, eval_batch_size, ev_steps, nv,
+                epochs, early_stop_acc, with_lr_schedule=lrs is not None)
+            self._fit_programs[sig] = program
+
+        t0 = time.perf_counter()
+        # Same per-epoch keys as fit_device: epoch_key = fold_in(key, e).
+        key = self.dropout_key
+        lr_arg = (jnp.asarray(lrs) if lrs is not None
+                  else jnp.zeros((epochs,), jnp.float32))
+        self.params, self.opt_state, (tr_l, tr_a, va_l, va_a) = program(
+            self.params, self.opt_state, ti, tl, vi, vl, key, lr_arg)
+        tr_l, tr_a, va_l, va_a = (np.asarray(tr_l), np.asarray(tr_a),
+                                  np.asarray(va_l), np.asarray(va_a))
+        dt = time.perf_counter() - t0
+
+        epochs_run = int(np.sum(~np.isnan(va_a)))
+        for e in range(epochs_run):
+            self.metrics.record(tr_l[e], tr_a[e], va_l[e], va_a[e],
+                                dt / epochs_run)
+            if verbose:
+                self.metrics.print_last()
+        # Keep the host-side scheduler in sync with the epochs that ran.
+        if self.scheduler is not None:
+            for _ in range(epochs_run):
+                self.scheduler.step(None)
+            self.opt_state = self.optimizer.set_lr(
+                self.opt_state, self.scheduler.get_lr())
+        if verbose and epochs_run < epochs:
+            print(f"early stop: val acc {va_a[epochs_run-1]*100:.2f}% > "
+                  f"{early_stop_acc*100:.1f}%")
+        if checkpoint_path:
+            ckpt.save_checkpoint(
+                checkpoint_path,
+                {"params": self.params, "opt_state": self.opt_state},
+                metadata={"epochs": epochs_run})
+        return self.metrics
+
+    def reset_parameters(self, seed: int = 0) -> None:
+        """Re-initialize params + optimizer state (fresh training run while
+        reusing already-compiled programs of identical shapes)."""
+        key = jax.random.PRNGKey(seed)
+        self.init_key, self.dropout_key = jax.random.split(key)
+        self.params = self.model.init(self.init_key)
+        if self.mesh is not None:
+            # Tree-form optimizer state under meshes (see __init__).
+            from taper_tpu.ops import use_backend as _ub
+            with _ub("xla"):
+                self.opt_state = self.optimizer.init(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
+        self.metrics = Metrics()
+        if self.mesh is not None:
+            p_shard = parallel.param_sharding(self.mesh, self.params,
+                                              self.tensor_parallel)
+            self.params = parallel.shard_params(self.params, p_shard)
+            for slot in ("m", "v", "mask"):
+                if slot in self.opt_state:
+                    self.opt_state[slot] = parallel.shard_params(
+                        self.opt_state[slot], p_shard)
+
     def fit_device(self, train_images, train_labels, val_images, val_labels,
                    epochs: int, batch_size: int = 256,
                    early_stop_acc: float = 0.99, verbose: bool = True,

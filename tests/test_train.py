@@ -54,6 +54,68 @@ def test_fit_records_metrics_and_early_stops():
     assert len(m.epoch_times) == len(m.val_acc)
 
 
+def test_fit_device_fused_matches_fit_device():
+    # The single-dispatch fused program must train like the per-epoch path.
+    ds = FakeDataset(n=256)
+    t1, _ = _small_trainer()
+    m1 = t1.fit_device(ds.images, ds.labels, ds.images, ds.labels,
+                       epochs=4, batch_size=64, early_stop_acc=2.0,
+                       verbose=False)
+    t2, _ = _small_trainer()
+    m2 = t2.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=4, batch_size=64, early_stop_acc=2.0,
+                             verbose=False)
+    assert len(m2.val_acc) == 4
+    np.testing.assert_allclose(m1.val_acc, m2.val_acc, atol=1e-5)
+    np.testing.assert_allclose(m1.train_loss, m2.train_loss, atol=1e-4)
+
+
+def test_fit_device_fused_early_stops_on_device():
+    ds = FakeDataset(n=256)
+    trainer, _ = _small_trainer()
+    m = trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                                 epochs=20, batch_size=64,
+                                 early_stop_acc=0.95, verbose=False)
+    assert 1 <= len(m.val_acc) < 20
+    assert m.val_acc[-1] > 0.95
+
+
+def test_fit_device_fused_lr_schedule_and_plateau_rejection():
+    import pytest
+
+    ds = FakeDataset(n=256)
+    trainer, _ = _small_trainer(scheduler=optim.StepLR(1e-2, 2, 0.5))
+    trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=5, batch_size=64, early_stop_acc=2.0,
+                             verbose=False)
+    # After 5 epochs StepLR(step=2, gamma=0.5) has stepped 5 times: the
+    # host-side scheduler and the device lr must agree.
+    assert trainer.scheduler.epoch == 5
+    np.testing.assert_allclose(float(trainer.opt_state["lr"]),
+                               trainer.scheduler.get_lr(), rtol=1e-6)
+
+    t2, _ = _small_trainer(
+        scheduler=optim.ReduceLROnPlateau(1e-2, patience=2))
+    with pytest.raises(ValueError):
+        t2.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                            epochs=3, verbose=False)
+
+
+def test_reset_parameters_gives_fresh_run():
+    ds = FakeDataset(n=256)
+    trainer, _ = _small_trainer()
+    trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=3, batch_size=64, early_stop_acc=2.0,
+                             verbose=False)
+    first = list(trainer.metrics.val_acc)
+    trainer.reset_parameters(seed=0)
+    assert trainer.metrics.val_acc == []
+    trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=3, batch_size=64, early_stop_acc=2.0,
+                             verbose=False)
+    np.testing.assert_allclose(first, trainer.metrics.val_acc, atol=1e-5)
+
+
 def test_evaluate_handles_ragged_split():
     ds = FakeDataset(n=100)
     trainer, _ = _small_trainer()
