@@ -220,8 +220,11 @@ class BatchNorm2d(Module):
 
     The running mean/var are non-trainable state — optimizers in this
     library skip leaves whose path starts with ``'running_'`` (see
-    ``optim.py``), and ``apply`` returns only the output; stat updates are
-    exposed via :meth:`apply_and_update` for training loops that track them.
+    ``optim.py``).  Training loops use :meth:`apply_train`, which both
+    normalizes with batch statistics and returns params with updated
+    running stats (the Trainer threads these automatically); eval-mode
+    :meth:`apply` normalizes with the stored running stats.  The reference
+    has no BatchNorm at all (TODO at ``src/nn.rs:846``).
     """
 
     def __init__(self, num_features: int, eps: float = 1e-5,
@@ -253,6 +256,22 @@ class BatchNorm2d(Module):
             var = params["running_var"]
         return self._normalize(x, mean, var, params["scale"], params["bias"])
 
+    def apply_train(self, params, x, *, rng=None):
+        """Normalize with batch stats AND return updated running stats
+        (stop-gradiented: the EMA update is state, not a loss path)."""
+        mean = jnp.mean(x, axis=(0, 2, 3))
+        var = jnp.var(x, axis=(0, 2, 3))
+        y = self._normalize(x, mean, var, params["scale"], params["bias"])
+        m = self.momentum
+        new_params = {
+            **params,
+            "running_mean": jax.lax.stop_gradient(
+                (1 - m) * params["running_mean"] + m * mean),
+            "running_var": jax.lax.stop_gradient(
+                (1 - m) * params["running_var"] + m * var),
+        }
+        return y, new_params
+
     def updated_stats(self, params, x):
         """New running stats after observing batch ``x`` (train mode)."""
         mean = jnp.mean(x, axis=(0, 2, 3))
@@ -266,35 +285,65 @@ class BatchNorm2d(Module):
 
 
 class BasicBlock(Module):
-    """conv3x3 → ReLU (→ conv3x3) with optional residual add.
+    """conv3x3 (→ BN) → ReLU (→ conv3x3 (→ BN)) with optional residual add.
 
     The reference's ``BasicBlock`` (``src/nn.rs:830-857``) is conv3x3+ReLU
-    with a BatchNorm TODO; this version completes the standard form.
+    with a BatchNorm TODO; ``batchnorm=True`` completes the standard
+    ResNet form (convs lose their bias, BN supplies scale/shift, running
+    stats thread through :meth:`apply_train`).
     """
 
     def __init__(self, in_ch: int, out_ch: int, stride: int = 1,
-                 residual: bool = False):
-        self.conv1 = conv3x3(in_ch, out_ch, stride)
-        self.conv2 = conv3x3(out_ch, out_ch) if residual else None
+                 residual: bool = False, batchnorm: bool = False):
+        self.conv1 = conv3x3(in_ch, out_ch, stride, bias=not batchnorm)
+        self.conv2 = (conv3x3(out_ch, out_ch, bias=not batchnorm)
+                      if residual else None)
         self.residual = residual
+        self.batchnorm = batchnorm
+        self.bn1 = BatchNorm2d(out_ch) if batchnorm else None
+        self.bn2 = (BatchNorm2d(out_ch) if batchnorm and residual
+                    else None)
         self.proj = (conv1x1(in_ch, out_ch, stride, bias=False)
                      if residual and (stride != 1 or in_ch != out_ch)
                      else None)
 
     def init(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         p = {"conv1": self.conv1.init(k1)}
         if self.conv2 is not None:
             p["conv2"] = self.conv2.init(k2)
         if self.proj is not None:
             p["proj"] = self.proj.init(k3)
+        if self.bn1 is not None:
+            p["bn1"] = self.bn1.init(k4)
+        if self.bn2 is not None:
+            p["bn2"] = self.bn2.init(k5)
         return p
 
-    def apply(self, params, x, *, train=False, rng=None):
-        y = ops.relu(self.conv1.apply(params["conv1"], x))
+    def _forward(self, params, x, bn_fn):
+        """Shared forward; ``bn_fn(bn_module, bn_params, t) -> (t, new_p)``
+        selects eval-mode vs stat-updating batch norm."""
+        new_params = dict(params)
+        y = self.conv1.apply(params["conv1"], x)
+        if self.bn1 is not None:
+            y, new_params["bn1"] = bn_fn(self.bn1, params["bn1"], y)
+        y = ops.relu(y)
         if not self.residual:
-            return y
+            return y, new_params
         y = self.conv2.apply(params["conv2"], y)
+        if self.bn2 is not None:
+            y, new_params["bn2"] = bn_fn(self.bn2, params["bn2"], y)
         shortcut = (self.proj.apply(params["proj"], x)
                     if self.proj is not None else x)
-        return ops.relu(y + shortcut)
+        return ops.relu(y + shortcut), new_params
+
+    def apply(self, params, x, *, train=False, rng=None):
+        def bn_eval(bn, p, t):
+            return bn.apply(p, t, train=train), p
+        y, _ = self._forward(params, x, bn_eval)
+        return y
+
+    def apply_train(self, params, x, *, rng=None):
+        def bn_train(bn, p, t):
+            return bn.apply_train(p, t)
+        return self._forward(params, x, bn_train)

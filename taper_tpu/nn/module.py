@@ -32,6 +32,18 @@ class Module:
     def apply(self, params, x, *, train: bool = False, rng=None):
         raise NotImplementedError
 
+    def apply_train(self, params, x, *, rng=None):
+        """Training-mode forward returning ``(y, new_params)`` where
+        ``new_params`` carries updated non-trainable state (BatchNorm
+        running statistics; leaves prefixed ``running_``).
+
+        Stateless modules return their params unchanged; containers and
+        stateful layers override.  The Trainer uses this path whenever the
+        parameter tree contains stateful leaves, merging them back after
+        the optimizer step (which masks them out).
+        """
+        return self.apply(params, x, train=True, rng=rng), params
+
     # Convenience: one-shot init+apply for tests/prototyping.
     def init_with_output(self, key, x, **kw):
         params = self.init(key)
@@ -66,6 +78,15 @@ class Sequential(Module):
         for layer, p, r in zip(self.layers, params, rngs):
             x = layer.apply(p, x, train=train, rng=r)
         return x
+
+    def apply_train(self, params, x, *, rng=None):
+        rngs = (jax.random.split(rng, len(self.layers))
+                if rng is not None else [None] * len(self.layers))
+        new_params = []
+        for layer, p, r in zip(self.layers, params, rngs):
+            x, p_new = layer.apply_train(p, x, rng=r)
+            new_params.append(p_new)
+        return x, new_params
 
     def __iter__(self):
         return iter(self.layers)

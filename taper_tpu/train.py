@@ -36,6 +36,49 @@ from taper_tpu import parallel
 from taper_tpu.utils import checkpoint as ckpt
 
 
+def _has_running_state(params) -> bool:
+    """True when the parameter tree carries non-trainable running state
+    (BatchNorm statistics; leaves under a ``running_``-prefixed key)."""
+    paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    return any(any(opt_mod._leaf_key(p).startswith("running_")
+                   for p in path)
+               for path, _ in paths)
+
+
+def _merge_running_state(params, new_state):
+    """Take ``running_*`` leaves from ``new_state`` (produced by
+    ``Module.apply_train``), everything else from ``params`` (produced by
+    the optimizer, which masks running leaves out of updates)."""
+
+    def rule(path, old, new):
+        running = any(opt_mod._leaf_key(p).startswith("running_")
+                      for p in path)
+        return new if running else old
+
+    return jax.tree_util.tree_map_with_path(rule, params, new_state)
+
+
+def _make_grad_step(model, loss_fn, uses_rng: bool, stateful: bool):
+    """Shared fwd+bwd: returns ``(loss, logits, new_state, grads)`` where
+    ``new_state`` is the apply_train-updated tree (None when stateless)."""
+
+    def compute(params, x, y, rng):
+        def loss_of(p):
+            kwargs = {"rng": rng} if uses_rng else {}
+            if stateful:
+                logits, new_p = model.apply_train(p, x, **kwargs)
+            else:
+                logits = model.apply(p, x, train=True, **kwargs)
+                new_p = None
+            return loss_fn(logits, y), (logits, new_p)
+
+        (loss, (logits, new_p)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        return loss, logits, new_p, grads
+
+    return compute
+
+
 @dataclass
 class Metrics:
     train_loss: List[float] = field(default_factory=list)
@@ -91,6 +134,9 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.init_key, self.dropout_key = jax.random.split(key)
         self.params = model.init(self.init_key)
+        # Models with BatchNorm carry running stats that the train step
+        # must thread through apply_train and merge after the update.
+        self._stateful = _has_running_state(self.params)
         if mesh is not None:
             # Sharded params must keep the tree-form optimizer state: the
             # fused flat path would ravel (all-gather) the whole pytree
@@ -123,21 +169,17 @@ class Trainer:
     # -- compiled steps ----------------------------------------------------
 
     def _build_train_step(self):
-        model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
-        uses_rng = self.train_uses_rng
+        optimizer = self.optimizer
+        stateful = self._stateful
+        compute = _make_grad_step(self.model, self.loss_fn,
+                                  self.train_uses_rng, stateful)
 
         def step(params, opt_state, x, y, rng):
-            def loss_of(p):
-                kwargs = {"train": True}
-                if uses_rng:
-                    kwargs["rng"] = rng
-                logits = model.apply(p, x, **kwargs)
-                return loss_fn(logits, y), logits
-
-            (loss, logits), grads = jax.value_and_grad(
-                loss_of, has_aux=True)(params)
+            loss, logits, new_p, grads = compute(params, x, y, rng)
             acc = L.accuracy(logits, y)
             params, opt_state = optimizer.update(grads, opt_state, params)
+            if stateful:
+                params = _merge_running_state(params, new_p)
             return params, opt_state, loss, acc
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -170,8 +212,10 @@ class Trainer:
         per epoch instead of once per step, and metrics accumulate in
         device scalars.
         """
-        model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
-        uses_rng = self.train_uses_rng
+        optimizer = self.optimizer
+        stateful = self._stateful
+        compute = _make_grad_step(self.model, self.loss_fn,
+                                  self.train_uses_rng, stateful)
 
         def epoch(params, opt_state, images, labels, epoch_key):
             n = images.shape[0]
@@ -184,18 +228,12 @@ class Trainer:
                 idx, step_i = step_in
                 x = jnp.take(images, idx, axis=0)
                 y = jnp.take(labels, idx, axis=0)
-
-                def loss_of(p):
-                    kwargs = {"train": True}
-                    if uses_rng:
-                        kwargs["rng"] = jax.random.fold_in(epoch_key, step_i)
-                    logits = model.apply(p, x, **kwargs)
-                    return loss_fn(logits, y), logits
-
-                (loss, logits), grads = jax.value_and_grad(
-                    loss_of, has_aux=True)(params)
+                rng = jax.random.fold_in(epoch_key, step_i)
+                loss, logits, new_p, grads = compute(params, x, y, rng)
                 params, opt_state = optimizer.update(grads, opt_state,
                                                      params)
+                if stateful:
+                    params = _merge_running_state(params, new_p)
                 return (params, opt_state, loss_sum + loss,
                         acc_sum + L.accuracy(logits, y)), None
 
@@ -250,7 +288,9 @@ class Trainer:
         ``lax.cond`` (their metrics report NaN, which the host trims).
         """
         model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
-        uses_rng = self.train_uses_rng
+        stateful = self._stateful
+        compute = _make_grad_step(model, loss_fn, self.train_uses_rng,
+                                  stateful)
 
         def train_one_epoch(params, opt_state, epoch_key):
             perm = jax.random.permutation(epoch_key, n)
@@ -262,18 +302,12 @@ class Trainer:
                 idx, step_i = step_in
                 x = jnp.take(images, idx, axis=0)
                 y = jnp.take(labels, idx, axis=0)
-
-                def loss_of(p):
-                    kwargs = {"train": True}
-                    if uses_rng:
-                        kwargs["rng"] = jax.random.fold_in(epoch_key, step_i)
-                    logits = model.apply(p, x, **kwargs)
-                    return loss_fn(logits, y), logits
-
-                (loss, logits), grads = jax.value_and_grad(
-                    loss_of, has_aux=True)(params)
+                rng = jax.random.fold_in(epoch_key, step_i)
+                loss, logits, new_p, grads = compute(params, x, y, rng)
                 params, opt_state = optimizer.update(grads, opt_state,
                                                      params)
+                if stateful:
+                    params = _merge_running_state(params, new_p)
                 return (params, opt_state, loss_sum + loss,
                         acc_sum + L.accuracy(logits, y), images, labels), None
 

@@ -119,6 +119,26 @@ def test_batchnorm_normalizes():
     assert not np.allclose(p2["running_mean"], p["running_mean"])
 
 
+def test_batchnorm_apply_train_updates_stats():
+    bn = nn.BatchNorm2d(3)
+    p = bn.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 4, 4)) * 5 + 2
+    y, p2 = bn.apply_train(p, x)
+    # normalizes with batch stats
+    np.testing.assert_allclose(jnp.mean(y, axis=(0, 2, 3)), np.zeros(3),
+                               atol=1e-4)
+    # and returns EMA-updated running stats matching updated_stats
+    ref = bn.updated_stats(p, x)
+    np.testing.assert_allclose(p2["running_mean"], ref["running_mean"],
+                               atol=1e-6)
+    np.testing.assert_allclose(p2["running_var"], ref["running_var"],
+                               atol=1e-6)
+    # stat update carries no gradient back to the input
+    g = jax.grad(lambda t: jnp.sum(bn.apply_train(p, t)[1]["running_mean"])
+                 * 0.0 + jnp.sum(bn.apply_train(p, t)[0]))(x)
+    assert np.all(np.isfinite(g))
+
+
 def test_basic_block_residual():
     blk = nn.BasicBlock(4, 8, stride=2, residual=True)
     p = blk.init(jax.random.PRNGKey(0))
@@ -129,3 +149,20 @@ def test_basic_block_residual():
     p2 = blk2.init(jax.random.PRNGKey(0))
     y2 = blk2.apply(p2, jnp.ones((2, 4, 8, 8)))
     assert y2.shape == (2, 8, 8, 8)
+
+
+def test_basic_block_batchnorm():
+    blk = nn.BasicBlock(4, 8, stride=2, residual=True, batchnorm=True)
+    p = blk.init(jax.random.PRNGKey(0))
+    assert "bn1" in p and "bn2" in p
+    assert "b" not in p["conv1"]  # BN replaces conv bias
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 8, 8))
+    y, p_new = blk.apply_train(p, x)
+    assert y.shape == (4, 8, 4, 4)
+    assert not np.allclose(p_new["bn1"]["running_mean"],
+                           p["bn1"]["running_mean"])
+    # weights unchanged by apply_train (only running stats move)
+    np.testing.assert_allclose(p_new["conv1"]["w"], p["conv1"]["w"])
+    # eval mode consumes the running stats
+    y_eval = blk.apply(p_new, x, train=False)
+    assert y_eval.shape == (4, 8, 4, 4)

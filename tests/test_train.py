@@ -116,6 +116,89 @@ def test_reset_parameters_gives_fresh_run():
     np.testing.assert_allclose(first, trainer.metrics.val_acc, atol=1e-5)
 
 
+def _bn_conv_trainer():
+    model = nn.Sequential(
+        nn.Conv2d(1, 4, 3, padding=1, bias=False),
+        nn.BatchNorm2d(4),
+        nn.ReLU(),
+        nn.Flatten(),
+        nn.Linear(4 * 4 * 8, 4),
+    )
+    return Trainer(model, optim.Adam(1e-2)), model
+
+
+class FakeImageDataset(FakeDataset):
+    def __init__(self, n=128, seed=0):
+        super().__init__(n=n, d=32, classes=4, seed=seed)
+        self.images = self.images.reshape(n, 1, 4, 8) + 2.0  # nonzero mean
+
+
+def test_batchnorm_stats_train_through_trainer():
+    # Round-1 VERDICT: BN was decorative — models trained with batch stats
+    # but evaluated with never-updated init stats.  The Trainer must thread
+    # running statistics through every train path.
+    ds = FakeImageDataset()
+    trainer, _ = _bn_conv_trainer()
+    init_mean = np.asarray(trainer.params[1]["running_mean"])
+
+    loader = DataLoader(ds, batch_size=32, seed=0)
+    trainer.train_epoch(loader)
+    trained_mean = np.asarray(trainer.params[1]["running_mean"])
+    assert not np.allclose(trained_mean, init_mean)
+    # data has mean ~2, so running_mean moved toward positive values
+    assert trained_mean.mean() > 0.1
+
+    # eval-mode forward uses the trained stats: zeroing them changes output
+    out = trainer.evaluate(ds.images, ds.labels)
+    zeroed = [dict(p) if isinstance(p, dict) else p
+              for p in trainer.params]
+    zeroed[1]["running_mean"] = np.zeros_like(trained_mean)
+    orig = trainer.params
+    trainer.params = zeroed
+    out_zeroed = trainer.evaluate(ds.images, ds.labels)
+    trainer.params = orig
+    assert out["loss"] != out_zeroed["loss"]
+
+
+def test_batchnorm_stats_train_through_fused_fit():
+    ds = FakeImageDataset(n=256)
+    trainer, _ = _bn_conv_trainer()
+    init_mean = np.asarray(trainer.params[1]["running_mean"])
+    trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=2, batch_size=64, early_stop_acc=2.0,
+                             verbose=False)
+    assert not np.allclose(
+        np.asarray(trainer.params[1]["running_mean"]), init_mean)
+
+
+def test_resnet8_batchnorm_trains():
+    from taper_tpu import models
+
+    model = models.resnet8(num_classes=4, batchnorm=True)
+    trainer = Trainer(model, optim.AdamW(1e-3))
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (64, 3, 8, 8)).astype(np.float32)
+    y = (np.arange(64) % 4).astype(np.int32)
+
+    class _DS:
+        images, labels = x, y
+
+        def __len__(self):
+            return 64
+
+        def get_batch(self, idx):
+            return x[idx], y[idx]
+
+    loader = DataLoader(_DS(), batch_size=32, seed=0)
+    before = trainer.evaluate(x, y)["loss"]
+    for _ in range(3):
+        trainer.train_epoch(loader)
+    after = trainer.evaluate(x, y)["loss"]
+    assert after < before
+    stem_mean = np.asarray(trainer.params[0]["bn"]["running_mean"])
+    assert not np.allclose(stem_mean, 0.0)
+
+
 def test_evaluate_handles_ragged_split():
     ds = FakeDataset(n=100)
     trainer, _ = _small_trainer()
