@@ -86,6 +86,14 @@ class HistogramObserver:
         hi_idx = min(hi_idx, self.num_bins - 1)
         return float(self.edges[lo_idx]), float(self.edges[hi_idx + 1])
 
+    def get_stats(self, percentile: float = 99.9) -> ObserverStats:
+        """Percentile-clipped range as ObserverStats — the same contract as
+        MinMaxObserver.get_stats, so QAT calibration works with either
+        observer kind (reference declares HistogramObserver but never wires
+        it, ``observers.rs:125-246``)."""
+        lo, hi = self.get_range(percentile)
+        return ObserverStats(lo, hi, self.num_batches)
+
     def reset(self) -> None:
         self.__init__(self.num_bins)
 

@@ -164,6 +164,29 @@ def test_ptq_int8_pallas_dequant_on_load_matches_xla():
     np.testing.assert_allclose(y_kernel, y_ref, atol=5e-2, rtol=5e-2)
 
 
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    # QuantizedTensor leaves are pytrees, so save/load must roundtrip
+    # quantized models too (untested in round 1 per the VERDICT).
+    from taper_tpu.utils import checkpoint as ckpt
+
+    model, params = _trained_like_params()
+    qmodel, qparams = ptq.quantize_model(model, params,
+                                         QuantizationConfig.int8())
+    path = str(tmp_path / "q.npz")
+    ckpt.save_checkpoint(path, {"params": qparams}, metadata={"epochs": 3})
+    restored, meta = ckpt.load_checkpoint(path, {"params": qparams})
+    assert meta["epochs"] == 3
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    ref = qmodel.apply(qparams, x)
+    out = qmodel.apply(restored["params"], x)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # the restored weights are still quantized (int8 payload intact)
+    rw = restored["params"][0]["w"]
+    assert isinstance(rw, QuantizedTensor)
+    np.testing.assert_array_equal(np.asarray(rw.values),
+                                  np.asarray(qparams[0]["w"].values))
+
+
 def test_dequantize_params_inverse():
     model, params = _trained_like_params()
     qparams = ptq.quantize_params(params, QuantizationConfig.float16())
@@ -282,6 +305,29 @@ def test_qat_sequential_trains_and_quantizes():
 
     g = jax.grad(loss)(params)
     assert float(jnp.sum(jnp.abs(g[0]["inner"]["w"]))) > 0
+
+
+def test_qat_sequential_calibrates_with_histogram_observers():
+    # Round-1 VERDICT: ObserverManager(kind="histogram") crashed calibrate
+    # (HistogramObserver had no get_stats).  Mirror of the minmax test.
+    model = QATSequential(
+        QATLinear(16, 32, module_id="fc1", activation="relu"),
+        QATLinear(32, 4, module_id="fc2"),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+
+    obs = ObserverManager(kind="histogram")
+    params, _ = model.calibrate(params, x, obs)
+    assert set(obs.keys()) == {"fc1.weight", "fc1.act",
+                               "fc2.weight", "fc2.act"}
+    stats = obs.get("fc1.act").get_stats()
+    assert stats.num_batches == 1 and stats.max_val > stats.min_val
+    y_q = model.apply(params, x, qat=QATState(enabled=True))
+    y_f = model.apply(params, x, qat=QATState(enabled=False))
+    rel = float(jnp.max(jnp.abs(y_q - y_f))
+                / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.2
 
 
 def test_qat_status():
