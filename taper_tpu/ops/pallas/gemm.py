@@ -37,6 +37,10 @@ from taper_tpu.ops import backend as _backend
 
 _compute = {"dtype": "float32"}
 
+# Tuning hook for benchmarks/sweep_gemm.py: when set, overrides the
+# (bm, bn, bk) block choice below.
+_BLOCK_OVERRIDE = {"blocks": None}
+
 
 def set_compute_dtype(name: str) -> None:
     """MXU input dtype for Pallas GEMMs: 'float32' or 'bfloat16'."""
@@ -76,25 +80,32 @@ _MODES = {
 }
 
 
-def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, n_k, epilogue,
+def _linear_kernel(x_ref, w_ref, b_ref, o_ref, *, n_k, epilogue,
                    dims, cdtype):
+    # Accumulate directly in the (f32, k-revisited) output block: Pallas
+    # keeps it VMEM-resident across the whole K loop, so a separate scratch
+    # accumulator would only burn bm*bn*4 bytes of VMEM that larger tiles
+    # need (larger tiles = less HBM operand refetch, the actual limiter).
+    # (A write-first variant materializes the dot product as a bm*bn*4
+    # temporary and blows VMEM at the largest tiles; the zero-init +=
+    # form lets Mosaic fuse the accumulate and measures the same.)
     @pl.when(pl.program_id(2) == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        o_ref[:] = jnp.zeros_like(o_ref)
 
     a = x_ref[:]
     b = w_ref[:]
     if cdtype == "bfloat16":
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
+    o_ref[:] += jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _():
-        acc = acc_ref[:]
+        acc = o_ref[:]
         if b_ref is not None:
             acc = acc + b_ref[:]
         if epilogue == "relu":
@@ -107,15 +118,17 @@ def _linear_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, n_k, epilogue,
 def _gemm(a, b, bias, *, epilogue: str = "none", has_bias: bool = True,
           mode: str = "nt", cdtype: str = ""):
     """out[M, N] = contract_K(a, b) (+ bias[N]) (+ activation)."""
-    # Resolve the compute dtype OUTSIDE the jitted body so switching it via
-    # set_compute_dtype retraces (it is part of the jit cache key).
+    # Resolve the compute dtype and block override OUTSIDE the jitted body
+    # so switching them retraces (they are part of the jit cache key).
     return _gemm_jit(a, b, bias, epilogue=epilogue, has_bias=has_bias,
-                     mode=mode, cdtype=cdtype or _compute["dtype"])
+                     mode=mode, cdtype=cdtype or _compute["dtype"],
+                     blocks=_BLOCK_OVERRIDE["blocks"])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("epilogue", "has_bias", "mode", "cdtype"))
-def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
+                   static_argnames=("epilogue", "has_bias", "mode", "cdtype",
+                                    "blocks"))
+def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype, blocks=None):
     a_mk, b_nk = _MODES[mode]
     M, K = a.shape if a_mk else a.shape[::-1]
     N, K2 = b.shape if b_nk else b.shape[::-1]
@@ -125,9 +138,14 @@ def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
     # (512, 1024, 512) reaches 233 TFLOP/s bf16 / 117 TFLOP/s f32 vs
     # 22 TFLOP/s at the naive (128, 128, 512) — large bm·bn amortizes
     # operand refetch across the K loop and keeps the MXU pipeline full.
-    bm = _pick_block(M, 512, 8)
-    bn = _pick_block(N, 1024, 128)
-    bk = _pick_block(K, 512, 128)
+    # Swept on v5e at 4096³ (benchmarks/{sweep_gemm,tune_all}.py): with the
+    # output block doubling as the accumulator, (1024, 1024, 512) measures
+    # 153-160 TFLOP/s on f32 inputs across interleaved races (device drifts
+    # ±15% between runs; XLA's emitter measures 154-162 on the same shape).
+    pm, pn, pk = blocks if blocks is not None else (1024, 1024, 512)
+    bm = _pick_block(M, pm, 8)
+    bn = _pick_block(N, pn, 128)
+    bk = _pick_block(K, pk, 128)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
     n_k = Kp // bk
 
@@ -158,8 +176,8 @@ def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
                                    epilogue=epilogue, dims=dims,
                                    cdtype=cdtype)
     else:
-        def kernel(x_ref, w_ref, o_ref, acc_ref):
-            _linear_kernel(x_ref, w_ref, None, o_ref, acc_ref, n_k=n_k,
+        def kernel(x_ref, w_ref, o_ref):
+            _linear_kernel(x_ref, w_ref, None, o_ref, n_k=n_k,
                            epilogue=epilogue, dims=dims, cdtype=cdtype)
 
     out = pl.pallas_call(
@@ -168,7 +186,6 @@ def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

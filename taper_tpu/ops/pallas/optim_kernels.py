@@ -4,9 +4,12 @@ The reference updates parameters with per-tensor Rust loops over ``Vec<f32>``
 m/v state (``src/optim.rs:83-113``).  The TPU-native design flattens the whole
 parameter pytree into ONE 1-D vector (``jax.flatten_util.ravel_pytree``) and
 runs ONE Pallas kernel per step that streams param/grad/m/v through VMEM and
-writes the updated state in place (``input_output_aliases`` — no extra HBM
-traffic).  This is the BASELINE.json "fused single-kernel parameter update"
-north-star item.
+writes the updated state in place (``input_output_aliases``).  This is the
+BASELINE.json "fused single-kernel parameter update" north-star item —
+implemented and parity-tested, but NOT the default: the ravel/pad/unravel
+copies feeding the flat vector triple the step's HBM traffic, so XLA's
+per-leaf fused tree update (optim.py) wins at every size on v5e (measured
+via benchmarks/tune_all.py adam; the kernel itself is at roofline).
 
 Hyper-parameters (lr, bias-corrected step size) arrive as SMEM scalars so a
 changing learning-rate schedule never recompiles the kernel.
@@ -31,9 +34,10 @@ from taper_tpu.ops import backend as _backend
 
 _LANES = 128
 _BLOCK_ROWS = 2048  # 2048x128 f32 = 1 MiB per operand block
-# Swept on v5e at 24M params (see commit history): 2048-row blocks with a
-# sequential ('arbitrary') grid reach 1033 GB/s for the maskless AdamW
-# stream vs 773 GB/s for the XLA-fused equivalent; 1024-row blocks: 791.
+_SEMANTICS = "arbitrary"
+# Tuned on v5e at 24M params via benchmarks/tune_all.py adam (block rows
+# and grid semantics are re-sweepable; they are static jit args so changing
+# the globals retraces).
 
 
 def _tile(x):
@@ -97,19 +101,28 @@ def _sgd_kernel(scal_ref, p_ref, g_ref, m_ref, *rest,
         mo_ref[:] = m
 
 
-@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "wd",
-                                             "decoupled"))
 def adam_update_flat(p, g, m, v, mask, lr, step, *, b1, b2, eps, wd,
                      decoupled):
     """One fused Adam/AdamW step over flat 1-D param/grad/state vectors.
 
     ``mask`` may be None (all leaves trainable) — the maskless kernel is
     ~2.6× faster (see module docstring)."""
+    return _adam_update_flat_jit(p, g, m, v, mask, lr, step, b1=b1, b2=b2,
+                                 eps=eps, wd=wd, decoupled=decoupled,
+                                 block_rows=_BLOCK_ROWS,
+                                 semantics=_SEMANTICS)
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps", "wd",
+                                             "decoupled", "block_rows",
+                                             "semantics"))
+def _adam_update_flat_jit(p, g, m, v, mask, lr, step, *, b1, b2, eps, wd,
+                          decoupled, block_rows, semantics):
     masked = mask is not None
     (pt, n), (gt, _), (mt, _), (vt, _) = (
         _tile(p), _tile(g), _tile(m), _tile(v))
     rows = pt.shape[0]
-    br = min(_BLOCK_ROWS, rows)
+    br = min(block_rows, rows)
     step_size = lr * jnp.sqrt(1.0 - b2 ** step) / (1.0 - b1 ** step)
     scal = jnp.stack([lr, step_size]).astype(jnp.float32)
     spec = pl.BlockSpec((br, _LANES), lambda i: (i, 0))
@@ -129,7 +142,7 @@ def adam_update_flat(p, g, m, v, mask, lr, step, *, b1, b2, eps, wd,
                         for _ in range(3)),
         input_output_aliases={1: 0, 3: 1, 4: 2},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(semantics,),
         ),
         interpret=_backend.pallas_interpret_mode(),
     )(*args)

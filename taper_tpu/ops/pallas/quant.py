@@ -28,17 +28,22 @@ from jax.experimental.pallas import tpu as pltpu
 from taper_tpu.ops import backend as _backend
 from taper_tpu.ops.pallas.gemm import _pad2, _pick_block, _round_up
 
+# Tuning hook for benchmarks/sweep_gemm.py.
+_BLOCK_OVERRIDE = {"blocks": None}
+
 
 def _q8_kernel(x_ref, q_ref, scale_ref, zp_ref, b_ref, o_ref,
-               acc_ref, xsum_ref, *, n_k, epilogue, has_bias):
+               xsum_ref, *, n_k, epilogue, has_bias):
+    # Accumulate in the k-revisited output block (VMEM-resident across the
+    # K loop); a scratch accumulator would only shrink the affordable tile.
     @pl.when(pl.program_id(2) == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        o_ref[:] = jnp.zeros_like(o_ref)
         xsum_ref[:] = jnp.zeros_like(xsum_ref)
 
     x = x_ref[:]
     q = q_ref[:].astype(jnp.bfloat16)       # int8 codes: exact in bf16
-    acc_ref[:] += jax.lax.dot_general(
+    o_ref[:] += jax.lax.dot_general(
         x.astype(jnp.bfloat16), q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -49,7 +54,7 @@ def _q8_kernel(x_ref, q_ref, scale_ref, zp_ref, b_ref, o_ref,
     def _():
         scale = scale_ref[:]                 # [1, bn]
         zp = zp_ref[:]                       # [1, bn]
-        out = acc_ref[:] * scale - xsum_ref[:] * (scale * zp)
+        out = o_ref[:] * scale - xsum_ref[:] * (scale * zp)
         if has_bias:
             out = out + b_ref[:]
         if epilogue == "relu":
@@ -59,18 +64,37 @@ def _q8_kernel(x_ref, q_ref, scale_ref, zp_ref, b_ref, o_ref,
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("epilogue", "has_bias"))
 def linear_q8(x, q, scale, zp, b, *, epilogue: str = "none",
               has_bias: bool = True):
     """``y = x @ dequant(q)ᵀ (+ b)`` with q int8 ``[N, K]``, scale/zp
     per-tensor scalars or per-channel ``[N]`` vectors."""
+    return _linear_q8_jit(x, q, scale, zp, b, epilogue=epilogue,
+                          has_bias=has_bias,
+                          blocks=_BLOCK_OVERRIDE["blocks"])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("epilogue", "has_bias", "blocks"))
+def _linear_q8_jit(x, q, scale, zp, b, *, epilogue: str = "none",
+                   has_bias: bool = True, blocks=None):
     M, K = x.shape
     N, K2 = q.shape
     assert K == K2, (x.shape, q.shape)
 
-    bm = _pick_block(M, 512, 8)
-    bn = _pick_block(N, 1024, 128)
-    bk = _pick_block(K, 512, 128)
+    if blocks is not None:
+        pm, pn, pk = blocks
+    else:
+        # Swept on v5e (benchmarks/sweep_gemm.py serve): skinny-batch
+        # serving wants the widest N tile the output block affords, so the
+        # int8 weights stream through HBM exactly once — (128, 8192, 256)
+        # reaches 286 TFLOP/s-equivalent (60us) vs 251 for XLA's fused
+        # dequant.  Budget ~6MB of VMEM for the f32 output/accumulator.
+        pm = 1024 if M >= 1024 else _round_up(M, 8)
+        pn = min(8192, max(1024, (6 * 2 ** 20) // (4 * pm) // 128 * 128))
+        pk = 256
+    bm = _pick_block(M, pm, 8)
+    bn = _pick_block(N, pn, 128)
+    bk = _pick_block(K, pk, 128)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
 
     xp = _pad2(x, Mp, Kp)
@@ -96,8 +120,8 @@ def linear_q8(x, q, scale, zp, b, *, epilogue: str = "none",
         kernel = functools.partial(_q8_kernel, n_k=n_k, epilogue=epilogue,
                                    has_bias=True)
     else:
-        def kernel(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, xs_ref):
-            _q8_kernel(x_ref, q_ref, s_ref, z_ref, None, o_ref, acc_ref,
+        def kernel(x_ref, q_ref, s_ref, z_ref, o_ref, xs_ref):
+            _q8_kernel(x_ref, q_ref, s_ref, z_ref, None, o_ref,
                        xs_ref, n_k=n_k, epilogue=epilogue, has_bias=False)
 
     out = pl.pallas_call(
@@ -106,8 +130,7 @@ def linear_q8(x, q, scale, zp, b, *, epilogue: str = "none",
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
-                        pltpu.VMEM((bm, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -6,12 +6,16 @@ jit-compatible, so the whole train step (forward + backward + update)
 compiles to a single XLA program — the design that replaces the reference's
 eager per-element update loops (``src/optim.rs:83-113``).
 
-Two update paths, selected by the global op backend:
+Two update paths:
 
-* ``'xla'``    — tree-wise ``jnp`` math; XLA fuses it into a few loops.
-* ``'pallas'`` — the whole parameter pytree is raveled into one flat vector
-  and updated by ONE fused Pallas kernel (``ops/pallas/optim_kernels.py``),
-  the BASELINE.json north-star formulation.
+* tree-wise ``jnp`` math (default) — XLA fuses each leaf's m/v/p update
+  into one streaming pass; measured at HBM roofline on v5e, so this IS the
+  fused optimizer on TPU.
+* flat-vector Pallas kernel (``TAPER_FUSED_OPT=1`` + pallas backend) — the
+  whole pytree raveled into one vector and updated by ONE kernel
+  (``ops/pallas/optim_kernels.py``), the literal analogue of the
+  reference's single update loop; kept for study (the ravel/unravel copies
+  make it slower than the tree path — see ``_use_fused``).
 
 The learning rate and step count live in the optimizer *state* as arrays, so
 schedulers can change them every epoch without triggering recompilation
@@ -34,8 +38,7 @@ statistics) are masked out of every update.
 from __future__ import annotations
 
 import math
-
-import numpy as np
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -100,20 +103,18 @@ class Optimizer:
     def set_lr(state: State, lr: float) -> State:
         return {**state, "lr": jnp.asarray(lr, jnp.float32)}
 
-    # Below ~1M params the per-step ravel of params/grads costs more than
-    # the fused kernel saves (measured: 164k-param CNN, flat 0.51 ms vs
-    # XLA tree update 0.27 ms per scanned step); above it the fused stream
-    # wins (24M params: 1033 GB/s vs 773 GB/s).
-    FUSED_MIN_PARAMS = 1 << 20
+    # Measured dispatch (v5e, 25M params, benchmarks/tune_all.py adam):
+    # the flat-vector Pallas kernel itself streams at roofline, but the
+    # ravel/pad/unravel copies around it triple the HBM traffic (~2.1GB vs
+    # 700MB), landing at ~212 GB/s-of-useful-bytes; XLA's per-leaf fused
+    # tree update needs no copies and reaches ~800+ (≈ HBM roofline on the
+    # real 700MB).  The tree path is therefore the default at every size;
+    # set TAPER_FUSED_OPT=1 to force the flat Pallas formulation (kept for
+    # study/bench parity with the reference's single-loop updates).
+    FORCE_FUSED = os.environ.get("TAPER_FUSED_OPT", "0") == "1"
 
     def _use_fused(self, params=None) -> bool:
-        if _backend.get_backend() != "pallas":
-            return False
-        if params is None:
-            return True
-        total = sum(int(np.prod(l.shape)) if hasattr(l, "shape") else 1
-                    for l in jax.tree_util.tree_leaves(params))
-        return total >= self.FUSED_MIN_PARAMS
+        return self.FORCE_FUSED and _backend.get_backend() == "pallas"
 
 
 class SGD(Optimizer):

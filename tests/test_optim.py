@@ -96,7 +96,7 @@ def test_fused_pallas_update_matches_xla(opt_cls, kwargs):
     with use_backend("xla"):
         px, sx = opt.update(grads, opt.init(params), params)
         px2, _ = opt.update(grads, sx, px)
-    opt.FUSED_MIN_PARAMS = 0  # force the fused kernel despite tiny params
+    opt.FORCE_FUSED = True  # force the flat Pallas kernel (opt-in path)
     with use_backend("pallas"):
         pp, sp = opt.update(grads, opt.init(params), params)
         assert "m_flat" in sp  # fused representation engaged
