@@ -12,16 +12,13 @@ from ``gemm.py`` with the bias + ReLU epilogue fused into the final K-step
 skips patch extraction entirely and is a pure reshape + fused GEMM, matching
 the reference's 1×1-as-matmul specialization.
 
-**Dispatch policy (measured on v5e, see bench):** materializing the patch
-matrix costs ``kh·kw×`` the input bytes of HBM traffic, so for small
-contraction sizes (C·kh·kw < 1024 — e.g. every conv in the 28×28 MNIST
-CNN) the im2col route is memory-bound and XLA's native conv — which builds
-its patches in on-chip memory with specialized layouts — is ~6× faster
-(0.53 ms vs 3.4+1.6 ms per step at batch 256, 32→64ch 3×3).  Those convs
-therefore delegate to ``lax.conv_general_dilated`` even under the pallas
-backend; the Pallas im2col+GEMM engages at large K where MXU tiling
-amortizes the patch traffic, and for 1×1 convs (pure channel-mixing
-matmuls, where the fused Pallas GEMM is at parity with XLA).
+**Dispatch policy:** stride-1 convs with C·kh·kw ≤ 4096 run the direct
+Pallas kernel (``conv_direct.py``) that assembles patches in VMEM inside
+the grid — no HBM patch matrix, full custom VJP.  Strided/huge-K convs
+take the materialized im2col + fused Pallas GEMM below; 1×1 convs are pure
+channel-mixing fused GEMMs.  ``TAPER_CONV=xla`` switches the stride-1 path
+to XLA's native conv emitter, which measures faster at MNIST-CNN shapes
+(see ``conv_direct.py`` for the numbers and the hardware reason).
 
 Unlike the reference — whose conv weight/input grads are severed (SURVEY.md
 §2.2 ⚠) — every path is fully differentiable: patches are extracted with
@@ -29,6 +26,8 @@ differentiable XLA ops and the Pallas GEMM carries a custom VJP.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 from jax import lax
@@ -95,12 +94,20 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
     o, ci, kh, kw = w.shape
     assert ci == c, (x.shape, w.shape)
 
-    # Small-K convs: XLA's native conv beats materialized im2col (see
-    # module docstring).  1×1 convs stay on the fused Pallas GEMM.
-    if (kh, kw) != (1, 1) and c * kh * kw < 1024:
-        from taper_tpu.ops import xla as _xla
-        return _xla.conv2d(x, w, b, stride=stride, padding=padding,
-                           activation=activation)
+    # Stride-1 convs run the direct (implicit-im2col) kernel: patches are
+    # assembled in VMEM inside the grid, so HBM traffic is input-once +
+    # output-once instead of the kh*kw x blowup of a materialized patch
+    # matrix (round-1's reason to delegate small-K convs to XLA).
+    # TAPER_CONV=xla restores the measured-fastest hybrid (XLA's native
+    # conv emitter wins these shapes — see conv_direct.py docstring).
+    if ((kh, kw) != (1, 1) and stride == (1, 1)
+            and c * kh * kw <= 4096):
+        if os.environ.get("TAPER_CONV", "direct") == "xla":
+            from taper_tpu.ops import xla as _xla
+            return _xla.conv2d(x, w, b, stride=stride, padding=padding,
+                               activation=activation)
+        from taper_tpu.ops.pallas.conv_direct import conv2d_direct
+        return conv2d_direct(x, w, b, padding, epilogue)
 
     if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):
         # 1×1 fast path: pure channel-mixing matmul.

@@ -23,6 +23,18 @@ Backward (full custom VJP, unlike the reference's severed conv grads):
   transposed conv IS a conv);
 * ``dw`` accumulates per-tap patchᵀ·cotangent products into a ``[K, O]``
   block revisited across the batch grid.
+
+**Measured standing vs XLA's native conv (v5e, interleaved races,
+benchmarks/tune_all.py methodology):** XLA's convolution emitter — which
+performs implicit windowing in its own internal tiled layouts without ever
+materializing patches OR lane-padding C=32 feature dims — runs the MNIST
+CNN conv shapes at 18-28us; this kernel measures 117-1469us, bottlenecked
+by the VPU relayout copies that assemble the patch scratch when C < 128
+lanes (a DMA-based assembly is rejected by the hardware's 128-lane slice
+alignment).  The pallas backend still uses this kernel by default — the
+backend's contract is hand-written kernels, and round 1's silent
+delegation hid that gap — but ``TAPER_CONV=xla`` restores the measured-
+fastest hybrid dispatch.
 """
 
 from __future__ import annotations
@@ -36,24 +48,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 from taper_tpu.ops import backend as _backend
 
-# Patch-scratch VMEM budget per grid step.
-_P_BUDGET = 4 * 2 ** 20
+# Total VMEM budget per grid step (patch scratch + pipelined blocks).
+_P_BUDGET = 10 * 2 ** 20
 
 
-def _pick_nb(n: int, ho: int, wo: int, k: int) -> int:
-    per_image = ho * wo * k * 4
+def _ru(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _phys(rows: int, cols: int) -> int:
+    """Physical f32 bytes of a VMEM tile — sublanes round to 8, lanes to
+    128 (narrow minor dims are lane-padded on chip)."""
+    return _ru(rows, 8) * _ru(cols, 128) * 4
+
+
+def _pick_nb(n: int, ho: int, wo: int, k: int, hp: int, wp: int,
+             c: int, o: int) -> int:
+    """Images per grid step: fit patch scratch + double-buffered input and
+    output blocks in the VMEM budget, at physically padded sizes."""
+    import math
+
+    per_p = ho * _phys(wo, k)
+    per_x = hp * _phys(wp, c)
+    per_o = _phys(ho * wo, o)
+    per_image = per_p + 2 * per_x + 2 * per_o
     nb = max(1, _P_BUDGET // max(per_image, 1))
-    return min(nb, n, 16)
+    nb = min(nb, n, 16)
+    # Mosaic tiling: the output block's sublane dim (nb*ho*wo) must be a
+    # multiple of 8, so round nb to the smallest multiple that makes it so.
+    need = 8 // math.gcd(ho * wo, 8)
+    return max(need, (nb // need) * need)
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, p_ref, *, kh, kw, c, ho, wo,
-                epilogue, has_bias):
-    nb = x_ref.shape[0]
+def _assemble_patches(x_ref, p_ref, *, kh, kw, c, ho, wo):
+    """Fill the patch scratch with the kh·kw tap windows (VPU copies).
+
+    A DMA-based assembly is ruled out by hardware tiling: the destination
+    lane slice ``t*c:(t+1)*c`` must be 128-aligned for the DMA engines,
+    and real conv channel counts (32, 64) aren't.  The VPU relayout copies
+    below are the measured bottleneck of this kernel at small C — see the
+    module docstring's dispatch discussion."""
     for i in range(kh):
         for j in range(kw):
             t = i * kw + j
             p_ref[:, :, :, t * c:(t + 1) * c] = (
                 x_ref[:, i:i + ho, j:j + wo, :])
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, p_ref, *, kh, kw, c,
+                ho, wo, epilogue, has_bias):
+    nb = x_ref.shape[0]
+    _assemble_patches(x_ref, p_ref, kh=kh, kw=kw, c=c, ho=ho, wo=wo)
     k_tot = kh * kw * c
     p = p_ref[:].reshape(nb * ho * wo, k_tot)
     y = jax.lax.dot_general(
@@ -68,17 +113,14 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, p_ref, *, kh, kw, c, ho, wo,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _dw_kernel(x_ref, g_ref, o_ref, p_ref, *, kh, kw, c, ho, wo, n_steps):
+def _dw_kernel(x_ref, g_ref, o_ref, p_ref, *, kh, kw, c, ho, wo,
+               n_steps):
     @pl.when(pl.program_id(0) == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     nb = x_ref.shape[0]
-    for i in range(kh):
-        for j in range(kw):
-            t = i * kw + j
-            p_ref[:, :, :, t * c:(t + 1) * c] = (
-                x_ref[:, i:i + ho, j:j + wo, :])
+    _assemble_patches(x_ref, p_ref, kh=kh, kw=kw, c=c, ho=ho, wo=wo)
     k_tot = kh * kw * c
     p = p_ref[:].reshape(nb * ho * wo, k_tot)
     g = g_ref[:]
@@ -101,7 +143,7 @@ def _conv_fwd_nhwc(x, w_flat, b, *, kh, kw, padding, epilogue, has_bias):
     wo = wdim + 2 * pw - kw + 1
     k_tot = kh * kw * c
 
-    nb = _pick_nb(n, ho, wo, k_tot)
+    nb = _pick_nb(n, ho, wo, k_tot, h + 2 * ph, wdim + 2 * pw, c, o)
     n_pad = -(-n // nb) * nb
     pads = ((0, n_pad - n), (ph, ph), (pw, pw), (0, 0))
     xp = jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
@@ -119,8 +161,8 @@ def _conv_fwd_nhwc(x, w_flat, b, *, kh, kw, padding, epilogue, has_bias):
                                    wo=wo, epilogue=epilogue, has_bias=True)
     else:
         def kernel(x_ref, w_ref, o_ref, p_ref):
-            _fwd_kernel(x_ref, w_ref, None, o_ref, p_ref, kh=kh, kw=kw,
-                        c=c, ho=ho, wo=wo, epilogue=epilogue,
+            _fwd_kernel(x_ref, w_ref, None, o_ref, p_ref, kh=kh,
+                        kw=kw, c=c, ho=ho, wo=wo, epilogue=epilogue,
                         has_bias=False)
 
     y = pl.pallas_call(
@@ -153,7 +195,7 @@ def _conv_dw_nhwc(x, g, *, kh, kw, padding):
     o = g.shape[3]
     k_tot = kh * kw * c
 
-    nb = _pick_nb(n, ho, wo, k_tot)
+    nb = _pick_nb(n, ho, wo, k_tot, h + 2 * ph, wdim + 2 * pw, c, o)
     n_pad = -(-n // nb) * nb
     xp = jnp.pad(x, ((0, n_pad - n), (ph, ph), (pw, pw), (0, 0)))
     gp = (jnp.pad(g, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))

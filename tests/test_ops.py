@@ -193,6 +193,51 @@ def test_grouped_conv_is_differentiable():
         assert float(jnp.sum(jnp.abs(g))) > 0
 
 
+def test_conv2d_direct_matches_xla_and_grads():
+    # The implicit-im2col kernel (patches built in VMEM, VERDICT round-1
+    # item 3): forward + all three grads vs the XLA conv.
+    from taper_tpu.ops.pallas.conv_direct import conv2d_direct
+    from taper_tpu.ops import xla as X
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 9, 10))
+    w = jax.random.normal(jax.random.PRNGKey(1), (7, 5, 3, 3)) * 0.2
+    b = jax.random.normal(jax.random.PRNGKey(2), (7,))
+
+    y = conv2d_direct(x, w, b, (1, 1), "relu")
+    ref = X.conv2d(x, w, b, stride=(1, 1), padding=(1, 1),
+                   activation=X.relu)
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=1e-3)
+
+    def loss_d(x_, w_, b_):
+        return jnp.sum(conv2d_direct(x_, w_, b_, (1, 1), "relu") ** 2)
+
+    def loss_x(x_, w_, b_):
+        return jnp.sum(X.conv2d(x_, w_, b_, stride=(1, 1), padding=(1, 1),
+                                activation=X.relu) ** 2)
+
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gd, gx):
+        np.testing.assert_allclose(a, c, atol=5e-3, rtol=5e-3)
+
+
+def test_conv2d_direct_valid_padding_no_bias():
+    from taper_tpu.ops.pallas.conv_direct import conv2d_direct
+    from taper_tpu.ops import xla as X
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 5, 5)) * 0.2
+    y = conv2d_direct(x, w, None, (0, 0), "none")
+    ref = X.conv2d(x, w, None, stride=(1, 1), padding=(0, 0))
+    assert y.shape == (2, 4, 4, 4)
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=1e-3)
+    gx = jax.grad(lambda x_: jnp.sum(
+        conv2d_direct(x_, w, None, (0, 0), "none") ** 2))(x)
+    gr = jax.grad(lambda x_: jnp.sum(
+        X.conv2d(x_, w, None, stride=(1, 1), padding=(0, 0)) ** 2))(x)
+    np.testing.assert_allclose(gx, gr, atol=5e-3, rtol=5e-3)
+
+
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("mode", ["max", "avg"])
 def test_pool_parity(backend, mode):
