@@ -142,7 +142,14 @@ def _gemm_jit(a, b, bias, *, epilogue, has_bias, mode, cdtype, blocks=None):
     # output block doubling as the accumulator, (1024, 1024, 512) measures
     # 153-160 TFLOP/s on f32 inputs across interleaved races (device drifts
     # ±15% between runs; XLA's emitter measures 154-162 on the same shape).
-    pm, pn, pk = blocks if blocks is not None else (1024, 1024, 512)
+    # The in-kernel bf16 cast adds operand-sized temporaries, so that
+    # compute dtype takes the next tile down to stay inside VMEM.
+    if blocks is not None:
+        pm, pn, pk = blocks
+    elif cdtype == "bfloat16":
+        pm, pn, pk = 1024, 1024, 256
+    else:
+        pm, pn, pk = 1024, 1024, 512
     bm = _pick_block(M, pm, 8)
     bn = _pick_block(N, pn, 128)
     bk = _pick_block(K, pk, 128)

@@ -29,6 +29,7 @@ the Pallas kernel; other configs fall back to XLA ``reduce_window``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -149,13 +150,17 @@ _avg_pool_p.defvjp(_avg_pool_p_fwd, _avg_pool_p_bwd)
 def _eligible(x, kernel, stride, padding):
     kh, kw = kernel
     wo = x.shape[3] // kw if kw else 0
-    # Measured dispatch window (v5e): wo < 8 (e.g. global pools) wastes
-    # >90% of the 128-lane tile, and at large planes (W > 32) XLA's
-    # reduce_window streams ~2.4x faster than the unrolled-row kernel
-    # (256 GB/s vs 105 GB/s at 256x64x64x64) — both delegate to XLA.
+    # Measured dispatch (v5e, re-raced round 2 with the interleaved
+    # harness): XLA's reduce_window emitter — windowed reductions in its
+    # own internal layouts — runs MNIST-shaped pools at 15us/(sub-us when
+    # fused) vs 0.7-1.6ms for this kernel, whose shift-select formulation
+    # pays VPU relayouts on every sub-128-lane plane.  The kernel is kept
+    # as a formulation study behind TAPER_POOL=pallas; all pools default
+    # to XLA (round-1's W<=32 window no longer holds on this toolchain).
+    if os.environ.get("TAPER_POOL", "xla") != "pallas":
+        return False
     return (stride == kernel and padding == (0, 0)
-            and x.shape[2] >= kh and x.shape[3] >= kw
-            and 8 <= wo and x.shape[3] <= 32)
+            and x.shape[2] >= kh and x.shape[3] >= kw and 8 <= wo)
 
 
 def max_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):

@@ -250,6 +250,22 @@ def test_pool_parity(backend, mode):
     np.testing.assert_allclose(out, ref, atol=TOL)
 
 
+def test_pool_pallas_kernel_formulation():
+    # The shift-select kernel is a formulation study (all pools dispatch
+    # to XLA by default; TAPER_POOL=pallas opts in) — keep it correct.
+    from taper_tpu.ops.pallas import pool as P
+    from taper_tpu.ops import xla as X
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 8, 16))
+    np.testing.assert_allclose(P._max_pool_p(x, 2, 2),
+                               X.max_pool2d(x, kernel=2), atol=TOL)
+    np.testing.assert_allclose(P._avg_pool_p(x, 2, 2),
+                               X.avg_pool2d(x, kernel=2), atol=TOL)
+    gp = jax.grad(lambda t: jnp.sum(P._max_pool_p(t, 2, 2) ** 2))(x)
+    gx = jax.grad(lambda t: jnp.sum(X.max_pool2d(t, kernel=2) ** 2))(x)
+    np.testing.assert_allclose(gp, gx, atol=TOL)
+
+
 def test_pool_grads_match_across_backends():
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 16, 16))
 
