@@ -27,8 +27,12 @@ REF_MLP_TOTAL_S = 2.0    # reference README.md:21 (10 epochs)
 def bench_cnn(train_ds, test_ds, backend: str, epochs: int = 5):
     ops.set_backend(backend)
     model = models.mnist_cnn()
-    trainer = Trainer(model, optim.Adam(0.01, weight_decay=1e-4),
-                      scheduler=optim.StepLR(0.01, 5, 0.8))
+    # lr deviation from the reference's 0.01 (train_mnist_cnn.rs:133): its
+    # conv weights never received gradients (SURVEY.md §2.2), so 0.01 was
+    # effectively an FC-only learning rate; with real conv gradients on the
+    # non-saturating v2 dataset 0.01 diverges and 3e-3 converges.
+    trainer = Trainer(model, optim.Adam(3e-3, weight_decay=1e-4),
+                      scheduler=optim.StepLR(3e-3, 5, 0.8))
     # device-resident scanned epochs; epoch 0 pays compile, take the best
     # steady-state epoch (train time only — eval runs separately below)
     m = trainer.fit_device(train_ds.images, train_ds.labels,

@@ -1,14 +1,16 @@
 """MNIST CNN training (reference ``examples/train_mnist_cnn.rs``).
 
 The reference CNN — Conv2dReLU 1→32→32 + pool, 32→64→64 + pool, 64→128,
-global avg pool, FC 128-128-64-10 — with the reference's hyper-parameters:
-batch 256, Adam lr=0.01 wd=1e-4, lr×0.8 every 5 epochs, up to 50 epochs,
-early stop at val acc > 99.5% (``train_mnist_cnn.rs:133-137, 262``).
+global avg pool, FC 128-128-64-10 — with the reference's hyper-parameters
+(``train_mnist_cnn.rs:133-137, 262``): batch 256, Adam wd=1e-4, lr×0.8
+every 5 epochs, up to 50 epochs, early stop at val acc > 99.5%.
 
-Note: unlike the reference — whose conv weight/input gradients are severed
-so only biases + the FC head actually train (SURVEY.md §2.2 ⚠) — this
-model's conv filters receive true gradients, so it should exceed the
-reference's ~96% accuracy.
+Deliberate deviation: default lr is 3e-3, not the reference's 0.01.  The
+reference's conv weight/input gradients are severed so only biases + the
+FC head actually train (SURVEY.md §2.2 ⚠) — 0.01 was effectively an
+FC-only learning rate.  This model's conv filters receive true gradients;
+at 0.01 training diverges on the non-saturating v2 dataset, at 3e-3 it
+exceeds the reference's ~96% accuracy within a few epochs.
 
 Run: ``python examples/train_mnist_cnn.py [--backend pallas]``
 """
@@ -29,7 +31,7 @@ def main():
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--data-dir", default="data/mnist")
     args = ap.parse_args()
 

@@ -14,6 +14,7 @@
 // Build: make -C native    (produces libtaperdata.so; loaded via ctypes)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -53,25 +54,51 @@ const char* kGlyphs[10][7] = {
     {"01110", "10001", "10001", "01111", "00001", "00010", "01100"},
 };
 
+constexpr float kNoiseAmp = 0.30f;
+
 void render_one(int label, uint64_t seed, float* out /* 784 */) {
   // Labels come from downloaded IDX files unvalidated; clamp so a corrupt
   // byte can't index past kGlyphs (the NumPy fallback raises instead).
   label = std::min(9, std::max(0, label));
   Rng rng(seed);
-  // Draw order (must match synth.py): scale, y0, x0, intensity, noise[784].
+  // v2 draw order (must match synth.py): scale, y0, x0, intensity, shear,
+  // 2x(orient, pos, start, length, value) strokes, noise[784].
   int scale = 2 + static_cast<int>(rng.next() & 1);
   int gh = 7 * scale, gw = 5 * scale;
-  int max_y = 28 - gh, max_x = 28 - gw;
+  int max_y = 28 - gh;
   int y0 = static_cast<int>(rng.uni() * (max_y + 1));
-  int x0 = static_cast<int>(rng.uni() * (max_x + 1));
-  float intensity = static_cast<float>(0.8 + 0.4 * rng.uni());
+  // 2px of shear headroom on each side
+  int x0 = 2 + static_cast<int>(rng.uni() * (28 - gw - 4 + 1));
+  float intensity = static_cast<float>(0.55 + 0.45 * rng.uni());
+  double shear = rng.uni() * 4.0 - 2.0;  // total x drift over the glyph
 
   float canvas[28][28] = {};
   const char** glyph = kGlyphs[label];
-  for (int r = 0; r < gh; ++r)
-    for (int c = 0; c < gw; ++c)
-      if (glyph[r / scale][c / scale] == '1')
-        canvas[y0 + r][x0 + c] = 1.0f;
+  for (int r = 0; r < gh; ++r) {
+    int off = static_cast<int>(
+        std::floor(shear * r / (gh - 1) + 0.5));
+    for (int c = 0; c < gw; ++c) {
+      int xx = std::min(27, std::max(0, x0 + off + c));
+      canvas[y0 + r][xx] = glyph[r / scale][c / scale] == '1' ? 1.0f : 0.0f;
+    }
+  }
+
+  // distractor strokes (max-composited clutter)
+  for (int st = 0; st < 2; ++st) {
+    int orient = static_cast<int>(rng.next() & 1);
+    int pos = static_cast<int>(rng.uni() * 28);
+    int start = static_cast<int>(rng.uni() * 20);
+    int length = 4 + static_cast<int>(rng.uni() * 9);
+    float val = static_cast<float>(0.3 + 0.4 * rng.uni());
+    int stop = std::min(28, start + length);
+    if (orient == 0) {
+      for (int c = start; c < stop; ++c)
+        canvas[pos][c] = std::max(canvas[pos][c], val);
+    } else {
+      for (int r = start; r < stop; ++r)
+        canvas[r][pos] = std::max(canvas[r][pos], val);
+    }
+  }
 
   // separable 1-2-1 blur (zero-padded borders), vertical then horizontal
   float tmp[28][28];
@@ -89,7 +116,7 @@ void render_one(int label, uint64_t seed, float* out /* 784 */) {
     }
 
   for (int i = 0; i < 784; ++i) {
-    float noise = static_cast<float>((rng.uni() - 0.5) * 0.16);
+    float noise = static_cast<float>((rng.uni() - 0.5) * kNoiseAmp);
     float v = canvas[i / 28][i % 28] * intensity + noise;
     out[i] = std::min(1.0f, std::max(0.0f, v));
   }

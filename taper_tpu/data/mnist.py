@@ -144,7 +144,8 @@ class MNISTDataset:
                 raise FileNotFoundError(
                     f"MNIST {split} images unavailable in {data_dir}")
             # Rendering 60k digits costs ~2 min of NumPy; cache to disk.
-            cache = os.path.join(data_dir, f"{split}_synthetic.npy")
+            # (v2: harder renderer — stale v1 caches must not be reused.)
+            cache = os.path.join(data_dir, f"{split}_synthetic_v2.npy")
             if os.path.exists(cache):
                 images = np.load(cache)
                 if len(images) != len(labels):

@@ -1,11 +1,18 @@
 """Synthetic MNIST renderer — shared algorithm, two backends.
 
 Renders classifiable 28×28 digits from labels alone, for air-gapped
-environments with no dataset access.  The algorithm (xorshift64* stream per
-sample; draw order: scale, y0, x0, intensity, 784 noise values; glyph
-placement; separable 1-2-1 blur; clip) is implemented identically here
-(vectorized NumPy) and in ``native/dataloader.cpp`` (threaded C++), and the
-two agree to float rounding (≤1e-6) — ``tests/test_native.py`` asserts it.
+environments with no dataset access.  The v2 algorithm (round-1's saturated
+by epoch 5, making accuracy gates meaningless — VERDICT item 8) adds
+per-sample glyph shear, two overlapping distractor strokes and stronger
+noise on a wider intensity range, so the reference's ≥99%/≥96% accuracy
+targets actually discriminate.
+
+Per-sample xorshift64* stream; draw order: scale, y0, x0, intensity,
+shear, 2×(orient, pos, start, length, value) distractor strokes, 784 noise
+values; glyph placement with per-row shear offset; separable 1-2-1 blur;
+clip.  Implemented identically here (vectorized NumPy) and in
+``native/dataloader.cpp`` (threaded C++); the two agree to float rounding
+(≤1e-6) — ``tests/test_native.py`` asserts it.
 """
 
 from __future__ import annotations
@@ -44,6 +51,10 @@ def _uni(out: np.ndarray) -> np.ndarray:
     return (out >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
 
 
+NOISE_AMP = 0.30
+N_STROKES = 2
+
+
 def synthesize_images_numpy(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     labels = np.asarray(labels, np.int64)
     n = len(labels)
@@ -58,9 +69,12 @@ def synthesize_images_numpy(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     gh, gw = 7 * scale, 5 * scale
     y0 = (_uni(raw) * (28 - gh + 1)).astype(np.int64)
     s, raw = _xs_next(s)
-    x0 = (_uni(raw) * (28 - gw + 1)).astype(np.int64)
+    # keep 2px of shear headroom on each side
+    x0 = 2 + (_uni(raw) * (28 - gw - 4 + 1)).astype(np.int64)
     s, raw = _xs_next(s)
-    intensity = (0.8 + 0.4 * _uni(raw)).astype(np.float32)
+    intensity = (0.55 + 0.45 * _uni(raw)).astype(np.float32)
+    s, raw = _xs_next(s)
+    shear = _uni(raw) * 4.0 - 2.0           # total x drift over the glyph
 
     canvas = np.zeros((n, 28, 28), np.float32)
     glyph_arr = np.array(
@@ -72,10 +86,45 @@ def synthesize_images_numpy(labels: np.ndarray, seed: int = 0) -> np.ndarray:
             continue
         idx = np.nonzero(m)[0]
         big = np.kron(glyph_arr, np.ones((1, sc, sc), np.float32))  # 10,7s,5s
-        rows = y0[idx][:, None] + np.arange(7 * sc)                 # [k, gh]
-        cols = x0[idx][:, None] + np.arange(5 * sc)                 # [k, gw]
-        canvas[idx[:, None, None], rows[:, :, None], cols[:, None, :]] = \
+        ghs, gws = 7 * sc, 5 * sc
+        r = np.arange(ghs, dtype=np.float64)
+        # per-row integer x offset: floor(shear * r / (gh-1) + 0.5)
+        off = np.floor(shear[idx][:, None] * r / (ghs - 1)
+                       + 0.5).astype(np.int64)              # [k, gh]
+        rows = y0[idx][:, None] + np.arange(ghs)            # [k, gh]
+        cols = (x0[idx][:, None, None] + off[:, :, None]
+                + np.arange(gws))                           # [k, gh, gw]
+        cols = np.clip(cols, 0, 27)
+        canvas[idx[:, None, None], rows[:, :, None], cols] = \
             big[labels[idx]]
+
+    # distractor strokes: short horizontal/vertical bars overlapping the
+    # glyph region (max-composited so they read as clutter, not holes)
+    rows28 = np.arange(28)
+    for _stroke in range(N_STROKES):
+        s, raw = _xs_next(s)
+        orient = (raw & np.uint64(1)).astype(np.int64)      # 0=h, 1=v
+        s, raw = _xs_next(s)
+        pos = (_uni(raw) * 28).astype(np.int64)
+        s, raw = _xs_next(s)
+        start = (_uni(raw) * 20).astype(np.int64)
+        s, raw = _xs_next(s)
+        length = 4 + (_uni(raw) * 9).astype(np.int64)
+        s, raw = _xs_next(s)
+        val = (0.3 + 0.4 * _uni(raw)).astype(np.float32)
+        span = ((rows28 >= start[:, None])
+                & (rows28 < (start + length)[:, None]))     # [n, 28]
+        stroke_val = np.where(span, val[:, None], 0.0).astype(np.float32)
+        hi = orient == 0
+        if np.any(hi):
+            i = np.nonzero(hi)[0]
+            canvas[i, pos[i], :] = np.maximum(canvas[i, pos[i], :],
+                                              stroke_val[i])
+        vi = orient == 1
+        if np.any(vi):
+            i = np.nonzero(vi)[0]
+            canvas[i, :, pos[i]] = np.maximum(canvas[i, :, pos[i]],
+                                              stroke_val[i])
 
     # separable 1-2-1 blur with zero-padded borders (vertical, horizontal)
     pad = np.pad(canvas, ((0, 0), (1, 1), (0, 0)))
@@ -88,7 +137,7 @@ def synthesize_images_numpy(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     noise = np.empty((n, 784), np.float64)
     for i in range(784):
         s, raw = _xs_next(s)
-        noise[:, i] = (_uni(raw) - 0.5) * 0.16
+        noise[:, i] = (_uni(raw) - 0.5) * NOISE_AMP
     out = (canvas.reshape(n, 784) * intensity[:, None]
            + noise.astype(np.float32))
     return np.clip(out, 0.0, 1.0).astype(np.float32)
