@@ -350,9 +350,13 @@ class Trainer:
                                                  epoch_key)
                     init = (params, opt_state, jnp.float32(0.0),
                             jnp.float32(0.0), ti, tl)
+                    # unroll: tiny per-step programs (MLP) are dominated by
+                    # while-loop iteration overhead; 8x unrolling measures
+                    # ~25% faster end-to-end on v5e.
                     (params, opt_state, loss_sum, acc_sum, _, _), _ = (
                         jax.lax.scan(body, init,
-                                     (idxs, jnp.arange(num_steps))))
+                                     (idxs, jnp.arange(num_steps)),
+                                     unroll=8))
                     va_loss, va_acc = eval_split(params, vi, vl)
                     return (params, opt_state, loss_sum / num_steps,
                             acc_sum / num_steps, va_loss, va_acc)
