@@ -140,6 +140,14 @@ def main():
                        (qs.values, qs.scale, qs.zero_point, bs),
                        n_hi=200, n_lo=40), flops_s)
 
+    # int4: packed nibbles unpacked in-kernel (half int8's weight bytes)
+    q4s = quantize(ws, QuantizationConfig.int4())
+    report("pallas_q4_linear_serve_128x8192",
+           timeit_scan(lambda c, qv, sc, zp, bb: _chain(Q.linear_q4(
+               c, qv, sc, zp, bb, n_features=Ks)),
+               xs, (q4s.values, q4s.scale, q4s.zero_point, bs),
+               n_hi=200, n_lo=40), flops_s)
+
     # conv: direct (implicit-im2col) Pallas kernel vs XLA's native conv
     # emitter at the MNIST-CNN hot shape (batch 256, 32ch 3x3 same).
     xc = jax.random.normal(key, (256, 32, 28, 28)) * 0.1

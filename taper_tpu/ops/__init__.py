@@ -100,6 +100,12 @@ def linear(x, w, b=None, *, activation=None):
                                     None, epilogue=name, has_bias=False)
             return _q.linear_q8(x, w.values, w.scale, w.zero_point, b,
                                 epilogue=name, has_bias=True)
+        if (_Q8_KERNEL and w.qtype == QuantizationType.INT4
+                and get_backend() == "pallas" and w.shape[1] % 2 == 0):
+            from taper_tpu.ops.pallas import quant as _q
+            return _q.linear_q4(x, w.values, w.scale, w.zero_point, b,
+                                n_features=w.shape[1], epilogue=name,
+                                has_bias=b is not None)
         w = w.dequantize()
         return linear(x, w, b, activation=activation)
     impl = _impl()

@@ -1,19 +1,25 @@
-"""Dequant-on-load quantized matmul (Pallas, MXU).
+"""Dequant-on-load quantized matmul (Pallas, MXU): int8 and packed int4.
 
-The BASELINE.json north-star item: int8 weights stay packed in HBM; each
-weight tile is dequantized **inside the kernel** on its way through VMEM,
-so the f32 weights never exist in HBM (the reference instead dequantizes
-whole tensors up front and caches them — ``nn.rs:89-122`` — getting memory
-savings only at rest).
+The BASELINE.json north-star item: quantized weights stay packed in HBM;
+each weight tile is dequantized **inside the kernel** on its way through
+VMEM, so the f32 weights never exist in HBM (the reference instead
+dequantizes whole tensors up front and caches them — ``nn.rs:89-122`` —
+getting memory savings only at rest).
 
 Math trick: with affine weights ``w = (q − zp)·scale`` (per-tensor or
 per-output-channel), the layer output factorizes as
 
     y[m,n] = scale[n]·( Σ_k x[m,k]·q[n,k] )  −  scale[n]·zp[n]·( Σ_k x[m,k] )
 
-so the MXU runs on the raw int8 codes (cast to bf16 — exact for int8's
-integer range) and the affine correction is a cheap VPU epilogue using the
+so the MXU runs on the raw integer codes (cast to bf16 — exact for int8's
+range) and the affine correction is a cheap VPU epilogue using the
 per-tile row-sum of ``x``.  Symmetric weights (zp = 0) skip the correction.
+
+int4 layout trick: a packed tile unpacks to nibble columns in
+(evens, odds) order — re-interleaving them on the lane dim would cost a
+VPU relayout per tile, so instead the ACTIVATION's columns are permuted
+once at the XLA level to the same order (contraction order is free), and
+the kernel contracts the planar-unpacked tile directly.
 """
 
 from __future__ import annotations
@@ -137,6 +143,139 @@ def _linear_q8_jit(x, q, scale, zp, b, *, epilogue: str = "none",
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Np * Kp,
             bytes_accessed=4 * Mp * Kp + Np * Kp + 4 * Mp * Np,
+            transcendentals=0,
+        ),
+        interpret=_backend.pallas_interpret_mode(),
+    )(*args)
+    if (Mp, Np) != (M, N):
+        out = out[:M, :N]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# int4 (packed nibbles) dequant-on-load linear
+# ---------------------------------------------------------------------------
+
+def _q4_kernel(x_ref, q_ref, scale_ref, zp_ref, b_ref, o_ref,
+               xsum_ref, *, n_k, epilogue, has_bias):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        xsum_ref[:] = jnp.zeros_like(xsum_ref)
+
+    x = x_ref[:]                            # columns pre-permuted (see top)
+    # int32 arithmetic shifts sign-extend both nibbles without selects
+    # (Mosaic has no i8 vector shifts): byte b -> lo=(b<<28)>>28,
+    # hi=(b<<24)>>28 in two's complement.
+    q = q_ref[:].astype(jnp.int32)          # [bn, bk//2] packed bytes
+    lo = ((q << 28) >> 28).astype(jnp.bfloat16)
+    hi = ((q << 24) >> 28).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=1)   # [bn, bk] planar
+    o_ref[:] += jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xsum_ref[:] += jnp.sum(x, axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        scale = scale_ref[:]
+        zp = zp_ref[:]
+        out = o_ref[:] * scale - xsum_ref[:] * (scale * zp)
+        if has_bias:
+            out = out + b_ref[:]
+        if epilogue == "relu":
+            out = jnp.maximum(out, 0.0)
+        elif epilogue == "sigmoid":
+            out = jax.nn.sigmoid(out)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+def linear_q4(x, packed, scale, zp, b, *, n_features: int,
+              epilogue: str = "none", has_bias: bool = True):
+    """``y = x @ dequant(int4 packed)ᵀ (+ b)``.
+
+    ``packed``: flat uint8 nibbles from ``qtensor._pack_nibbles`` over a
+    row-major ``[N, K]`` weight (K must be even so rows stay byte-aligned);
+    ``n_features = K``.  Weight HBM traffic is K/2 bytes per row — half of
+    int8, an eighth of f32.
+    """
+    return _linear_q4_jit(x, packed, scale, zp, b, n_features=n_features,
+                          epilogue=epilogue, has_bias=has_bias,
+                          blocks=_BLOCK_OVERRIDE["blocks"])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_features", "epilogue", "has_bias",
+                                    "blocks"))
+def _linear_q4_jit(x, packed, scale, zp, b, *, n_features, epilogue,
+                   has_bias, blocks=None):
+    import numpy as np
+
+    M, K = x.shape
+    assert K == n_features and K % 2 == 0, (x.shape, n_features)
+    N = packed.size * 2 // K
+    q2 = packed.reshape(N, K // 2)
+
+    if blocks is not None:
+        pm, pn, pk = blocks
+    else:
+        pm = 1024 if M >= 1024 else _round_up(M, 8)
+        pn = min(8192, max(1024, (6 * 2 ** 20) // (4 * pm) // 128 * 128))
+        pk = 512
+    bm = _pick_block(M, pm, 8)
+    bn = _pick_block(N, pn, 128)
+    bk = min(_round_up(K, 256), _round_up(pk, 256))  # bk//2 lane-aligned
+    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
+
+    # Permute x's columns to the kernel's planar nibble order: within each
+    # bk-wide K block, even original columns first, then odd.
+    n_blocks = Kp // bk
+    base = np.arange(n_blocks)[:, None] * bk
+    inner = np.concatenate([np.arange(0, bk, 2), np.arange(1, bk, 2)])
+    perm = (base + inner[None, :]).reshape(-1)
+    xp = _pad2(x, Mp, Kp)[:, perm]
+
+    qp = _pad2(q2, Np, Kp // 2)
+    scale_row = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(-1), (N,))
+    zp_row = jnp.broadcast_to(
+        jnp.asarray(zp, jnp.float32).reshape(-1), (N,))
+    scale_p = jnp.pad(scale_row, (0, Np - N)).reshape(1, Np)
+    zp_p = jnp.pad(zp_row, (0, Np - N)).reshape(1, Np)
+    n_k = Kp // bk
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bn, bk // 2), lambda i, j, k: (j, k)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+    ]
+    args = [xp, qp, scale_p, zp_p]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
+        args.append(jnp.pad(b, (0, Np - N)).reshape(1, Np))
+        kernel = functools.partial(_q4_kernel, n_k=n_k, epilogue=epilogue,
+                                   has_bias=True)
+    else:
+        def kernel(x_ref, q_ref, s_ref, z_ref, o_ref, xs_ref):
+            _q4_kernel(x_ref, q_ref, s_ref, z_ref, None, o_ref,
+                       xs_ref, n_k=n_k, epilogue=epilogue, has_bias=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=4 * Mp * Kp + Np * Kp // 2 + 4 * Mp * Np,
             transcendentals=0,
         ),
         interpret=_backend.pallas_interpret_mode(),

@@ -113,3 +113,20 @@ def test_fit_device_on_mesh_matches_single_device():
         results.append((m.train_loss[-1], m.val_acc[-1]))
     np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+
+
+def test_fit_device_fused_on_mesh_matches_single_device():
+    """The single-dispatch all-epochs program under a (data x model) mesh
+    produces the same training trajectory as one device."""
+    ds = FakeDataset(n=256)
+    results = []
+    for mesh in (None, parallel.make_mesh(data=4, model=2)):
+        trainer = Trainer(_model(), optim.Adam(1e-2), seed=0, mesh=mesh,
+                          tensor_parallel=mesh is not None)
+        m = trainer.fit_device_fused(ds.images, ds.labels, ds.images[:128],
+                                     ds.labels[:128], epochs=3,
+                                     batch_size=64, early_stop_acc=2.0,
+                                     verbose=False)
+        results.append((list(m.train_loss), list(m.val_acc)))
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-4)

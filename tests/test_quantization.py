@@ -187,6 +187,28 @@ def test_quantized_params_checkpoint_roundtrip(tmp_path):
                                   np.asarray(qparams[0]["w"].values))
 
 
+def test_q4_dequant_on_load_linear_matches_reference():
+    # int4 dequant-on-load: packed nibbles unpacked planar in-kernel with
+    # the activation columns pre-permuted to match (quant.py, int4 trick).
+    from taper_tpu.ops.pallas import quant as q4
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32))
+    w = jax.random.normal(jax.random.PRNGKey(2), (24, 32)) * 0.5
+    b = jax.random.normal(jax.random.PRNGKey(3), (24,))
+    qt = quantize(w, QuantizationConfig.int4())
+    ref = x @ qt.dequantize().T + b
+    out = q4.linear_q4(x, qt.values, qt.scale, qt.zero_point, b,
+                       n_features=32)
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+    # relu epilogue + per-channel scales
+    qt_pc = quantize(w, QuantizationConfig.int4(
+        schema=QuantizationSchema.PER_CHANNEL))
+    ref2 = jnp.maximum(x @ qt_pc.dequantize().T + b, 0)
+    out2 = q4.linear_q4(x, qt_pc.values, qt_pc.scale, qt_pc.zero_point, b,
+                        n_features=32, epilogue="relu")
+    np.testing.assert_allclose(out2, ref2, atol=5e-2, rtol=5e-2)
+
+
 def test_dequantize_params_inverse():
     model, params = _trained_like_params()
     qparams = ptq.quantize_params(params, QuantizationConfig.float16())
