@@ -33,31 +33,54 @@ def parse_cifar_batch(data: bytes) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def synthesize_cifar(labels: np.ndarray, seed: int = 0) -> np.ndarray:
-    """[N, 3, 32, 32] synthetic class-texture images."""
+    """[N, 3, 32, 32] synthetic class-texture images (v2 — non-saturating).
+
+    Each class is a colored sinusoidal grating; v2 spaces class frequencies
+    closer, blends in a distractor grating from a random OTHER class,
+    randomizes contrast, drops a gray occluder patch on each image and
+    roughly doubles the noise, so accuracy gates discriminate instead of
+    pinning at 100% after one epoch (same motivation as the MNIST v2
+    renderer)."""
     rng = np.random.default_rng(seed)
     n = len(labels)
     yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
-    # class-specific grating frequency/orientation + color mix — drawn from
-    # a FIXED generator so train/test splits share class signatures (only
-    # the per-sample jitter below depends on the split seed)
-    freqs = 1.0 + np.arange(10) * 0.7          # cycles per image
+    # class signatures from a FIXED generator so train/test splits agree.
+    # Color is PER-SAMPLE (not class-tied): a class-colored palette was a
+    # one-epoch shortcut; identity lives only in grating angle+frequency.
+    freqs = 1.0 + np.arange(10) * 0.35         # cycles per image (closer)
     angles = np.arange(10) * (np.pi / 10)
-    colors = np.random.default_rng(42).uniform(
-        0.3, 1.0, (10, 3)).astype(np.float32)
+    colors = rng.uniform(0.3, 1.0, (n, 3)).astype(np.float32)
     out = np.empty((n, 3, 32, 32), np.float32)
     phase = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
-    jitter = rng.normal(0, 0.08, (n, 2)).astype(np.float32)
-    noise = rng.normal(0, 0.1, (n, 3, 32, 32)).astype(np.float32)
+    phase2 = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    jitter = rng.normal(0, 0.12, (n, 2)).astype(np.float32)
+    distract = rng.integers(0, 10, n)
+    contrast = rng.uniform(0.6, 1.0, n).astype(np.float32)
+    occ_y = rng.integers(0, 24, n)
+    occ_x = rng.integers(0, 24, n)
+    occ_s = rng.integers(4, 11, n)
+    occ_v = rng.uniform(0.2, 0.8, n).astype(np.float32)
+    noise = rng.normal(0, 0.14, (n, 3, 32, 32)).astype(np.float32)
+
+    def grating(cls_arr, idx, ph, amp):
+        a = angles[cls_arr] + jitter[idx, 0]
+        f = freqs[cls_arr] * (1.0 + jitter[idx, 1])
+        proj = (np.cos(a)[:, None, None] * xx
+                + np.sin(a)[:, None, None] * yy) / 32.0
+        return amp * (0.5 + 0.5 * np.sin(
+            2 * np.pi * f[:, None, None] * proj + ph[:, None, None]))
+
     for c in range(10):
         idx = np.nonzero(labels == c)[0]
         if len(idx) == 0:
             continue
-        a = angles[c] + jitter[idx, 0][:, None, None]
-        f = freqs[c] * (1.0 + jitter[idx, 1])[:, None, None]
-        proj = (np.cos(a) * xx + np.sin(a) * yy) / 32.0
-        tex = 0.5 + 0.5 * np.sin(2 * np.pi * f * proj
-                                 + phase[idx][:, None, None])
-        out[idx] = tex[:, None, :, :] * colors[c][None, :, None, None]
+        tex = grating(np.full(len(idx), c), idx, phase[idx], 1.0)
+        tex = tex + grating(distract[idx], idx, phase2[idx], 0.35)
+        tex = (tex / 1.35) * contrast[idx][:, None, None]
+        out[idx] = tex[:, None, :, :] * colors[idx][:, :, None, None]
+    for i in range(n):  # gray occluder patch
+        s = occ_s[i]
+        out[i, :, occ_y[i]:occ_y[i] + s, occ_x[i]:occ_x[i] + s] = occ_v[i]
     out += noise
     return np.clip(out, 0.0, 1.0)
 
@@ -91,8 +114,8 @@ class CIFAR10Dataset:
             seed = 0 if train else 1
             self.labels = np.random.default_rng(seed).integers(
                 0, 10, n).astype(np.int32)
-            cache = os.path.join(data_dir,
-                                 f"{'train' if train else 'test'}_syn.npy")
+            cache = os.path.join(
+                data_dir, f"{'train' if train else 'test'}_syn_v2.npy")
             if os.path.exists(cache):
                 self.images = np.load(cache)
             else:
