@@ -276,7 +276,7 @@ class Trainer:
     def _build_fit_program(self, n: int, batch_size: int, num_steps: int,
                            eval_batch_size: int, ev_steps: int, nv: int,
                            epochs: int, early_stop_acc: float,
-                           with_lr_schedule: bool):
+                           with_lr_schedule: bool, unroll: int = 1):
         """ALL epochs — train scan, eval scan, early stop — as ONE jitted
         XLA program.  The host dispatches once and fetches the per-epoch
         metric vectors once; there are no per-epoch host syncs at all
@@ -352,11 +352,12 @@ class Trainer:
                             jnp.float32(0.0), ti, tl)
                     # unroll: tiny per-step programs (MLP) are dominated by
                     # while-loop iteration overhead; 8x unrolling measures
-                    # ~25% faster end-to-end on v5e.
+                    # ~25% faster end-to-end on v5e.  Big bodies (CNNs)
+                    # keep unroll=1 — no win, much larger programs.
                     (params, opt_state, loss_sum, acc_sum, _, _), _ = (
                         jax.lax.scan(body, init,
                                      (idxs, jnp.arange(num_steps)),
-                                     unroll=8))
+                                     unroll=unroll))
                     va_loss, va_acc = eval_split(params, vi, vl)
                     return (params, opt_state, loss_sum / num_steps,
                             acc_sum / num_steps, va_loss, va_acc)
@@ -400,7 +401,8 @@ class Trainer:
                          val_labels, epochs: int, batch_size: int = 256,
                          early_stop_acc: float = 0.99, verbose: bool = True,
                          eval_batch_size: int = 2000,
-                         checkpoint_path: Optional[str] = None) -> Metrics:
+                         checkpoint_path: Optional[str] = None,
+                         unroll: int = 1) -> Metrics:
         """``fit_device`` with EVERY epoch fused into one XLA dispatch.
 
         The idiomatic end state of replacing the reference's eager loop
@@ -433,14 +435,15 @@ class Trainer:
         # Cache the jitted program: a rebuilt closure would retrace (and
         # redo the executable-cache lookup) on every fit call.
         sig = (n, batch_size, num_steps, eval_batch_size, ev_steps, nv,
-               epochs, early_stop_acc, lrs is not None)
+               epochs, early_stop_acc, lrs is not None, unroll)
         if not hasattr(self, "_fit_programs"):
             self._fit_programs = {}
         program = self._fit_programs.get(sig)
         if program is None:
             program = self._build_fit_program(
                 n, batch_size, num_steps, eval_batch_size, ev_steps, nv,
-                epochs, early_stop_acc, with_lr_schedule=lrs is not None)
+                epochs, early_stop_acc, with_lr_schedule=lrs is not None,
+                unroll=unroll)
             self._fit_programs[sig] = program
 
         t0 = time.perf_counter()
