@@ -2,11 +2,12 @@
 
 from taper_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated, param_sharding, shard_params,
+    optimizer_state_sharding,
 )
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "param_sharding",
-    "shard_params",
+    "shard_params", "optimizer_state_sharding",
 ]
 
 from taper_tpu.parallel.spmd import (  # noqa: E402

@@ -76,3 +76,32 @@ def param_sharding(mesh: Mesh, params, tensor_parallel: bool = False):
 def shard_params(params, shardings):
     """Place a parameter pytree according to a sharding pytree."""
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def optimizer_state_sharding(mesh: Mesh, params,
+                             tensor_parallel: bool = False,
+                             zero1: bool = False):
+    """Shardings for optimizer moment slots (m/v).
+
+    Default: mirror the parameter shardings.  ``zero1=True`` additionally
+    partitions each slot over the ``data`` axis (ZeRO-1: every DP rank
+    stores 1/N of the optimizer state; XLA reconstructs the update with a
+    per-step all-gather of the fresh params, which rides ICI).  A dim is
+    sharded over 'data' only when divisible and not already taken by
+    tensor parallelism.
+    """
+    dp = mesh.shape.get("data", 1)
+    base = param_sharding(mesh, params, tensor_parallel)
+
+    def rule(leaf, psh):
+        if not zero1 or dp == 1:
+            return psh
+        shape = np.shape(leaf)
+        spec = list(psh.spec) + [None] * (len(shape) - len(psh.spec))
+        for d in range(len(shape)):
+            if spec[d] is None and shape[d] % dp == 0 and shape[d] >= dp:
+                spec[d] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return psh
+
+    return jax.tree.map(rule, params, base)

@@ -121,7 +121,7 @@ class Trainer:
                  scheduler: Optional[opt_mod.LRScheduler] = None,
                  loss_fn: Callable = L.cross_entropy_loss,
                  seed: int = 0, mesh=None, tensor_parallel: bool = False,
-                 train_uses_rng: bool = False):
+                 zero1: bool = False, train_uses_rng: bool = False):
         self.model = model
         self.optimizer = optimizer
         self.scheduler = scheduler
@@ -129,6 +129,9 @@ class Trainer:
         self.metrics = Metrics()
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
+        # ZeRO-1: partition optimizer moments over the data axis (each DP
+        # rank stores 1/N of m/v; XLA all-gathers fresh params per step).
+        self.zero1 = zero1
         self.train_uses_rng = train_uses_rng
 
         key = jax.random.PRNGKey(seed)
@@ -153,12 +156,17 @@ class Trainer:
             p_shard = parallel.param_sharding(mesh, self.params,
                                               tensor_parallel)
             self.params = parallel.shard_params(self.params, p_shard)
-            # Optimizer slots (m/v/mask) mirror the param shardings;
-            # lr/step scalars are replicated.
-            for slot in ("m", "v", "mask"):
+            # Optimizer slots mirror the param shardings (plus ZeRO-1
+            # data-axis partitioning when enabled); lr/step replicated.
+            s_shard = parallel.optimizer_state_sharding(
+                mesh, self.params, tensor_parallel, zero1)
+            for slot in ("m", "v"):
                 if slot in self.opt_state:
                     self.opt_state[slot] = parallel.shard_params(
-                        self.opt_state[slot], p_shard)
+                        self.opt_state[slot], s_shard)
+            if "mask" in self.opt_state:
+                self.opt_state["mask"] = parallel.shard_params(
+                    self.opt_state["mask"], p_shard)
             self._batch_sharding = parallel.batch_sharding(mesh)
         else:
             self._batch_sharding = None
@@ -497,10 +505,15 @@ class Trainer:
             p_shard = parallel.param_sharding(self.mesh, self.params,
                                               self.tensor_parallel)
             self.params = parallel.shard_params(self.params, p_shard)
-            for slot in ("m", "v", "mask"):
+            s_shard = parallel.optimizer_state_sharding(
+                self.mesh, self.params, self.tensor_parallel, self.zero1)
+            for slot in ("m", "v"):
                 if slot in self.opt_state:
                     self.opt_state[slot] = parallel.shard_params(
-                        self.opt_state[slot], p_shard)
+                        self.opt_state[slot], s_shard)
+            if "mask" in self.opt_state:
+                self.opt_state["mask"] = parallel.shard_params(
+                    self.opt_state["mask"], p_shard)
 
     def fit_device(self, train_images, train_labels, val_images, val_labels,
                    epochs: int, batch_size: int = 256,

@@ -115,6 +115,36 @@ def test_fit_device_on_mesh_matches_single_device():
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
 
+def test_zero1_optimizer_state_sharding_and_equivalence():
+    """ZeRO-1: m/v partitioned over the data axis; training trajectory
+    identical to the replicated-state run."""
+    from jax.sharding import PartitionSpec as P
+
+    ds = FakeDataset(n=256)
+    mesh = parallel.make_mesh(data=8, model=1)
+    t_z = Trainer(_model(), optim.Adam(1e-2), seed=0, mesh=mesh, zero1=True)
+    # moment slots actually live sharded over 'data'
+    m_w = t_z.opt_state["m"][0]["w"]
+    assert "data" in tuple(m_w.sharding.spec), m_w.sharding
+    # lr/step scalars and params stay replicated
+    assert tuple(t_z.params[0]["w"].sharding.spec) in ((), (None,))
+
+    t_r = Trainer(_model(), optim.Adam(1e-2), seed=0, mesh=mesh)
+    results = []
+    for t in (t_z, t_r):
+        m = t.fit_device(ds.images, ds.labels, ds.images[:128],
+                         ds.labels[:128], epochs=2, batch_size=64,
+                         early_stop_acc=2.0, verbose=False)
+        from taper_tpu.train import Metrics
+        results.append((m.train_loss[-1], m.val_acc[-1]))
+        t.metrics = Metrics()
+    np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+    # sharding preserved through the update steps (donated buffers)
+    m_w2 = t_z.opt_state["m"][0]["w"]
+    assert "data" in tuple(m_w2.sharding.spec), m_w2.sharding
+
+
 def test_fit_device_fused_on_mesh_matches_single_device():
     """The single-dispatch all-epochs program under a (data x model) mesh
     produces the same training trajectory as one device."""
