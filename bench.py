@@ -81,14 +81,25 @@ def main():
     test_ds.images = jnp.asarray(test_ds.images)
     test_ds.labels = jnp.asarray(test_ds.labels)
 
+    import os
+
     results = {}
-    for backend in ("xla", "pallas"):
+    # "pallas_hybrid" = pallas backend with its measured conv dispatch
+    # (TAPER_CONV=xla): the GEMM/pool policies at their fastest, vs the
+    # all-kernels "pallas" row where stride-1 convs run the direct kernel.
+    for backend, conv in (("xla", None), ("pallas", "direct"),
+                          ("pallas_hybrid", "xla")):
         try:
-            epoch_s, acc, acc_final = bench_cnn(train_ds, test_ds, backend)
+            if conv is not None:
+                os.environ["TAPER_CONV"] = conv
+            epoch_s, acc, acc_final = bench_cnn(
+                train_ds, test_ds, backend.split("_")[0])
             results[backend] = (epoch_s, acc, acc_final)
         except Exception as e:  # keep the bench robust per-backend
             print(f"[bench] cnn backend={backend} failed: {e}",
                   file=sys.stderr)
+        finally:
+            os.environ.pop("TAPER_CONV", None)
 
     best_backend, (epoch_s, cnn_acc, cnn_acc_final) = min(
         results.items(), key=lambda kv: kv[1][0])
