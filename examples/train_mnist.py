@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--data-dir", default="data/mnist")
+    ap.add_argument("--fused", action="store_true",
+                    help="run ALL epochs in one XLA dispatch "
+                         "(Trainer.fit_device_fused)")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler device trace of one "
+                         "epoch into this directory (TensorBoard-loadable)")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -41,11 +47,21 @@ def main():
     trainer = Trainer(model, optim.Adam(args.lr, weight_decay=1e-4))
     print(f"params: {model.param_count(trainer.params):,}")
 
+    fit = (trainer.fit_device_fused if args.fused else trainer.fit_device)
     t0 = time.perf_counter()
-    trainer.fit_device(train_ds.images, train_ds.labels,
-                       test_ds.images, test_ds.labels, args.epochs,
-                       batch_size=args.batch_size, early_stop_acc=0.98)
+    fit(train_ds.images, train_ds.labels,
+        test_ds.images, test_ds.labels, args.epochs,
+        batch_size=args.batch_size, early_stop_acc=0.98)
     total = time.perf_counter() - t0
+
+    if args.profile:
+        from taper_tpu.utils.profiling import trace
+        with trace(args.profile):
+            trainer.fit_device(train_ds.images, train_ds.labels,
+                               test_ds.images, test_ds.labels, 1,
+                               batch_size=args.batch_size,
+                               early_stop_acc=2.0, verbose=False)
+        print(f"device trace written to {args.profile}")
     trainer.metrics.plot_summary()
     n_seen = (len(trainer.metrics.epoch_times)
               * (len(train_ds) // args.batch_size) * args.batch_size)
