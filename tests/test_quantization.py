@@ -209,6 +209,22 @@ def test_q4_dequant_on_load_linear_matches_reference():
     np.testing.assert_allclose(out2, ref2, atol=5e-2, rtol=5e-2)
 
 
+def test_q4_linear_via_ops_dispatch(monkeypatch):
+    # ops.linear routes INT4 QuantizedTensors to the q4 kernel under
+    # TAPER_Q8_KERNEL=1 + pallas backend.
+    import taper_tpu.ops as ops_mod
+
+    monkeypatch.setattr(ops_mod, "_Q8_KERNEL", True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    w = jax.random.normal(jax.random.PRNGKey(2), (12, 16)) * 0.5
+    b = jnp.zeros((12,))
+    qt = quantize(w, QuantizationConfig.int4())
+    ref = x @ qt.dequantize().T
+    with use_backend("pallas"):
+        out = ops_mod.linear(x, qt, b)
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+
 def test_dequantize_params_inverse():
     model, params = _trained_like_params()
     qparams = ptq.quantize_params(params, QuantizationConfig.float16())

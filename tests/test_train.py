@@ -101,6 +101,20 @@ def test_fit_device_fused_lr_schedule_and_plateau_rejection():
                             epochs=3, verbose=False)
 
 
+def test_fit_device_fused_checkpoints(tmp_path):
+    ds = FakeDataset(n=256)
+    trainer, _ = _small_trainer()
+    path = str(tmp_path / "fused.npz")
+    trainer.fit_device_fused(ds.images, ds.labels, ds.images, ds.labels,
+                             epochs=2, batch_size=64, early_stop_acc=2.0,
+                             verbose=False, checkpoint_path=path)
+    t2, _ = _small_trainer()
+    t2.load_checkpoint(path)
+    a = t2.evaluate(ds.images, ds.labels)
+    b = trainer.evaluate(ds.images, ds.labels)
+    np.testing.assert_allclose(a["loss"], b["loss"], atol=1e-6)
+
+
 def test_reset_parameters_gives_fresh_run():
     ds = FakeDataset(n=256)
     trainer, _ = _small_trainer()
