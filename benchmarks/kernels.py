@@ -21,7 +21,6 @@ v5e reference peaks: ~197 TFLOP/s bf16 MXU; HBM streams measured up to
 
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -42,29 +41,7 @@ from taper_tpu.quantization.config import QuantizationConfig  # noqa: E402
 from taper_tpu.quantization.qtensor import quantize  # noqa: E402
 
 
-def _run(jp, init, n, consts=()):
-    t0 = time.perf_counter()
-    out = jp(init, n, *consts)
-    # force real materialization (block_until_ready is unreliable here)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0][:1]))
-    return time.perf_counter() - t0
-
-
-def timeit_scan(step, init, consts=(), n_hi=60, n_lo=10, reps=3):
-    """Per-iteration seconds of ``step`` chained inside one scan program.
-
-    ``consts`` are threaded as jit ARGUMENTS — closure-captured arrays would
-    be constant-folded into the HLO (a 256 MB weight blows the remote
-    compiler's upload limit)."""
-    def prog(c, n, *cs):
-        return jax.lax.scan(lambda c, _: (step(c, *cs), None), c, None,
-                            length=n)[0]
-    jp = jax.jit(prog, static_argnums=(1,))
-    _run(jp, init, n_lo, consts)   # compile both lengths
-    _run(jp, init, n_hi, consts)
-    t_lo = min(_run(jp, init, n_lo, consts) for _ in range(reps))
-    t_hi = min(_run(jp, init, n_hi, consts) for _ in range(reps))
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+from benchmarks.timing import timeit_scan  # noqa: E402
 
 
 def report(name, secs, flops=None, gbytes=None):

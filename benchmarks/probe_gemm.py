@@ -9,7 +9,6 @@ Run: python benchmarks/probe_gemm.py   (TPU; one process at a time)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -23,26 +22,7 @@ enable_compilation_cache()
 
 from taper_tpu.ops.pallas import gemm as G  # noqa: E402
 
-N_HI, N_LO = 60, 10
-
-
-def _run(jp, init, n, consts=()):
-    t0 = time.perf_counter()
-    out = jp(init, n, *consts)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0][:1]))
-    return time.perf_counter() - t0
-
-
-def timeit_scan(step, init, consts=()):
-    def prog(c, n, *cs):
-        return jax.lax.scan(lambda c, _: (step(c, *cs), None), c, None,
-                            length=n)[0]
-    jp = jax.jit(prog, static_argnums=(1,))
-    _run(jp, init, N_LO, consts)
-    _run(jp, init, N_HI, consts)
-    t_lo = min(_run(jp, init, N_LO, consts) for _ in range(2))
-    t_hi = min(_run(jp, init, N_HI, consts) for _ in range(2))
-    return max(t_hi - t_lo, 1e-9) / (N_HI - N_LO)
+from benchmarks.timing import timeit_scan  # noqa: E402
 
 
 def main():

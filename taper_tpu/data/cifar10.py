@@ -54,7 +54,8 @@ def synthesize_cifar(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     phase = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     phase2 = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     jitter = rng.normal(0, 0.12, (n, 2)).astype(np.float32)
-    distract = rng.integers(0, 10, n)
+    # distractor is always a DIFFERENT class (own+1..own+9 mod 10)
+    distract = (labels + 1 + rng.integers(0, 9, n)) % 10
     contrast = rng.uniform(0.6, 1.0, n).astype(np.float32)
     occ_y = rng.integers(0, 24, n)
     occ_x = rng.integers(0, 24, n)

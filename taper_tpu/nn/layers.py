@@ -256,6 +256,14 @@ class BatchNorm2d(Module):
             var = params["running_var"]
         return self._normalize(x, mean, var, params["scale"], params["bias"])
 
+    @staticmethod
+    def _unbias(var, x):
+        """Bessel-correct the batch variance for the running-stat EMA
+        (normalization itself uses the biased batch variance — the
+        standard BatchNorm convention)."""
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        return var * (n / max(n - 1, 1))
+
     def apply_train(self, params, x, *, rng=None):
         """Normalize with batch stats AND return updated running stats
         (stop-gradiented: the EMA update is state, not a loss path)."""
@@ -263,12 +271,13 @@ class BatchNorm2d(Module):
         var = jnp.var(x, axis=(0, 2, 3))
         y = self._normalize(x, mean, var, params["scale"], params["bias"])
         m = self.momentum
+        uvar = self._unbias(var, x)
         new_params = {
             **params,
             "running_mean": jax.lax.stop_gradient(
                 (1 - m) * params["running_mean"] + m * mean),
             "running_var": jax.lax.stop_gradient(
-                (1 - m) * params["running_var"] + m * var),
+                (1 - m) * params["running_var"] + m * uvar),
         }
         return y, new_params
 
@@ -280,7 +289,8 @@ class BatchNorm2d(Module):
         return {
             **params,
             "running_mean": (1 - m) * params["running_mean"] + m * mean,
-            "running_var": (1 - m) * params["running_var"] + m * var,
+            "running_var": ((1 - m) * params["running_var"]
+                            + m * self._unbias(var, x)),
         }
 
 

@@ -113,8 +113,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, p_ref, *, kh, kw, c,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _dw_kernel(x_ref, g_ref, o_ref, p_ref, *, kh, kw, c, ho, wo,
-               n_steps):
+def _dw_kernel(x_ref, g_ref, o_ref, p_ref, *, kh, kw, c, ho, wo):
     @pl.when(pl.program_id(0) == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
@@ -205,8 +204,7 @@ def _conv_dw_nhwc(x, g, *, kh, kw, padding):
     n_steps = n_pad // nb
 
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, kh=kh, kw=kw, c=c, ho=ho, wo=wo,
-                          n_steps=n_steps),
+        functools.partial(_dw_kernel, kh=kh, kw=kw, c=c, ho=ho, wo=wo),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((nb, hp, wp, c), lambda g_: (g_, 0, 0, 0)),

@@ -111,10 +111,13 @@ class Optimizer:
     # real 700MB).  The tree path is therefore the default at every size;
     # set TAPER_FUSED_OPT=1 to force the flat Pallas formulation (kept for
     # study/bench parity with the reference's single-loop updates).
-    FORCE_FUSED = os.environ.get("TAPER_FUSED_OPT", "0") == "1"
+    FORCE_FUSED = False  # programmatic hook; the env var is read per call
+    # (like TAPER_CONV/TAPER_POOL) so setting it after import works.
 
     def _use_fused(self, params=None) -> bool:
-        return self.FORCE_FUSED and _backend.get_backend() == "pallas"
+        force = (self.FORCE_FUSED
+                 or os.environ.get("TAPER_FUSED_OPT", "0") == "1")
+        return force and _backend.get_backend() == "pallas"
 
 
 class SGD(Optimizer):
@@ -274,6 +277,11 @@ class LRScheduler:
     def get_lr(self) -> float:
         return self.lr
 
+    def reset(self) -> None:
+        """Back to the initial schedule state (fresh training run)."""
+        self.lr = self.initial_lr
+        self.epoch = 0
+
     def _compute(self, metric) -> float:
         raise NotImplementedError
 
@@ -325,6 +333,11 @@ class ReduceLROnPlateau(LRScheduler):
         self.min_lr = float(min_lr)
         self.threshold = float(threshold)
         self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def reset(self) -> None:
+        super().reset()
+        self.best = None
         self.bad_epochs = 0
 
     def _compute(self, metric):

@@ -134,32 +134,36 @@ class Trainer:
         self.zero1 = zero1
         self.train_uses_rng = train_uses_rng
 
+        self._init_state(seed)
+        self._batch_sharding = (parallel.batch_sharding(mesh)
+                                if mesh is not None else None)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def _init_state(self, seed: int) -> None:
+        """(Re)initialize params + optimizer state, sharded onto the mesh
+        when one is configured — shared by __init__ and reset_parameters."""
         key = jax.random.PRNGKey(seed)
         self.init_key, self.dropout_key = jax.random.split(key)
-        self.params = model.init(self.init_key)
+        self.params = self.model.init(self.init_key)
         # Models with BatchNorm carry running stats that the train step
         # must thread through apply_train and merge after the update.
         self._stateful = _has_running_state(self.params)
-        if mesh is not None:
+        if self.mesh is not None:
             # Sharded params must keep the tree-form optimizer state: the
             # fused flat path would ravel (all-gather) the whole pytree
             # every step.  update() dispatches on the state representation,
             # so forcing tree-form at init pins the right path.
             from taper_tpu.ops import use_backend as _ub
             with _ub("xla"):
-                self.opt_state = optimizer.init(self.params)
-        else:
-            self.opt_state = optimizer.init(self.params)
-        self._step_count = 0
-
-        if mesh is not None:
-            p_shard = parallel.param_sharding(mesh, self.params,
-                                              tensor_parallel)
+                self.opt_state = self.optimizer.init(self.params)
+            p_shard = parallel.param_sharding(self.mesh, self.params,
+                                              self.tensor_parallel)
             self.params = parallel.shard_params(self.params, p_shard)
             # Optimizer slots mirror the param shardings (plus ZeRO-1
             # data-axis partitioning when enabled); lr/step replicated.
             s_shard = parallel.optimizer_state_sharding(
-                mesh, self.params, tensor_parallel, zero1)
+                self.mesh, self.params, self.tensor_parallel, self.zero1)
             for slot in ("m", "v"):
                 if slot in self.opt_state:
                     self.opt_state[slot] = parallel.shard_params(
@@ -167,12 +171,9 @@ class Trainer:
             if "mask" in self.opt_state:
                 self.opt_state["mask"] = parallel.shard_params(
                     self.opt_state["mask"], p_shard)
-            self._batch_sharding = parallel.batch_sharding(mesh)
         else:
-            self._batch_sharding = None
-
-        self._train_step = self._build_train_step()
-        self._eval_step = self._build_eval_step()
+            self.opt_state = self.optimizer.init(self.params)
+        self._step_count = 0
 
     # -- compiled steps ----------------------------------------------------
 
@@ -488,32 +489,13 @@ class Trainer:
         return self.metrics
 
     def reset_parameters(self, seed: int = 0) -> None:
-        """Re-initialize params + optimizer state (fresh training run while
-        reusing already-compiled programs of identical shapes)."""
-        key = jax.random.PRNGKey(seed)
-        self.init_key, self.dropout_key = jax.random.split(key)
-        self.params = self.model.init(self.init_key)
-        if self.mesh is not None:
-            # Tree-form optimizer state under meshes (see __init__).
-            from taper_tpu.ops import use_backend as _ub
-            with _ub("xla"):
-                self.opt_state = self.optimizer.init(self.params)
-        else:
-            self.opt_state = self.optimizer.init(self.params)
+        """Fresh training run (params, optimizer state, metrics AND the
+        host-side LR schedule) while reusing already-compiled programs of
+        identical shapes."""
+        self._init_state(seed)
         self.metrics = Metrics()
-        if self.mesh is not None:
-            p_shard = parallel.param_sharding(self.mesh, self.params,
-                                              self.tensor_parallel)
-            self.params = parallel.shard_params(self.params, p_shard)
-            s_shard = parallel.optimizer_state_sharding(
-                self.mesh, self.params, self.tensor_parallel, self.zero1)
-            for slot in ("m", "v"):
-                if slot in self.opt_state:
-                    self.opt_state[slot] = parallel.shard_params(
-                        self.opt_state[slot], s_shard)
-            if "mask" in self.opt_state:
-                self.opt_state["mask"] = parallel.shard_params(
-                    self.opt_state["mask"], p_shard)
+        if self.scheduler is not None:
+            self.scheduler.reset()
 
     def fit_device(self, train_images, train_labels, val_images, val_labels,
                    epochs: int, batch_size: int = 256,
