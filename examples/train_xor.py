@@ -21,7 +21,7 @@ def main():
     x = jnp.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
     y = jnp.array([[0.0], [1.0], [1.0], [0.0]])
 
-    opt = optim.SGD(lr=0.5)
+    opt = optim.SGD(lr=0.1)  # the reference's lr (main.rs:33)
     opt_state = opt.init(params)
 
     def step(carry, _):
@@ -37,7 +37,7 @@ def main():
             step, (params, opt_state), None, length=epochs)
         return params, losses_
 
-    params, curve = train(params, opt_state, 5000)
+    params, curve = train(params, opt_state, 50_000)  # main.rs:20-50
     preds = model.apply(params, x)
     print(f"loss: {float(curve[0]):.4f} → {float(curve[-1]):.4f}")
     for xi, yi, pi in zip(x, y, preds):
