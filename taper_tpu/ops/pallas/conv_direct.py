@@ -28,13 +28,41 @@ Backward (full custom VJP, unlike the reference's severed conv grads):
 benchmarks/tune_all.py methodology):** XLA's convolution emitter — which
 performs implicit windowing in its own internal tiled layouts without ever
 materializing patches OR lane-padding C=32 feature dims — runs the MNIST
-CNN conv shapes at 18-28us; this kernel measures 117-1469us, bottlenecked
+CNN conv shapes at 18-41us; this kernel measures 117-1469us, bottlenecked
 by the VPU relayout copies that assemble the patch scratch when C < 128
 lanes (a DMA-based assembly is rejected by the hardware's 128-lane slice
 alignment).  The pallas backend still uses this kernel by default — the
 backend's contract is hand-written kernels, and round 1's silent
 delegation hid that gap — but ``TAPER_CONV=xla`` restores the measured-
 fastest hybrid dispatch.
+
+**Formulation study (why this gap is structural, not a tuning miss —
+probes in ``benchmarks/probe_conv_split.py`` / ``proto_conv_taps.py``,
+conv 32→32 28×28 batch 256):**
+
+* split probe: assembly-only = 783us of the full kernel's 900us (87%);
+  the f32 MXU dot accounts for ~120us; a bf16-input dot changes nothing
+  (the kernel is relayout-bound, not MXU-bound); a dot over a
+  pre-materialized HBM patch matrix is WORSE (1395us — 231 MB of HBM
+  reads), re-confirming in-VMEM assembly over round 1's materialization.
+* tap decomposition (no patch scratch at all: y += dot(x[:, i:i+ho,
+  j:j+wo, :].reshape(R, C), W_tap) — slices move sublanes only, lanes
+  stay = C): 1234us.  Assembly relayout is gone but each of the kh·kw
+  dots pads K=C=32 to the 128-lane MXU contraction, so the MXU does 4x
+  the work at 1/3 f32 pass rate — the waste just moves from the VPU to
+  the MXU.  (For C == 1 a pure-VPU broadcast-FMA tap variant is exact
+  f32 — 2.5e-8 vs a float64 reference, where XLA's emitter shows 6e-4
+  single-pass-bf16 error — but is equally slow, 876us.)
+* the structural dead end: a 2D MXU dot contracts over [lanes of A] x
+  [sublanes of B], and the im2col axis (c, kh, kw) mixes the channel
+  (lane) dim with spatial-shift (sublane) dims.  Every layout assignment
+  therefore either interleaves lanes during assembly (relayout), makes
+  K=C alone (MXU padding waste at C<128), or reshapes major dims onto
+  lanes at dot time (relayout again, incl. in CHWN batch-on-lanes
+  layouts).  XLA's conv emitter sidesteps the trilemma with windowed MXU
+  feeds that Mosaic does not expose to custom kernels.  Hence the
+  dispatch knob: hand kernels where they win (GEMM, int8/int4 serving),
+  XLA's emitter where it is provably unreachable.
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from taper_tpu import losses as L
 
@@ -35,7 +35,7 @@ def make_dp_train_step(model, optimizer, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data")),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(params, opt_state, x, y):
         def loss_of(p):
