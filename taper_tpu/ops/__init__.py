@@ -156,8 +156,16 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
                               padding=padding)
 
 
+def attention(q, k, v, *, causal=False, scale=None):
+    """Scaled dot-product attention over ``[B, H, S, D]`` (beyond-reference
+    transformer extension — SURVEY.md §5.7 notes the reference has none).
+    The pallas backend runs the flash kernel (O(S·D) HBM traffic); xla
+    materializes the S×S score matrix."""
+    return _impl().attention(q, k, v, causal=causal, scale=scale)
+
+
 __all__ = [
     "set_backend", "get_backend", "use_backend", "on_tpu",
     "relu", "sigmoid", "add", "mul", "fma", "matmul", "linear",
-    "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d",
+    "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d", "attention",
 ]

@@ -1,0 +1,337 @@
+"""Flash attention (fwd + bwd) Pallas kernels.
+
+Beyond-reference scope: the reference has no attention/transformer anywhere
+(SURVEY.md §5.7) — this is the framework's transformer extension, and the
+workload where a hand kernel structurally beats XLA on TPU: XLA must
+materialize the ``[B, H, S, S]`` score matrix in HBM (it cannot fuse a
+softmax between two matmuls), so its attention is O(S²) HBM traffic.  The
+flash formulation streams K/V blocks through VMEM with an online softmax,
+keeping HBM traffic O(S·D): reads Q/K/V once, writes O once.
+
+Forward (flash-attention-2 style):
+  grid (B·H, Sq/bq, Sk/bk), KV innermost; scratch carries the running
+  row-max ``m``, row-sum ``l`` and the f32 output accumulator across KV
+  blocks; the output block is written once at the last KV step, and the
+  per-row logsumexp is saved for the backward pass.
+
+Backward: two kernels (the standard flash split) —
+  * dQ:   grid (B·H, Sq/bq, Sk/bk), KV innermost, accumulates
+          dQ += dS·K with dS = P∘(dP − δ)·scale, P recomputed from the
+          saved logsumexp (no S×S materialization here either);
+  * dK/dV: grid (B·H, Sk/bk, Sq/bq), Q innermost, accumulates
+          dV += Pᵀ·dO and dK += dSᵀ·Q.
+  δ = rowsum(dO∘O) is a cheap elementwise reduction left to XLA.
+
+Numerics: softmax statistics, logits and accumulators are f32 regardless of
+input dtype (bf16 inputs run bf16 MXU passes with f32 accumulation); causal
+masking uses −inf pre-softmax.  Fully-masked rows cannot occur because
+``bq ≤ bk`` is enforced, so every row of a visited causal block has at
+least one unmasked column (the diagonal).
+
+Causality skips whole blocks above the diagonal via ``pl.when`` (compute
+saved; the prefetch pipeline still streams the blocks).
+
+Dispatch: sequence lengths must be multiples of 128 (the lane width) and
+``Sq == Sk`` for causal; anything else falls back to the XLA oracle —
+same measured-dispatch policy as the conv/pool families.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taper_tpu.ops import backend as _backend
+
+_NEG_INF = float("-inf")
+
+
+def _blocks(sq: int, sk: int):
+    """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk."""
+    def best(s, cap):
+        for c in (cap, 256, 128):
+            if c <= cap and s % c == 0:
+                return c
+        return s
+    bk = best(sk, 512)
+    bq = best(sq, min(256, bk))
+    return bq, bk
+
+
+def _mask(s, iq, ik, bq, bk):
+    rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(rows >= cols, s, _NEG_INF)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
+                *, scale, causal, bq, bk, nk):
+    iq, ik = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    def body():
+        q = q_ref[0]
+        s = jax.lax.dot_general(
+            q, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            s = _mask(s, iq, ik, bq, bk)
+        m_prev = m_sc[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_sc[:] = jnp.broadcast_to(
+            l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
+            l_sc.shape)
+        m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] * corr + pv
+
+    if causal:
+        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+    else:
+        body()
+
+    @pl.when(ik == nk - 1)
+    def _fin():
+        l = l_sc[:, :1]
+        o_ref[0] = (acc_sc[:] / l).astype(o_ref.dtype)
+        # lse rows are replicated over 8 sublanes: Mosaic requires output
+        # block sublane dims divisible by 8, and (1, bq) blocks are not.
+        lse_ref[0] = jnp.broadcast_to(
+            (m_sc[:, :1] + jnp.log(l))[:, 0][None, :], lse_ref.shape[1:])
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
+               dq_sc, *, scale, causal, bq, bk, nk):
+    iq, ik = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    def body():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            s = _mask(s, iq, ik, bq, bk)
+        p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
+        dq_sc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+    else:
+        body()
+
+    @pl.when(ik == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, bq, bk,
+                nq):
+    ik, iq = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    def body():
+        q = q_ref[0]
+        k = k_ref[0]
+        do = do_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            s = _mask(s, iq, ik, bq, bk)
+        p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+        pv = p.astype(do.dtype)
+        dv_sc[:] += jax.lax.dot_general(
+            pv, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
+        dk_sc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+    else:
+        body()
+
+    @pl.when(iq == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_fwd(q, k, v, causal, scale):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq, bk = _blocks(sq, sk)
+    nq, nk = sq // bq, sk // bk
+    bh = b * h
+    q3 = q.reshape(bh, sq, d)
+    k3 = k.reshape(bh, sk, d)
+    v3 = v.reshape(bh, sk, d)
+
+    o3, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk, nk=nk),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * bh * (sq + 2 * sk + sq) * d,
+            transcendentals=bh * sq * sk),
+        interpret=_backend.pallas_interpret_mode(),
+    )(q3, k3, v3)
+    return o3.reshape(b, h, sq, d), lse
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq, bk = _blocks(sq, sk)
+    nq, nk = sq // bq, sk // bk
+    bh = b * h
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1).reshape(bh, 1, sq)
+    delta = jnp.broadcast_to(delta, (bh, 8, sq))
+    q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
+    do3 = do.reshape(bh, sq, d)
+
+    spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
+    spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0))
+    spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk, nk=nk),
+        grid=(bh, nq, nk),
+        in_specs=[spec_q, spec_k, spec_k, spec_q, spec_r, spec_r],
+        out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq * sk * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 2 * sk) * d,
+            transcendentals=bh * sq * sk),
+        interpret=_backend.pallas_interpret_mode(),
+    )(q3, k3, v3, do3, lse, delta)
+
+    # dK/dV: grid transposed — KV block is the revisited output, Q inner.
+    spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
+    spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+    spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk, nq=nq),
+        grid=(bh, nk, nq),
+        in_specs=[spec_q_t, spec_k_t, spec_k_t, spec_q_t, spec_r_t,
+                  spec_r_t],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq * sk * d // (2 if causal else 1),
+            bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 4 * sk) * d,
+            transcendentals=bh * sq * sk),
+        interpret=_backend.pallas_interpret_mode(),
+    )(q3, k3, v3, do3, lse, delta)
+
+    shp = (b, h, sq, d)
+    return dq.reshape(shp), dk.reshape(b, h, sk, d), dv.reshape(b, h, sk, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, causal=False, scale=None):
+    """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, _ = _flash_fwd(q, k, v, causal, scale)
+    return o
+
+
+def _flash_vjp_fwd(q, k, v, causal, scale):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, lse = _flash_fwd(q, k, v, causal, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(causal, scale, res, do):
+    q, k, v, o, lse = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_bwd_impl(q, k, v, o, lse, do, causal, scale)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def attention(q, k, v, *, causal=False, scale=None):
+    """Backend entry: flash kernel when shapes qualify, XLA oracle
+    otherwise (sequences must be lane-aligned; causal needs Sq == Sk)."""
+    sq, sk = q.shape[2], k.shape[2]
+    ok = sq % 128 == 0 and sk % 128 == 0 and (not causal or sq == sk)
+    if not ok:
+        from taper_tpu.ops import xla as _xla
+        return _xla.attention(q, k, v, causal=causal, scale=scale)
+    return flash_attention(q, k, v, causal, scale)

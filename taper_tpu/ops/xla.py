@@ -162,3 +162,28 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
                  (padding[1], padding[1])),
     )
     return summed / counts
+
+
+def attention(q, k, v, *, causal=False, scale=None):
+    """Scaled dot-product attention (oracle path).
+
+    ``q, k, v``: ``[B, H, S, D]``.  Softmax statistics are computed in f32
+    regardless of input dtype (bf16 inputs keep f32 logits/weights), the
+    output is cast back to the input dtype.
+
+    Beyond-reference scope: the reference has no attention anywhere
+    (SURVEY.md §5.7); this is the framework's transformer extension.  XLA
+    materializes the ``[B, H, S, S]`` score matrix in HBM — the Pallas
+    flash kernel (``pallas/attention.py``) streams it through VMEM instead.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+        s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
