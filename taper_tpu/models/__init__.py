@@ -2,5 +2,6 @@
 
 from taper_tpu.models.mnist import mnist_mlp, mnist_cnn, xor_mlp
 from taper_tpu.models.resnet import resnet8
+from taper_tpu.models.transformer import TinyGPT
 
-__all__ = ["mnist_mlp", "mnist_cnn", "xor_mlp", "resnet8"]
+__all__ = ["mnist_mlp", "mnist_cnn", "xor_mlp", "resnet8", "TinyGPT"]

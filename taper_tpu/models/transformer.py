@@ -1,0 +1,75 @@
+"""Decoder-only transformer LM (beyond-reference model family).
+
+The reference's model zoo stops at MLP/CNN (SURVEY.md §2.11); this adds
+the architecture TPUs are actually sized for.  GPT-2-style: learned token
++ position embeddings, pre-LN blocks, final LayerNorm, tied or untied LM
+head.  Residual-output projections are scaled by ``1/sqrt(2·depth)`` so
+activations stay O(1) at init regardless of depth.
+
+``compute_dtype=jnp.bfloat16`` runs the trunk in bf16 (single-pass MXU)
+while keeping params, LayerNorm statistics, the flash-attention softmax
+and the logits in f32 — the standard TPU mixed-precision recipe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from taper_tpu.nn.module import Module
+from taper_tpu.nn.transformer import Embedding, LayerNorm, TransformerBlock
+
+
+class TinyGPT(Module):
+    """Causal LM over integer tokens ``[B, S] -> logits [B, S, vocab]``."""
+
+    def __init__(self, vocab_size: int, dim: int = 128, depth: int = 2,
+                 num_heads: int = 2, max_seq: int = 256,
+                 mlp_ratio: int = 4, tied_head: bool = True,
+                 dropout: float = 0.0,
+                 compute_dtype: Optional[jnp.dtype] = None):
+        self.vocab_size = vocab_size
+        self.dim = dim
+        self.depth = depth
+        self.max_seq = max_seq
+        self.tied_head = tied_head
+        self.compute_dtype = compute_dtype
+        out_std = 0.02 / math.sqrt(2 * depth)
+        self.tok = Embedding(vocab_size, dim)
+        self.pos = Embedding(max_seq, dim)
+        self.blocks = [TransformerBlock(dim, num_heads, causal=True,
+                                        mlp_ratio=mlp_ratio,
+                                        dropout=dropout,
+                                        out_init_std=out_std)
+                       for _ in range(depth)]
+        self.ln_f = LayerNorm(dim)
+
+    def init(self, key):
+        ks = jax.random.split(key, 3 + self.depth + (not self.tied_head))
+        p = {"tok": self.tok.init(ks[0]), "pos": self.pos.init(ks[1]),
+             "blocks": [blk.init(k)
+                        for blk, k in zip(self.blocks, ks[2:2 + self.depth])],
+             "ln_f": self.ln_f.init(ks[2 + self.depth])}
+        if not self.tied_head:
+            p["head"] = jax.random.normal(
+                ks[-1], (self.vocab_size, self.dim), jnp.float32) * 0.02
+        return p
+
+    def apply(self, params, tokens, *, train=False, rng=None):
+        b, s = tokens.shape
+        assert s <= self.max_seq, (s, self.max_seq)
+        x = (self.tok.apply(params["tok"], tokens)
+             + self.pos.apply(params["pos"], jnp.arange(s)))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        rngs = (jax.random.split(rng, self.depth)
+                if rng is not None else [None] * self.depth)
+        for blk, bp, r in zip(self.blocks, params["blocks"], rngs):
+            x = blk.apply(bp, x, train=train, rng=r)
+        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
+        head = (params["tok"]["w"] if self.tied_head
+                else params["head"])
+        return jnp.einsum("bse,ve->bsv", x, head)

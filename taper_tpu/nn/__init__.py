@@ -7,6 +7,9 @@ from taper_tpu.nn.layers import (
     MaxPool2d, AvgPool2d, AdaptiveAvgPool2d,
     Flatten, Dropout, BatchNorm2d, BasicBlock,
 )
+from taper_tpu.nn.transformer import (
+    LayerNorm, Embedding, MultiHeadAttention, MLPBlock, TransformerBlock,
+)
 
 __all__ = [
     "Module", "Sequential",
@@ -14,4 +17,6 @@ __all__ = [
     "Conv2d", "Conv2dReLU", "conv3x3", "conv1x1",
     "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d",
     "Flatten", "Dropout", "BatchNorm2d", "BasicBlock",
+    "LayerNorm", "Embedding", "MultiHeadAttention", "MLPBlock",
+    "TransformerBlock",
 ]

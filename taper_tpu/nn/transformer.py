@@ -1,0 +1,185 @@
+"""Transformer building blocks (beyond-reference scope).
+
+The reference has no attention, no sequence dimension, no normalization
+layer of any kind (SURVEY.md §5.7: "no attention, no transformer");
+this module extends the framework with the layers a modern TPU workload
+actually runs: LayerNorm, Embedding, multi-head attention over the flash
+kernel (``ops.attention``), and the pre-LN transformer block.
+
+Everything follows the repo's functional module contract
+(``nn/module.py``): static config on the module, params as plain pytrees,
+pure ``apply``.  Mixed precision is a first-class knob — params stay f32,
+``compute_dtype=jnp.bfloat16`` casts activations so matmuls/attention run
+single-pass bf16 on the MXU while LayerNorm statistics and the softmax
+(inside the flash kernel) stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from taper_tpu import ops
+from taper_tpu.nn.module import Module
+from taper_tpu.nn.layers import Dropout
+
+
+class LayerNorm(Module):
+    """LayerNorm over the last axis; statistics in f32 at any input dtype."""
+
+    def __init__(self, dim: int, eps: float = 1e-5):
+        self.dim = dim
+        self.eps = eps
+
+    def init(self, key):
+        return {"g": jnp.ones((self.dim,), jnp.float32),
+                "b": jnp.zeros((self.dim,), jnp.float32)}
+
+    def apply(self, params, x, *, train=False, rng=None):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * params["g"] + params["b"]).astype(x.dtype)
+
+
+class Embedding(Module):
+    """Token/position embedding table ``[num_embeddings, dim]``."""
+
+    def __init__(self, num_embeddings: int, dim: int, init_std: float = 0.02):
+        self.num_embeddings = num_embeddings
+        self.dim = dim
+        self.init_std = init_std
+
+    def init(self, key):
+        w = jax.random.normal(key, (self.num_embeddings, self.dim),
+                              jnp.float32) * self.init_std
+        return {"w": w}
+
+    def apply(self, params, ids, *, train=False, rng=None):
+        return jnp.take(params["w"], ids, axis=0)
+
+
+def _proj(x2, w, b):
+    """[R, E_in] @ w[E_out, E_in]^T + b, at the activation dtype."""
+    return ops.linear(x2, w.astype(x2.dtype),
+                      None if b is None else b.astype(x2.dtype))
+
+
+class MultiHeadAttention(Module):
+    """Multi-head self-attention over ``ops.attention`` (flash on the
+    pallas backend; oracle on xla).  Input ``[B, S, E]``."""
+
+    def __init__(self, dim: int, num_heads: int, causal: bool = True,
+                 bias: bool = True, init_std: float = 0.02,
+                 out_init_std: Optional[float] = None):
+        assert dim % num_heads == 0, (dim, num_heads)
+        self.dim = dim
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.causal = causal
+        self.use_bias = bias
+        self.init_std = init_std
+        self.out_init_std = (init_std if out_init_std is None
+                             else out_init_std)
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        def w(k, std):
+            return jax.random.normal(
+                k, (self.dim, self.dim), jnp.float32) * std
+        p = {"wq": w(ks[0], self.init_std), "wk": w(ks[1], self.init_std),
+             "wv": w(ks[2], self.init_std), "wo": w(ks[3],
+                                                    self.out_init_std)}
+        if self.use_bias:
+            for n in ("bq", "bk", "bv", "bo"):
+                p[n] = jnp.zeros((self.dim,), jnp.float32)
+        return p
+
+    def apply(self, params, x, *, train=False, rng=None):
+        b, s, e = x.shape
+        x2 = x.reshape(b * s, e)
+
+        def heads(w_name, b_name):
+            y = _proj(x2, params[w_name], params.get(b_name))
+            return y.reshape(b, s, self.num_heads,
+                             self.head_dim).transpose(0, 2, 1, 3)
+
+        q = heads("wq", "bq")
+        k = heads("wk", "bk")
+        v = heads("wv", "bv")
+        o = ops.attention(q, k, v, causal=self.causal)
+        o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
+        out = _proj(o2, params["wo"], params.get("bo"))
+        return out.reshape(b, s, e)
+
+
+class MLPBlock(Module):
+    """Position-wise FFN: Linear → GELU → Linear (hidden = ratio·dim)."""
+
+    def __init__(self, dim: int, ratio: int = 4, bias: bool = True,
+                 init_std: float = 0.02,
+                 out_init_std: Optional[float] = None):
+        self.dim = dim
+        self.hidden = ratio * dim
+        self.use_bias = bias
+        self.init_std = init_std
+        self.out_init_std = (init_std if out_init_std is None
+                             else out_init_std)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        p = {"w1": jax.random.normal(k1, (self.hidden, self.dim),
+                                     jnp.float32) * self.init_std,
+             "w2": jax.random.normal(k2, (self.dim, self.hidden),
+                                     jnp.float32) * self.out_init_std}
+        if self.use_bias:
+            p["b1"] = jnp.zeros((self.hidden,), jnp.float32)
+            p["b2"] = jnp.zeros((self.dim,), jnp.float32)
+        return p
+
+    def apply(self, params, x, *, train=False, rng=None):
+        b, s, e = x.shape
+        h = _proj(x.reshape(b * s, e), params["w1"], params.get("b1"))
+        h = jax.nn.gelu(h)
+        y = _proj(h, params["w2"], params.get("b2"))
+        return y.reshape(b, s, e)
+
+
+class TransformerBlock(Module):
+    """Pre-LN block: ``x + MHA(LN(x))`` then ``x + FFN(LN(x))``."""
+
+    def __init__(self, dim: int, num_heads: int, causal: bool = True,
+                 mlp_ratio: int = 4, dropout: float = 0.0,
+                 init_std: float = 0.02,
+                 out_init_std: Optional[float] = None):
+        self.ln1 = LayerNorm(dim)
+        self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
+                                       init_std=init_std,
+                                       out_init_std=out_init_std)
+        self.ln2 = LayerNorm(dim)
+        self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
+                            out_init_std=out_init_std)
+        self.drop = Dropout(dropout) if dropout > 0 else None
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        return {"ln1": self.ln1.init(ks[0]), "attn": self.attn.init(ks[1]),
+                "ln2": self.ln2.init(ks[2]), "mlp": self.mlp.init(ks[3])}
+
+    def apply(self, params, x, *, train=False, rng=None):
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        a = self.attn.apply(params["attn"],
+                            self.ln1.apply(params["ln1"], x))
+        if self.drop is not None:
+            a = self.drop.apply({}, a, train=train, rng=r1)
+        x = x + a
+        m = self.mlp.apply(params["mlp"],
+                           self.ln2.apply(params["ln2"], x))
+        if self.drop is not None:
+            m = self.drop.apply({}, m, train=train, rng=r2)
+        return x + m
