@@ -63,3 +63,23 @@ def shard_batch_to_mesh(x, y, mesh: Mesh):
     s = NamedSharding(mesh, P("data"))
     return (jax.device_put(jnp.asarray(x), s),
             jax.device_put(jnp.asarray(y), s))
+
+
+def sharded_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
+                      kernel=None):
+    """Flash attention over a mesh: batch on ``data``, heads on ``model``.
+
+    Attention is embarrassingly parallel over (batch, heads) — no
+    collectives needed — so the Pallas kernel composes with ``shard_map``
+    directly: each device runs the kernel on its local ``[B/dp, H/tp, S,
+    D]`` shard.  This is the manual-partitioning path for the custom
+    kernel (GSPMD cannot see inside a ``pallas_call``); the jnp oracle
+    path needs no wrapper — GSPMD partitions it from the shardings alone.
+    """
+    if kernel is None:
+        from taper_tpu.ops.pallas.attention import flash_attention
+        kernel = lambda q, k, v: flash_attention(q, k, v, causal, scale)
+    spec = P("data", "model", None, None)
+    fn = jax.shard_map(kernel, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)
