@@ -50,15 +50,46 @@ from taper_tpu.ops import backend as _backend
 _NEG_INF = float("-inf")
 
 
+def _dot_bf16_default() -> bool:
+    """f32 inputs run their MXU dots as single-pass bf16 unless
+    ``TAPER_ATTN_PREC=f32`` asks for the 3-pass f32 emulation.  This
+    mirrors XLA's own default matmul precision (see
+    benchmarks/probe_gemm.py: XLA's "f32" attention logits carry the
+    same ~6e-4 single-pass-bf16 error) — softmax statistics and
+    accumulators stay f32 either way.
+
+    Interpret mode (CPU tests) always uses f32 — the knob is about MXU
+    pass count, which the interpreter doesn't have; this also keeps the
+    CPU parity tests exact.  Read at trace time; changing the env var
+    after a function has been jitted does not retrace it (same caveat as
+    the other TAPER_* knobs).
+    """
+    import os
+
+    if _backend.pallas_interpret_mode():
+        return False
+    return os.environ.get("TAPER_ATTN_PREC", "bf16") != "f32"
+
+
+def _dot_in(x, lowp):
+    return x.astype(jnp.bfloat16) if (lowp and x.dtype == jnp.float32) \
+        else x
+
+
 def _blocks(sq: int, sk: int):
-    """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk."""
-    def best(s, cap):
-        for c in (cap, 256, 128):
-            if c <= cap and s % c == 0:
+    """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk.
+
+    Swept on v5e (benchmarks/tune_attention.py, S=2048 D=64 f32): bigger
+    is better until VMEM pressure — (512, 2048) runs 28 TFLOP/s vs 16 at
+    round-1's (256, 512); KV blocks of 2048·128 lanes are ~1 MB(bf16)–
+    2 MB(f32), comfortably double-buffered."""
+    def best(s, caps):
+        for c in caps:
+            if s % c == 0:
                 return c
         return s
-    bk = best(sk, 512)
-    bq = best(sq, min(256, bk))
+    bk = best(sk, (2048, 1024, 512, 256, 128))
+    bq = best(sq, tuple(c for c in (512, 256, 128) if c <= bk))
     return bq, bk
 
 
@@ -69,7 +100,7 @@ def _mask(s, iq, ik, bq, bk):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
-                *, scale, causal, bq, bk, nk):
+                *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -79,9 +110,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
     def body():
-        q = q_ref[0]
+        q = _dot_in(q_ref[0], lowp)
         s = jax.lax.dot_general(
-            q, k_ref[0], (((1,), (1,)), ((), ())),
+            q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
             s = _mask(s, iq, ik, bq, bk)
@@ -93,8 +124,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
             l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
             l_sc.shape)
         m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+        v = _dot_in(v_ref[0], lowp)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_sc[:] = acc_sc[:] * corr + pv
 
@@ -114,7 +146,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
-               dq_sc, *, scale, causal, bq, bk, nk):
+               dq_sc, *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -122,8 +154,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
     def body():
-        q = q_ref[0]
-        k = k_ref[0]
+        q = _dot_in(q_ref[0], lowp)
+        k = _dot_in(k_ref[0], lowp)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -131,7 +163,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
             s = _mask(s, iq, ik, bq, bk)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         dp = jax.lax.dot_general(
-            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
         dq_sc[:] += jax.lax.dot_general(
@@ -150,7 +183,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, bq, bk,
-                nq):
+                nq, lowp):
     ik, iq = pl.program_id(1), pl.program_id(2)
 
     @pl.when(iq == 0)
@@ -159,9 +192,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
     def body():
-        q = q_ref[0]
-        k = k_ref[0]
-        do = do_ref[0]
+        q = _dot_in(q_ref[0], lowp)
+        k = _dot_in(k_ref[0], lowp)
+        do = _dot_in(do_ref[0], lowp)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -173,7 +206,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             pv, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0], (((1,), (1,)), ((), ())),
+            do, _dot_in(v_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
         dk_sc[:] += jax.lax.dot_general(
@@ -203,7 +236,8 @@ def _flash_fwd(q, k, v, causal, scale):
 
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nk=nk),
+                          bq=bq, bk=bk, nk=nk,
+                          lowp=_dot_bf16_default()),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
@@ -252,7 +286,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nk=nk),
+                          bq=bq, bk=bk, nk=nk,
+                          lowp=_dot_bf16_default()),
         grid=(bh, nq, nk),
         in_specs=[spec_q, spec_k, spec_k, spec_q, spec_r, spec_r],
         out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
@@ -273,7 +308,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
     spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nq=nq),
+                          bq=bq, bk=bk, nq=nq,
+                          lowp=_dot_bf16_default()),
         grid=(bh, nk, nq),
         in_specs=[spec_q_t, spec_k_t, spec_k_t, spec_q_t, spec_r_t,
                   spec_r_t],
