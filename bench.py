@@ -69,6 +69,37 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
     return best, max(m.val_acc), m.val_acc[-1]
 
 
+def bench_attention():
+    """Flash-vs-XLA attention speedup (bf16, causal, B4 H8 S2048 D64) —
+    the beyond-reference transformer extension's headline.  Measured with
+    the scan-difference methodology (see benchmarks/timing.py)."""
+    from benchmarks.timing import Contender, race  # noqa: F401
+    import jax.numpy as jnp
+    from taper_tpu.ops import xla as X
+    from taper_tpu.ops.pallas.attention import flash_attention
+
+    b, h, s, d = 4, 8, 2048, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+               for kk in ks)
+
+    def fl(qc, kc, vc):
+        return qc + 0.001 * flash_attention(qc, kc, vc, True)
+
+    def xl(qc, kc, vc):
+        return qc + 0.001 * X.attention(qc, kc, vc, causal=True)
+
+    cs = [Contender("flash", fl, q, (k, v), n_hi=60, n_lo=10),
+          Contender("xla", xl, q, (k, v), n_hi=60, n_lo=10)]
+    for c in cs:
+        c.warm()
+    for _ in range(3):
+        for c in cs:
+            c.measure()
+    t_fl, t_xla = (c.per_iter() for c in cs)
+    return t_fl, t_xla
+
+
 def main():
     enable_compilation_cache()
     train_ds = data.MNISTDataset(train=True)
@@ -109,6 +140,15 @@ def main():
     mlp_total, mlp_acc, mlp_acc_final = bench_mlp(
         train_ds, test_ds, best_backend.split("_")[0])
 
+    try:
+        t_flash, t_xla_attn = bench_attention()
+        attn = {"attn_flash_us": round(t_flash * 1e6, 1),
+                "attn_xla_us": round(t_xla_attn * 1e6, 1),
+                "attn_flash_speedup": round(t_xla_attn / t_flash, 2)}
+    except Exception as e:
+        print(f"[bench] attention failed: {e}", file=sys.stderr)
+        attn = {}
+
     print(json.dumps({
         "metric": "mnist_cnn_epoch_time",
         "value": round(epoch_s, 4),
@@ -125,6 +165,7 @@ def main():
                                  for k, v in results.items()},
         "data_source": train_ds.source,
         "device": str(jax.devices()[0]),
+        **attn,
     }))
 
 
