@@ -101,6 +101,26 @@ def main():
     if eval_acc >= 0.99:
         print("sort task SOLVED (eval acc >= 99%)")
 
+    # Serving path: greedy KV-cache generation from [BOS] digits [SEP]
+    # prompts (one scanned decode program), scored as exact next-token
+    # match over the generated sorted segment.
+    toks_g, _, _ = sort_task_batch(jax.random.PRNGKey(99), 32,
+                                   args.length)
+    prompt = toks_g[:, :args.length + 2]
+    expect = toks_g[:, args.length + 2:]
+    t0 = time.perf_counter()
+    gen = jax.jit(lambda p, pr: model.generate(p, pr, args.length))(
+        params, prompt)
+    got = gen[:, args.length + 2:]
+    tok_acc = float(jnp.mean((got == expect).astype(jnp.float32)))
+    seq_acc = float(jnp.mean(jnp.all(got == expect, axis=1)
+                             .astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    n_dec = 32 * (seq - 1)
+    print(f"generate: token acc {tok_acc:.3f}, whole-sequence acc "
+          f"{seq_acc:.3f} ({n_dec / dt:,.0f} tokens/s decode incl. "
+          f"compile)")
+
 
 if __name__ == "__main__":
     main()

@@ -73,3 +73,66 @@ class TinyGPT(Module):
         head = (params["tok"]["w"] if self.tied_head
                 else params["head"])
         return jnp.einsum("bse,ve->bsv", x, head)
+
+    # -- serving: KV-cache autoregressive decode ---------------------------
+
+    def init_cache(self, batch: int, dtype=None):
+        from taper_tpu.nn.transformer import block_init_cache
+        dt = dtype or self.compute_dtype or jnp.float32
+        return [block_init_cache(blk, batch, self.max_seq, dt)
+                for blk in self.blocks]
+
+    def decode_step(self, params, tok_t, pos, caches):
+        """One token per sequence: ``tok_t`` [B] int32 at position ``pos``
+        (traced scalar).  Returns ``(logits [B, vocab], new_caches)``."""
+        from taper_tpu.nn.transformer import block_apply_decode
+        x = (self.tok.apply(params["tok"], tok_t[:, None])
+             + self.pos.apply(params["pos"], pos))     # [B, 1, E]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        new_caches = []
+        for blk, bp, c in zip(self.blocks, params["blocks"], caches):
+            x, c = block_apply_decode(blk, bp, x, c, pos)
+            new_caches.append(c)
+        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
+        head = (params["tok"]["w"] if self.tied_head else params["head"])
+        return jnp.einsum("bse,ve->bsv", x, head)[:, 0], new_caches
+
+    def generate(self, params, prompt, max_new: int,
+                 temperature: float = 0.0, key=None):
+        """Autoregressive generation with a static-shape KV cache, all in
+        one ``lax.scan`` program.  ``prompt``: [B, P] int32 (same length
+        per batch row).  Greedy when ``temperature == 0``.  Returns
+        ``[B, P + max_new]`` tokens."""
+        b, plen = prompt.shape
+        total = plen + max_new
+        assert total <= self.max_seq, (total, self.max_seq)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        tokens = jnp.concatenate(
+            [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
+        caches = self.init_cache(b)
+
+        def step(carry, pos):
+            tokens, caches, key = carry
+            tok_t = jax.lax.dynamic_index_in_dim(tokens, pos, 1,
+                                                 keepdims=False)
+            logits, caches = self.decode_step(params, tok_t, pos, caches)
+            if temperature > 0:
+                key, sk = jax.random.split(key)
+                nxt = jax.random.categorical(sk, logits / temperature)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+            # prompt positions keep their token; generated ones update
+            keep = pos + 1 < plen
+            cur = jax.lax.dynamic_index_in_dim(tokens, pos + 1, 1,
+                                               keepdims=False)
+            nxt = jnp.where(keep, cur, nxt)
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, nxt, pos + 1, 1)
+            return (tokens, caches, key), None
+
+        (tokens, _, _), _ = jax.lax.scan(
+            step, (tokens, caches, key), jnp.arange(total - 1))
+        return tokens

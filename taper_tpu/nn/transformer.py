@@ -63,9 +63,14 @@ class Embedding(Module):
 
 
 def _proj(x2, w, b):
-    """[R, E_in] @ w[E_out, E_in]^T + b, at the activation dtype."""
-    return ops.linear(x2, w.astype(x2.dtype),
-                      None if b is None else b.astype(x2.dtype))
+    """[R, E_in] @ w[E_out, E_in]^T + b, at the activation dtype.
+
+    ``ops.linear`` accumulates in f32 (preferred_element_type) and
+    therefore returns f32 even for bf16 inputs; cast back so a bf16
+    trunk stays bf16 end-to-end."""
+    y = ops.linear(x2, w.astype(x2.dtype),
+                   None if b is None else b.astype(x2.dtype))
+    return y.astype(x2.dtype)
 
 
 class MultiHeadAttention(Module):
@@ -183,3 +188,65 @@ class TransformerBlock(Module):
         if self.drop is not None:
             m = self.drop.apply({}, m, train=train, rng=r2)
         return x + m
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode path (serving)
+# ---------------------------------------------------------------------------
+
+def _decode_attention(q, k_cache, v_cache, pos, scale):
+    """Single-position attention against a static-shape KV cache.
+
+    ``q``: [B, H, 1, D]; caches: [B, H, Smax, D]; ``pos``: the index of
+    the current token — entries past ``pos`` are masked out.  A matvec,
+    not a matmul: XLA handles it at HBM roofline, so no Pallas here
+    (the flash kernel earns its keep on the S×S training path).
+    """
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                   preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(k_cache.shape[2]) <= pos
+    s = jnp.where(mask[None, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v_cache)
+
+
+def mha_init_cache(mha: MultiHeadAttention, batch: int, max_seq: int,
+                   dtype=jnp.float32):
+    shape = (batch, mha.num_heads, max_seq, mha.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
+    """One decode step: ``x_t`` [B, 1, E] at position ``pos`` (traced
+    scalar).  Returns ``(y [B, 1, E], new_cache)``."""
+    b, one, e = x_t.shape
+    x2 = x_t.reshape(b, e)
+
+    def proj_heads(w_name, b_name):
+        y = _proj(x2, params[w_name], params.get(b_name))
+        return y.reshape(b, mha.num_heads, 1, mha.head_dim)
+
+    q = proj_heads("wq", "bq")
+    k = proj_heads("wk", "bk")
+    v = proj_heads("wv", "bv")
+    k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, pos, 2)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, pos, 2)
+    o = _decode_attention(q, k_cache, v_cache, pos,
+                          mha.head_dim ** -0.5)
+    o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
+    y = _proj(o2, params["wo"], params.get("bo"))
+    return y.reshape(b, 1, e), {"k": k_cache, "v": v_cache}
+
+
+def block_init_cache(blk: TransformerBlock, batch: int, max_seq: int,
+                     dtype=jnp.float32):
+    return mha_init_cache(blk.attn, batch, max_seq, dtype)
+
+
+def block_apply_decode(blk: TransformerBlock, params, x_t, cache, pos):
+    a, cache = mha_apply_decode(
+        blk.attn, params["attn"], blk.ln1.apply(params["ln1"], x_t),
+        cache, pos)
+    x_t = x_t + a
+    m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x_t))
+    return x_t + m, cache

@@ -364,9 +364,20 @@ flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 def attention(q, k, v, *, causal=False, scale=None):
     """Backend entry: flash kernel when shapes qualify, XLA oracle
-    otherwise (sequences must be lane-aligned; causal needs Sq == Sk)."""
+    otherwise.
+
+    Requirements: lane-aligned sequences (multiples of 128), Sq == Sk for
+    causal.  Measured dispatch threshold (benchmarks/bench_attention.py,
+    v5e): below S≈1024 the S×S score matrix fits XLA's fusion footprint
+    and its attention wins (S=512 causal: 21–26 µs vs flash's 49–54 µs);
+    from S=1024 up flash wins everywhere, up to 15.9× at S=4096 bf16.
+    ``TAPER_FLASH_MIN`` overrides the crossover (read at trace time)."""
+    import os
+
     sq, sk = q.shape[2], k.shape[2]
-    ok = sq % 128 == 0 and sk % 128 == 0 and (not causal or sq == sk)
+    min_sk = int(os.environ.get("TAPER_FLASH_MIN", "1024"))
+    ok = (sq % 128 == 0 and sk % 128 == 0
+          and (not causal or sq == sk) and sk >= min_sk)
     if not ok:
         from taper_tpu.ops import xla as _xla
         return _xla.attention(q, k, v, causal=causal, scale=scale)

@@ -258,10 +258,14 @@ def _linear_bwd(activation, res, g):
         g = jnp.where(y > 0, g, 0.0)
     elif activation == "sigmoid":
         g = g * y * (1.0 - y)
+    # The output (and so its cotangent) is f32 even for bf16 operands;
+    # run the grad GEMMs at the operand dtype and return grads with the
+    # operand dtypes (custom_vjp requires dx.dtype == x.dtype).
+    g = g.astype(x.dtype)
     # dX = g @ W ([M,N]·[N,K]); dW = gᵀ @ X ([M,N]ᵀ·[M,K]); db = Σ_M g.
-    dx = _gemm(g, w, None, has_bias=False, mode="nn")
-    dw = _gemm(g, x, None, has_bias=False, mode="tn")
-    db = jnp.sum(g, axis=0)
+    dx = _gemm(g, w, None, has_bias=False, mode="nn").astype(x.dtype)
+    dw = _gemm(g, x, None, has_bias=False, mode="tn").astype(w.dtype)
+    db = jnp.sum(g, axis=0).astype(x.dtype)
     return dx, dw, db
 
 
@@ -285,8 +289,9 @@ def _linear_nb_bwd(activation, res, g):
         g = jnp.where(y > 0, g, 0.0)
     elif activation == "sigmoid":
         g = g * y * (1.0 - y)
-    dx = _gemm(g, w, None, has_bias=False, mode="nn")
-    dw = _gemm(g, x, None, has_bias=False, mode="tn")
+    g = g.astype(x.dtype)
+    dx = _gemm(g, w, None, has_bias=False, mode="nn").astype(x.dtype)
+    dw = _gemm(g, x, None, has_bias=False, mode="tn").astype(w.dtype)
     return dx, dw
 
 

@@ -170,3 +170,36 @@ def test_tinygpt_learns_sort_task():
         if accs[-1] > 0.9:
             break
     assert max(accs) > 0.9, accs
+
+
+def test_kv_cache_decode_matches_full_forward():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, 16), 0, 12)
+    full = model.apply(p, toks)                      # [B, S, V]
+
+    caches = model.init_cache(3)
+    outs = []
+    for t in range(16):
+        logits, caches = model.decode_step(p, toks[:, t], t, caches)
+        outs.append(logits)
+    dec = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               atol=2e-5)
+
+
+def test_generate_greedy_continues_prompt():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    out = jax.jit(lambda p, pr: model.generate(p, pr, 8))(p, prompt)
+    assert out.shape == (2, 14)
+    np.testing.assert_array_equal(np.asarray(out[:, :6]),
+                                  np.asarray(prompt))
+    # greedy first generated token == argmax of the full forward at the
+    # last prompt position
+    full = model.apply(p, prompt)
+    np.testing.assert_array_equal(np.asarray(out[:, 6]),
+                                  np.asarray(jnp.argmax(full[:, -1], -1)))
