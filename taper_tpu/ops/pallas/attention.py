@@ -93,15 +93,18 @@ def _blocks(sq: int, sk: int):
     return bq, bk
 
 
-def _mask(s, iq, ik, bq, bk):
-    rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+def _mask(s, iq, ik, bq, bk, off):
+    """Causal mask with a global row offset (sequence parallelism: a
+    device's Q shard starts at global position ``off``)."""
+    rows = off + iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(rows >= cols, s, _NEG_INF)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
-                *, scale, causal, bq, bk, nk, lowp):
+def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
+                l_sc, acc_sc, *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
+    off = off_ref[0].astype(jnp.int32)
 
     @pl.when(ik == 0)
     def _init():
@@ -115,7 +118,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
             q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk)
+            s = _mask(s, iq, ik, bq, bk, off)
         m_prev = m_sc[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -131,7 +134,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
         acc_sc[:] = acc_sc[:] * corr + pv
 
     if causal:
-        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
     else:
         body()
 
@@ -145,9 +148,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc,
             (m_sc[:, :1] + jnp.log(l))[:, 0][None, :], lse_ref.shape[1:])
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
-               dq_sc, *, scale, causal, bq, bk, nk, lowp):
+def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+               dq_ref, dq_sc, *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
+    off = off_ref[0].astype(jnp.int32)
 
     @pl.when(ik == 0)
     def _init():
@@ -160,7 +164,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk)
+            s = _mask(s, iq, ik, bq, bk, off)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         dp = jax.lax.dot_general(
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
@@ -172,7 +176,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
     else:
         body()
 
@@ -181,10 +185,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref,
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, bq, bk,
                 nq, lowp):
     ik, iq = pl.program_id(1), pl.program_id(2)
+    off = off_ref[0].astype(jnp.int32)
 
     @pl.when(iq == 0)
     def _init():
@@ -199,7 +204,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk)
+            s = _mask(s, iq, ik, bq, bk, off)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         pv = p.astype(do.dtype)
         dv_sc[:] += jax.lax.dot_general(
@@ -214,7 +219,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when(iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
     else:
         body()
 
@@ -224,7 +229,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
-def _flash_fwd(q, k, v, causal, scale):
+_SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _flash_fwd(q, k, v, off, causal, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     bq, bk = _blocks(sq, sk)
@@ -240,6 +248,7 @@ def _flash_fwd(q, k, v, causal, scale):
                           lowp=_dot_bf16_default()),
         grid=(bh, nq, nk),
         in_specs=[
+            _SMEM_SPEC,
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
             pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
             pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
@@ -264,11 +273,11 @@ def _flash_fwd(q, k, v, causal, scale):
             bytes_accessed=q.dtype.itemsize * bh * (sq + 2 * sk + sq) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(q3, k3, v3)
+    )(off, q3, k3, v3)
     return o3.reshape(b, h, sq, d), lse
 
 
-def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
+def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     bq, bk = _blocks(sq, sk)
@@ -289,7 +298,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
                           bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default()),
         grid=(bh, nq, nk),
-        in_specs=[spec_q, spec_k, spec_k, spec_q, spec_r, spec_r],
+        in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_r,
+                  spec_r],
         out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
@@ -300,7 +310,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
             bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(q3, k3, v3, do3, lse, delta)
+    )(off, q3, k3, v3, do3, lse, delta)
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
     spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
@@ -311,8 +321,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
                           bq=bq, bk=bk, nq=nq,
                           lowp=_dot_bf16_default()),
         grid=(bh, nk, nq),
-        in_specs=[spec_q_t, spec_k_t, spec_k_t, spec_q_t, spec_r_t,
-                  spec_r_t],
+        in_specs=[_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
+                  spec_r_t, spec_r_t],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
             pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
@@ -330,36 +340,45 @@ def _flash_bwd_impl(q, k, v, o, lse, do, causal, scale):
             bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 4 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(q3, k3, v3, do3, lse, delta)
+    )(off, q3, k3, v3, do3, lse, delta)
 
     shp = (b, h, sq, d)
     return dq.reshape(shp), dk.reshape(b, h, sk, d), dv.reshape(b, h, sk, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q, k, v, causal=False, scale=None):
-    """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D]."""
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    o, _ = _flash_fwd(q, k, v, causal, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, off, causal, scale):
+    o, _ = _flash_fwd(q, k, v, off, causal, scale)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, causal, scale):
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    o, lse = _flash_fwd(q, k, v, causal, scale)
-    return o, (q, k, v, o, lse)
+def _flash_vjp_fwd(q, k, v, off, causal, scale):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+    return o, (q, k, v, off, o, lse)
 
 
 def _flash_vjp_bwd(causal, scale, res, do):
-    q, k, v, o, lse = res
+    q, k, v, off, o, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale)
+    return dq, dk, dv, jnp.zeros_like(off)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(q, k, v, causal=False, scale=None, q_offset=None):
+    """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D].
+
+    ``q_offset`` (traced scalar ok) is the global position of this Q
+    shard's first row — used by sequence parallelism, where each device
+    holds a sequence slice of Q but the full (gathered) K/V.  Offsets
+    must be multiples of the Q block (128) so causal block boundaries
+    stay aligned."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_bwd_impl(q, k, v, o, lse, do, causal, scale)
-
-
-flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+    off = (jnp.zeros((1,), jnp.float32) if q_offset is None
+           else jnp.asarray(q_offset, jnp.float32).reshape(1))
+    return _flash(q, k, v, off, causal, scale)
 
 
 def attention(q, k, v, *, causal=False, scale=None):

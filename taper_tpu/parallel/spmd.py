@@ -83,3 +83,28 @@ def sharded_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
     fn = jax.shard_map(kernel, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)
+
+
+def sequence_parallel_attention(mesh: Mesh, q, k, v, *, causal=False,
+                                scale=None, axis="model"):
+    """Context/sequence parallelism for attention: Q, K and V are sharded
+    over the SEQUENCE axis on ``axis``; each device all-gathers K/V over
+    ICI (the standard all-gather SP recipe for moderate S) and runs the
+    flash kernel on its local Q shard with its global causal offset —
+    the kernel's ``q_offset`` keeps the causal mask and the block-skip
+    logic globally correct.  Per-device attention memory drops from
+    O(S·D) to O(S·D/n) for Q/O (K/V transiently gathered).
+
+    The local Q length must be a multiple of 128 (kernel block).
+    """
+    def local(q, k, v):
+        i = jax.lax.axis_index(axis)
+        kg = jax.lax.all_gather(k, axis, axis=2, tiled=True)
+        vg = jax.lax.all_gather(v, axis, axis=2, tiled=True)
+        from taper_tpu.ops.pallas.attention import flash_attention
+        return flash_attention(q, kg, vg, causal, scale,
+                               q_offset=i * q.shape[2])
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)
