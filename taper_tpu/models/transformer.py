@@ -72,6 +72,9 @@ class TinyGPT(Module):
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         head = (params["tok"]["w"] if self.tied_head
                 else params["head"])
+        from taper_tpu.nn.transformer import _is_qt
+        if _is_qt(head):
+            head = head.dequantize()
         return jnp.einsum("bse,ve->bsv", x, head)
 
     # -- serving: KV-cache autoregressive decode ---------------------------
@@ -96,6 +99,9 @@ class TinyGPT(Module):
             new_caches.append(c)
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         head = (params["tok"]["w"] if self.tied_head else params["head"])
+        from taper_tpu.nn.transformer import _is_qt
+        if _is_qt(head):
+            head = head.dequantize()
         return jnp.einsum("bse,ve->bsv", x, head)[:, 0], new_caches
 
     def generate(self, params, prompt, max_new: int,

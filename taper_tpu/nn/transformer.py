@@ -59,7 +59,15 @@ class Embedding(Module):
         return {"w": w}
 
     def apply(self, params, ids, *, train=False, rng=None):
-        return jnp.take(params["w"], ids, axis=0)
+        w = params["w"]
+        if _is_qt(w):       # PTQ'd table: dequantize in the jitted fwd
+            w = w.dequantize()
+        return jnp.take(w, ids, axis=0)
+
+
+def _is_qt(w):
+    from taper_tpu.quantization.qtensor import QuantizedTensor
+    return isinstance(w, QuantizedTensor)
 
 
 def _proj(x2, w, b):
@@ -67,9 +75,14 @@ def _proj(x2, w, b):
 
     ``ops.linear`` accumulates in f32 (preferred_element_type) and
     therefore returns f32 even for bf16 inputs; cast back so a bf16
-    trunk stays bf16 end-to-end."""
-    y = ops.linear(x2, w.astype(x2.dtype),
-                   None if b is None else b.astype(x2.dtype))
+    trunk stays bf16 end-to-end.  ``w`` may be a PTQ
+    :class:`QuantizedTensor` — it goes to ``ops.linear`` untouched so
+    the int8 dequant-on-load path applies (serving)."""
+    if _is_qt(w):
+        y = ops.linear(x2.astype(jnp.float32), w, b)
+    else:
+        y = ops.linear(x2, w.astype(x2.dtype),
+                       None if b is None else b.astype(x2.dtype))
     return y.astype(x2.dtype)
 
 

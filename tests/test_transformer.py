@@ -203,3 +203,30 @@ def test_generate_greedy_continues_prompt():
     full = model.apply(p, prompt)
     np.testing.assert_array_equal(np.asarray(out[:, 6]),
                                   np.asarray(jnp.argmax(full[:, -1], -1)))
+
+
+def test_tinygpt_ptq_int8_serving():
+    from taper_tpu.quantization import ptq
+    from taper_tpu.quantization.config import QuantizationConfig
+
+    model = models.TinyGPT(vocab_size=12, dim=64, depth=2, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 12)
+    ref = model.apply(params, toks)
+
+    qmodel, qparams = ptq.quantize_model(model, params,
+                                         QuantizationConfig.int8())
+    got = jax.jit(qmodel.apply)(qparams, toks)
+    assert got.shape == ref.shape
+    # int8 PTQ keeps argmax predictions aligned with the float model
+    agree = float(jnp.mean((jnp.argmax(got, -1) == jnp.argmax(ref, -1))
+                           .astype(jnp.float32)))
+    assert agree > 0.95, agree
+    # ~4x smaller than f32 (embeddings + projections dominate)
+    f32_bytes = model.param_bytes(params)
+    q_bytes = ptq.quantized_bytes(qparams)
+    assert q_bytes < 0.35 * f32_bytes, (q_bytes, f32_bytes)
+    # KV-cache generation also runs on quantized params
+    out = model.generate(qparams, toks[:, :6], 4)
+    assert out.shape == (4, 10)
