@@ -29,7 +29,7 @@ class TinyGPT(Module):
     def __init__(self, vocab_size: int, dim: int = 128, depth: int = 2,
                  num_heads: int = 2, max_seq: int = 256,
                  mlp_ratio: int = 4, tied_head: bool = True,
-                 dropout: float = 0.0,
+                 dropout: float = 0.0, rope: bool = False,
                  compute_dtype: Optional[jnp.dtype] = None):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -40,10 +40,12 @@ class TinyGPT(Module):
         out_std = 0.02 / math.sqrt(2 * depth)
         self.tok = Embedding(vocab_size, dim)
         self.pos = Embedding(max_seq, dim)
+        self.rope = rope
         self.blocks = [TransformerBlock(dim, num_heads, causal=True,
                                         mlp_ratio=mlp_ratio,
                                         dropout=dropout,
-                                        out_init_std=out_std)
+                                        out_init_std=out_std,
+                                        rope=rope, max_seq=max_seq)
                        for _ in range(depth)]
         self.ln_f = LayerNorm(dim)
 
@@ -61,8 +63,9 @@ class TinyGPT(Module):
     def apply(self, params, tokens, *, train=False, rng=None):
         b, s = tokens.shape
         assert s <= self.max_seq, (s, self.max_seq)
-        x = (self.tok.apply(params["tok"], tokens)
-             + self.pos.apply(params["pos"], jnp.arange(s)))
+        x = self.tok.apply(params["tok"], tokens)
+        if not self.rope:
+            x = x + self.pos.apply(params["pos"], jnp.arange(s))
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         rngs = (jax.random.split(rng, self.depth)
@@ -89,8 +92,9 @@ class TinyGPT(Module):
         """One token per sequence: ``tok_t`` [B] int32 at position ``pos``
         (traced scalar).  Returns ``(logits [B, vocab], new_caches)``."""
         from taper_tpu.nn.transformer import block_apply_decode
-        x = (self.tok.apply(params["tok"], tok_t[:, None])
-             + self.pos.apply(params["pos"], pos))     # [B, 1, E]
+        x = self.tok.apply(params["tok"], tok_t[:, None])  # [B, 1, E]
+        if not self.rope:
+            x = x + self.pos.apply(params["pos"], pos)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         new_caches = []

@@ -92,7 +92,8 @@ class MultiHeadAttention(Module):
 
     def __init__(self, dim: int, num_heads: int, causal: bool = True,
                  bias: bool = True, init_std: float = 0.02,
-                 out_init_std: Optional[float] = None):
+                 out_init_std: Optional[float] = None,
+                 rope: bool = False, max_seq: int = 4096):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
@@ -102,6 +103,10 @@ class MultiHeadAttention(Module):
         self.init_std = init_std
         self.out_init_std = (init_std if out_init_std is None
                              else out_init_std)
+        self.rope = rope
+        self.max_seq = max_seq
+        if rope:
+            self._rope = rope_angles(self.head_dim, max_seq)
 
     def init(self, key):
         ks = jax.random.split(key, 4)
@@ -128,6 +133,10 @@ class MultiHeadAttention(Module):
         q = heads("wq", "bq")
         k = heads("wk", "bk")
         v = heads("wv", "bv")
+        if self.rope:
+            cos, sin = self._rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
         o = ops.attention(q, k, v, causal=self.causal)
         o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
         out = _proj(o2, params["wo"], params.get("bo"))
@@ -172,11 +181,13 @@ class TransformerBlock(Module):
     def __init__(self, dim: int, num_heads: int, causal: bool = True,
                  mlp_ratio: int = 4, dropout: float = 0.0,
                  init_std: float = 0.02,
-                 out_init_std: Optional[float] = None):
+                 out_init_std: Optional[float] = None,
+                 rope: bool = False, max_seq: int = 4096):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
-                                       out_init_std=out_init_std)
+                                       out_init_std=out_init_std,
+                                       rope=rope, max_seq=max_seq)
         self.ln2 = LayerNorm(dim)
         self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
                             out_init_std=out_init_std)
@@ -242,6 +253,10 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
     q = proj_heads("wq", "bq")
     k = proj_heads("wk", "bk")
     v = proj_heads("wv", "bv")
+    if mha.rope:
+        cos, sin = mha._rope
+        q = apply_rope(q, cos, sin, offset=pos)
+        k = apply_rope(k, cos, sin, offset=pos)
     k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, pos, 2)
     v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, pos, 2)
     o = _decode_attention(q, k_cache, v_cache, pos,
@@ -263,3 +278,28 @@ def block_apply_decode(blk: TransformerBlock, params, x_t, cache, pos):
     x_t = x_t + a
     m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x_t))
     return x_t + m, cache
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (RoPE)
+# ---------------------------------------------------------------------------
+
+def rope_angles(head_dim: int, max_seq: int, base: float = 10000.0):
+    """Precompute cos/sin tables ``[max_seq, head_dim/2]`` (f32)."""
+    assert head_dim % 2 == 0, head_dim
+    inv = base ** (-jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                   / head_dim)
+    t = jnp.arange(max_seq, dtype=jnp.float32)[:, None] * inv[None, :]
+    return jnp.cos(t), jnp.sin(t)
+
+
+def apply_rope(x, cos, sin, offset=0):
+    """Rotate ``x`` [B, H, S, D] by position; ``offset`` shifts the table
+    (traced ok — KV-cache decode passes the running position)."""
+    s, half = x.shape[2], x.shape[3] // 2
+    c = jax.lax.dynamic_slice_in_dim(cos, offset, s, 0)
+    si = jax.lax.dynamic_slice_in_dim(sin, offset, s, 0)
+    c = c[None, None].astype(x.dtype)
+    si = si[None, None].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * c - x2 * si, x2 * c + x1 * si], axis=-1)

@@ -230,3 +230,51 @@ def test_tinygpt_ptq_int8_serving():
     # KV-cache generation also runs on quantized params
     out = model.generate(qparams, toks[:, :6], 4)
     assert out.shape == (4, 10)
+
+
+def test_rope_relative_shift_invariance():
+    # RoPE scores depend only on relative positions: shifting both q and
+    # k positions by the same offset leaves q·k rotations' inner products
+    # unchanged.
+    from taper_tpu.nn.transformer import apply_rope, rope_angles
+    cos, sin = rope_angles(16, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 8, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 8, 16))
+    s0 = jnp.einsum("bhqd,bhkd->bhqk", apply_rope(q, cos, sin, 0),
+                    apply_rope(k, cos, sin, 0))
+    s7 = jnp.einsum("bhqd,bhkd->bhqk", apply_rope(q, cos, sin, 7),
+                    apply_rope(k, cos, sin, 7))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s7), atol=1e-4)
+
+
+def test_mha_rope_decode_matches_full_forward():
+    from taper_tpu.nn.transformer import (mha_apply_decode,
+                                          mha_init_cache)
+    mha = nn.MultiHeadAttention(32, num_heads=2, causal=True, rope=True,
+                                max_seq=16)
+    p = mha.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 32))
+    full = mha.apply(p, x)
+    cache = mha_init_cache(mha, 2, 16)
+    outs = []
+    for t in range(10):
+        y, cache = mha_apply_decode(mha, p, x[:, t:t + 1], cache, t)
+        outs.append(y[:, 0])
+    dec = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               atol=2e-5)
+
+
+def test_tinygpt_rope_decode_and_causality():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16, rope=True)
+    p = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 12)
+    full = model.apply(p, toks)
+    caches = model.init_cache(2)
+    outs = []
+    for t in range(16):
+        logits, caches = model.decode_step(p, toks[:, t], t, caches)
+        outs.append(logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(full), atol=2e-5)
