@@ -78,5 +78,48 @@ def main():
         ], rounds=3, scale=flops / 1e12, unit="TFLOP/s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "e2e" not in sys.argv[1:]:
     main()
+
+
+def e2e():
+    """Full TinyGPT train step (fwd+bwd+Adam), flash vs oracle attention,
+    raced in ONE process (source edits / process drift otherwise dominate
+    staggered comparisons).  bf16 trunk, attention-heavy config."""
+    import jax.numpy as jnp
+
+    from taper_tpu import models, optim, ops
+    from taper_tpu.data.seq import masked_token_loss, sort_task_batch
+
+    b, length = 8, 1023                      # S = 2048
+    seq = 2 * length + 2
+    model = models.TinyGPT(vocab_size=12, dim=256, depth=2, num_heads=4,
+                           max_seq=seq, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(1e-3)
+    state0 = opt.init(params)
+    toks, tgts, mask = sort_task_batch(jax.random.PRNGKey(1), b, length)
+
+    def make_step(backend):
+        def step(carry, toks, tgts):
+            params, state = carry
+            ops.set_backend(backend)    # trace-time switch
+            def loss_of(p):
+                return masked_token_loss(model.apply(p, toks), tgts,
+                                         mask)[0]
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            params, state = opt.update(grads, state, params)
+            return (params, state)
+        return step
+
+    toks_per_step = b * seq
+    cs = [Contender("xla-attn step", make_step("xla"), (params, state0),
+                    (toks, tgts), n_hi=30, n_lo=5),
+          Contender("flash-attn step", make_step("pallas"),
+                    (params, state0), (toks, tgts), n_hi=30, n_lo=5)]
+    race(cs, rounds=3, scale=toks_per_step, unit="tokens/s")
+
+
+if __name__ == "__main__" and "e2e" in sys.argv[1:]:
+    e2e()
+    sys.exit(0)
