@@ -30,6 +30,7 @@ class TinyGPT(Module):
                  num_heads: int = 2, max_seq: int = 256,
                  mlp_ratio: int = 4, tied_head: bool = True,
                  dropout: float = 0.0, rope: bool = False,
+                 num_kv_heads: Optional[int] = None,
                  compute_dtype: Optional[jnp.dtype] = None):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -45,7 +46,8 @@ class TinyGPT(Module):
                                         mlp_ratio=mlp_ratio,
                                         dropout=dropout,
                                         out_init_std=out_std,
-                                        rope=rope, max_seq=max_seq)
+                                        rope=rope, max_seq=max_seq,
+                                        num_kv_heads=num_kv_heads)
                        for _ in range(depth)]
         self.ln_f = LayerNorm(dim)
 

@@ -93,11 +93,20 @@ class MultiHeadAttention(Module):
     def __init__(self, dim: int, num_heads: int, causal: bool = True,
                  bias: bool = True, init_std: float = 0.02,
                  out_init_std: Optional[float] = None,
-                 rope: bool = False, max_seq: int = 4096):
+                 rope: bool = False, max_seq: int = 4096,
+                 num_kv_heads: Optional[int] = None):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
+        # GQA: fewer K/V heads than Q heads (num_kv_heads=1 is MQA); the
+        # KV cache shrinks by num_heads/num_kv_heads — the serving win.
+        self.num_kv_heads = (num_heads if num_kv_heads is None
+                             else num_kv_heads)
+        assert num_heads % self.num_kv_heads == 0, \
+            (num_heads, self.num_kv_heads)
+        self.kv_groups = num_heads // self.num_kv_heads
+        self.kv_dim = self.num_kv_heads * self.head_dim
         self.causal = causal
         self.use_bias = bias
         self.init_std = init_std
@@ -110,33 +119,42 @@ class MultiHeadAttention(Module):
 
     def init(self, key):
         ks = jax.random.split(key, 4)
-        def w(k, std):
-            return jax.random.normal(
-                k, (self.dim, self.dim), jnp.float32) * std
-        p = {"wq": w(ks[0], self.init_std), "wk": w(ks[1], self.init_std),
-             "wv": w(ks[2], self.init_std), "wo": w(ks[3],
-                                                    self.out_init_std)}
+        def w(k, out, std):
+            return jax.random.normal(k, (out, self.dim), jnp.float32) * std
+        p = {"wq": w(ks[0], self.dim, self.init_std),
+             "wk": w(ks[1], self.kv_dim, self.init_std),
+             "wv": w(ks[2], self.kv_dim, self.init_std),
+             "wo": w(ks[3], self.dim, self.out_init_std)}
         if self.use_bias:
-            for n in ("bq", "bk", "bv", "bo"):
-                p[n] = jnp.zeros((self.dim,), jnp.float32)
+            p["bq"] = jnp.zeros((self.dim,), jnp.float32)
+            p["bk"] = jnp.zeros((self.kv_dim,), jnp.float32)
+            p["bv"] = jnp.zeros((self.kv_dim,), jnp.float32)
+            p["bo"] = jnp.zeros((self.dim,), jnp.float32)
         return p
 
     def apply(self, params, x, *, train=False, rng=None):
         b, s, e = x.shape
         x2 = x.reshape(b * s, e)
 
-        def heads(w_name, b_name):
+        def heads(w_name, b_name, n_heads):
             y = _proj(x2, params[w_name], params.get(b_name))
-            return y.reshape(b, s, self.num_heads,
+            return y.reshape(b, s, n_heads,
                              self.head_dim).transpose(0, 2, 1, 3)
 
-        q = heads("wq", "bq")
-        k = heads("wk", "bk")
-        v = heads("wv", "bv")
+        q = heads("wq", "bq", self.num_heads)
+        k = heads("wk", "bk", self.num_kv_heads)
+        v = heads("wv", "bv", self.num_kv_heads)
         if self.rope:
             cos, sin = self._rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+        if self.kv_groups > 1:
+            # training path: broadcast KV heads up to the Q heads (XLA
+            # fuses the repeat into the reads); the CACHE stays at
+            # num_kv_heads — the memory saving lands where it matters,
+            # in serving (see mha_apply_decode).
+            k = jnp.repeat(k, self.kv_groups, axis=1)
+            v = jnp.repeat(v, self.kv_groups, axis=1)
         o = ops.attention(q, k, v, causal=self.causal)
         o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
         out = _proj(o2, params["wo"], params.get("bo"))
@@ -182,12 +200,14 @@ class TransformerBlock(Module):
                  mlp_ratio: int = 4, dropout: float = 0.0,
                  init_std: float = 0.02,
                  out_init_std: Optional[float] = None,
-                 rope: bool = False, max_seq: int = 4096):
+                 rope: bool = False, max_seq: int = 4096,
+                 num_kv_heads: Optional[int] = None):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
                                        out_init_std=out_init_std,
-                                       rope=rope, max_seq=max_seq)
+                                       rope=rope, max_seq=max_seq,
+                                       num_kv_heads=num_kv_heads)
         self.ln2 = LayerNorm(dim)
         self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
                             out_init_std=out_init_std)
@@ -236,7 +256,8 @@ def _decode_attention(q, k_cache, v_cache, pos, scale):
 
 def mha_init_cache(mha: MultiHeadAttention, batch: int, max_seq: int,
                    dtype=jnp.float32):
-    shape = (batch, mha.num_heads, max_seq, mha.head_dim)
+    kvh = getattr(mha, "num_kv_heads", mha.num_heads)
+    shape = (batch, kvh, max_seq, mha.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -246,20 +267,24 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
     b, one, e = x_t.shape
     x2 = x_t.reshape(b, e)
 
-    def proj_heads(w_name, b_name):
+    def proj_heads(w_name, b_name, n_heads):
         y = _proj(x2, params[w_name], params.get(b_name))
-        return y.reshape(b, mha.num_heads, 1, mha.head_dim)
+        return y.reshape(b, n_heads, 1, mha.head_dim)
 
-    q = proj_heads("wq", "bq")
-    k = proj_heads("wk", "bk")
-    v = proj_heads("wv", "bv")
+    q = proj_heads("wq", "bq", mha.num_heads)
+    k = proj_heads("wk", "bk", mha.num_kv_heads)
+    v = proj_heads("wv", "bv", mha.num_kv_heads)
     if mha.rope:
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
     k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, pos, 2)
     v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, pos, 2)
-    o = _decode_attention(q, k_cache, v_cache, pos,
+    ku, vu = k_cache, v_cache
+    if mha.kv_groups > 1:
+        ku = jnp.repeat(ku, mha.kv_groups, axis=1)
+        vu = jnp.repeat(vu, mha.kv_groups, axis=1)
+    o = _decode_attention(q, ku, vu, pos,
                           mha.head_dim ** -0.5)
     o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
     y = _proj(o2, params["wo"], params.get("bo"))

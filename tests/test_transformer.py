@@ -278,3 +278,44 @@ def test_tinygpt_rope_decode_and_causality():
         outs.append(logits)
     np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
                                np.asarray(full), atol=2e-5)
+
+
+def test_mha_gqa_shapes_cache_and_decode_parity():
+    from taper_tpu.nn.transformer import (mha_apply_decode,
+                                          mha_init_cache)
+    mha = nn.MultiHeadAttention(32, num_heads=4, num_kv_heads=2,
+                                causal=True)
+    p = mha.init(jax.random.PRNGKey(0))
+    assert p["wk"].shape == (16, 32) and p["wv"].shape == (16, 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 32))
+    full = mha.apply(p, x)
+    assert full.shape == (2, 10, 32)
+    cache = mha_init_cache(mha, 2, 16)
+    assert cache["k"].shape == (2, 2, 16, 8)   # kv heads, not q heads
+    outs = []
+    for t in range(10):
+        y, cache = mha_apply_decode(mha, p, x[:, t:t + 1], cache, t)
+        outs.append(y[:, 0])
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(full), atol=2e-5)
+    # grads flow to the narrow kv projections
+    g = jax.grad(lambda p: jnp.sum(mha.apply(p, x) ** 2))(p)
+    assert float(jnp.max(jnp.abs(g["wk"]))) > 0
+
+
+def test_tinygpt_gqa_rope_generate():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=4,
+                           num_kv_heads=1, rope=True, max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 12)
+    full = model.apply(p, toks)
+    caches = model.init_cache(2)
+    assert caches[0]["k"].shape[1] == 1        # MQA: one kv head
+    outs = []
+    for t in range(16):
+        logits, caches = model.decode_step(p, toks[:, t], t, caches)
+        outs.append(logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(full), atol=2e-5)
+    out = model.generate(p, toks[:, :4], 6)
+    assert out.shape == (2, 10)
