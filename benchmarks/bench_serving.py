@@ -1,0 +1,81 @@
+"""LM decode serving: f32 vs int8/int4 PTQ weights, raced in one process.
+
+Autoregressive decode is weight-read bound (every step streams all
+parameters from HBM for a batch of single tokens), so PTQ's dequant-
+on-load is a real latency win here — unlike training, where activations
+dominate.  GPT-ish config sized so weights dominate the cache reads.
+
+Run: python benchmarks/bench_serving.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+# hand dequant-on-load kernels for the quantized variants (read at
+# taper_tpu.ops import time)
+os.environ.setdefault("TAPER_Q8_KERNEL", "1")
+
+import jax
+import jax.numpy as jnp
+
+from taper_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from taper_tpu import models, ops               # noqa: E402
+from taper_tpu.quantization import ptq           # noqa: E402
+from taper_tpu.quantization.config import QuantizationConfig  # noqa: E402
+from benchmarks.timing import Contender, race    # noqa: E402
+
+
+def main():
+    # measured-fastest decode config: xla backend (its matvec GEMM and
+    # fused int8 dequant win at M=8); int4 routes to its Pallas kernel
+    # on TPU regardless of backend (no viable XLA path).
+    ops.set_backend("xla")
+    dim, depth, heads, vocab, smax, batch = 2048, 6, 16, 4096, 256, 8
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           num_kv_heads=4)
+    params = model.init(jax.random.PRNGKey(0))
+    nbytes = model.param_bytes(params)
+    print(f"params {model.param_count(params) / 1e6:.0f}M "
+          f"({nbytes / 2**30:.2f} GiB f32)", flush=True)
+
+    variants = [("f32", params)]
+    for name, cfg in (("int8", QuantizationConfig.int8()),
+                      ("int4", QuantizationConfig.int4())):
+        qp = ptq.quantize_params(params, cfg)
+        # embeddings + tied LM head stay f32 (standard practice: their
+        # gather/einsum paths dequantize the whole table per step, which
+        # erases the packed formats' read savings)
+        qp["tok"] = params["tok"]
+        qp["pos"] = params["pos"]
+        print(f"{name}: {ptq.quantized_bytes(qp) / 2**30:.2f} GiB",
+              flush=True)
+        variants.append((name, qp))
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, 8), 0,
+                                vocab)
+
+    # params must ride as jit ARGUMENTS — closure-captured weights would
+    # be constant-folded into the HLO and blow the remote compiler's
+    # upload limit (see timing.py docstring; learned again the hard way).
+    def step(carry, p):
+        tok, pos, caches = carry
+        logits, caches = model.decode_step(p, tok, pos, caches)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (nxt, pos + 1, caches)
+
+    cs = []
+    for name, p in variants:
+        init = (prompt[:, 0], jnp.int32(0), model.init_cache(batch))
+        cs.append(Contender(f"decode {name}", step, init, (p,),
+                            n_hi=40, n_lo=8))
+    race(cs, rounds=3, scale=batch, unit="tokens/s")
+
+
+if __name__ == "__main__":
+    main()

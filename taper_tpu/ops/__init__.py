@@ -92,16 +92,27 @@ def linear(x, w, b=None, *, activation=None):
         name = (activation if isinstance(activation, str)
                 else "none" if activation is None
                 else getattr(activation, "__name__", "none"))
-        if (_Q8_KERNEL and w.qtype == QuantizationType.INT8
-                and get_backend() == "pallas"):
+        # Shape-aware measured dispatch (v5e): the hand q8 kernel wins
+        # at serving batches (M=128: 107us vs 125us) but loses the
+        # single-token decode matvec (M=8: 675us vs 501us for XLA's
+        # fused dequant) — so it engages from M>=64 under the pallas
+        # backend; TAPER_Q8_KERNEL=1 forces it at any shape.
+        if (w.qtype == QuantizationType.INT8
+                and get_backend() == "pallas"
+                and (_Q8_KERNEL or x.shape[0] >= 64)):
             from taper_tpu.ops.pallas import quant as _q
             if b is None:
                 return _q.linear_q8(x, w.values, w.scale, w.zero_point,
                                     None, epilogue=name, has_bias=False)
             return _q.linear_q8(x, w.values, w.scale, w.zero_point, b,
                                 epilogue=name, has_bias=True)
-        if (_Q8_KERNEL and w.qtype == QuantizationType.INT4
-                and get_backend() == "pallas" and w.shape[1] % 2 == 0):
+        # int4 has NO viable XLA path: the nibble-interleave dequantize
+        # lowers to a 356 ms/step catastrophe at decode (vs 740us for
+        # the kernel) — on real TPUs the kernel is used under any
+        # backend; CPU keeps the jnp fallback as the oracle.
+        if (w.qtype == QuantizationType.INT4 and w.shape[1] % 2 == 0
+                and (on_tpu()
+                     or (_Q8_KERNEL and get_backend() == "pallas"))):
             from taper_tpu.ops.pallas import quant as _q
             return _q.linear_q4(x, w.values, w.scale, w.zero_point, b,
                                 n_features=w.shape[1], epilogue=name,

@@ -93,11 +93,12 @@ def _blocks(sq: int, sk: int):
     return bq, bk
 
 
-def _mask(s, iq, ik, bq, bk, off):
-    """Causal mask with a global row offset (sequence parallelism: a
-    device's Q shard starts at global position ``off``)."""
+def _mask(s, iq, ik, bq, bk, off, koff):
+    """Causal mask with global row/col offsets (sequence parallelism: a
+    device's Q shard starts at global position ``off``; ring attention
+    additionally streams K/V chunks starting at ``koff``)."""
     rows = off + iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cols = koff + ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(rows >= cols, s, _NEG_INF)
 
 
@@ -105,6 +106,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
                 l_sc, acc_sc, *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
     off = off_ref[0].astype(jnp.int32)
+    koff = off_ref[1].astype(jnp.int32)
 
     @pl.when(ik == 0)
     def _init():
@@ -118,7 +120,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
             q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk, off)
+            s = _mask(s, iq, ik, bq, bk, off, koff)
         m_prev = m_sc[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -134,24 +136,28 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
         acc_sc[:] = acc_sc[:] * corr + pv
 
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
     else:
         body()
 
     @pl.when(ik == nk - 1)
     def _fin():
         l = l_sc[:, :1]
-        o_ref[0] = (acc_sc[:] / l).astype(o_ref.dtype)
+        safe = jnp.maximum(l, 1e-30)
+        o_ref[0] = jnp.where(l > 0, acc_sc[:] / safe,
+                             0.0).astype(o_ref.dtype)
         # lse rows are replicated over 8 sublanes: Mosaic requires output
         # block sublane dims divisible by 8, and (1, bq) blocks are not.
         lse_ref[0] = jnp.broadcast_to(
-            (m_sc[:, :1] + jnp.log(l))[:, 0][None, :], lse_ref.shape[1:])
+            jnp.where(l > 0, m_sc[:, :1] + jnp.log(safe),
+                      _NEG_INF)[:, 0][None, :], lse_ref.shape[1:])
 
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                dq_ref, dq_sc, *, scale, causal, bq, bk, nk, lowp):
     iq, ik = pl.program_id(1), pl.program_id(2)
     off = off_ref[0].astype(jnp.int32)
+    koff = off_ref[1].astype(jnp.int32)
 
     @pl.when(ik == 0)
     def _init():
@@ -164,7 +170,7 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk, off)
+            s = _mask(s, iq, ik, bq, bk, off, koff)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         dp = jax.lax.dot_general(
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
@@ -176,7 +182,7 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
     else:
         body()
 
@@ -190,6 +196,7 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 nq, lowp):
     ik, iq = pl.program_id(1), pl.program_id(2)
     off = off_ref[0].astype(jnp.int32)
+    koff = off_ref[1].astype(jnp.int32)
 
     @pl.when(iq == 0)
     def _init():
@@ -204,7 +211,7 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            s = _mask(s, iq, ik, bq, bk, off)
+            s = _mask(s, iq, ik, bq, bk, off, koff)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         pv = p.astype(do.dtype)
         dv_sc[:] += jax.lax.dot_general(
@@ -219,7 +226,7 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32)
 
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= ik * bk)(body)
+        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
     else:
         body()
 
@@ -233,6 +240,7 @@ _SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _flash_fwd(q, k, v, off, causal, scale):
+    # ``off``: f32[2] = (q_offset, k_offset)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     bq, bk = _blocks(sq, sk)
@@ -277,15 +285,20 @@ def _flash_fwd(q, k, v, off, causal, scale):
     return o3.reshape(b, h, sq, d), lse
 
 
-def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale):
+def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
+                    dlse=None):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     bq, bk = _blocks(sq, sk)
     nq, nk = sq // bq, sk // bk
     bh = b * h
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1).reshape(bh, 1, sq)
-    delta = jnp.broadcast_to(delta, (bh, 8, sq))
+                    axis=-1).reshape(bh, sq)
+    if dlse is not None:
+        # d(lse)/ds = p, so an lse cotangent folds into the same
+        # ds = p*(dp - delta) pipeline as delta -= dlse.
+        delta = delta - dlse.reshape(bh, sq)
+    delta = jnp.broadcast_to(delta.reshape(bh, 1, sq), (bh, 8, sq))
     q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
     do3 = do.reshape(bh, sq, d)
 
@@ -366,19 +379,61 @@ def _flash_vjp_bwd(causal, scale, res, do):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def flash_attention(q, k, v, causal=False, scale=None, q_offset=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_lse(q, k, v, off, causal, scale):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+    return o, lse[:, 0, :]              # drop the sublane replication
+
+
+def _flash_lse_vjp_fwd(q, k, v, off, causal, scale):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+    return (o, lse[:, 0, :]), (q, k, v, off, o, lse)
+
+
+def _flash_lse_vjp_bwd(causal, scale, res, cts):
+    do, dlse = cts
+    q, k, v, off, o, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
+                                 dlse=dlse)
+    return dq, dk, dv, jnp.zeros_like(off)
+
+
+_flash_lse.defvjp(_flash_lse_vjp_fwd, _flash_lse_vjp_bwd)
+
+
+def _off_pair(q_offset, k_offset):
+    z = jnp.zeros((), jnp.float32)
+    qo = z if q_offset is None else jnp.asarray(q_offset, jnp.float32)
+    ko = z if k_offset is None else jnp.asarray(k_offset, jnp.float32)
+    return jnp.stack([qo.reshape(()), ko.reshape(())])
+
+
+def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
+                    k_offset=None):
     """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D].
 
-    ``q_offset`` (traced scalar ok) is the global position of this Q
-    shard's first row — used by sequence parallelism, where each device
-    holds a sequence slice of Q but the full (gathered) K/V.  Offsets
-    must be multiples of the Q block (128) so causal block boundaries
-    stay aligned."""
+    ``q_offset``/``k_offset`` (traced scalars ok) are the global
+    positions of this Q shard's first row / K chunk's first column —
+    used by sequence parallelism (all-gather: q_offset only) and ring
+    attention (both).  Offsets must be multiples of 128 so causal block
+    boundaries stay aligned."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    off = (jnp.zeros((1,), jnp.float32) if q_offset is None
-           else jnp.asarray(q_offset, jnp.float32).reshape(1))
-    return _flash(q, k, v, off, causal, scale)
+    return _flash(q, k, v, _off_pair(q_offset, k_offset), causal, scale)
+
+
+def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
+                        k_offset=None):
+    """Like :func:`flash_attention` but also returns the per-row
+    logsumexp ``[B·H, Sq]`` (differentiable) — the merge statistic for
+    combining partial attentions over K/V chunks (ring attention):
+    given chunk results (o_i, lse_i), the total is
+    ``Σ o_i·exp(lse_i − logsumexp_i lse_i)``.  Rows whose chunk is fully
+    masked return o = 0, lse = −inf and drop out of the merge."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_lse(q, k, v, _off_pair(q_offset, k_offset), causal,
+                      scale)
 
 
 def attention(q, k, v, *, causal=False, scale=None):

@@ -12,9 +12,9 @@ __all__ = [
 
 from taper_tpu.parallel.spmd import (  # noqa: E402
     make_dp_train_step, replicate_to_mesh, shard_batch_to_mesh,
-    sharded_attention, sequence_parallel_attention,
+    sharded_attention, sequence_parallel_attention, ring_attention,
 )
 
 __all__ += ["make_dp_train_step", "replicate_to_mesh",
             "shard_batch_to_mesh", "sharded_attention",
-            "sequence_parallel_attention"]
+            "sequence_parallel_attention", "ring_attention"]

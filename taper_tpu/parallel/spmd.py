@@ -108,3 +108,55 @@ def sequence_parallel_attention(mesh: Mesh, q, k, v, *, causal=False,
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)
+
+
+def ring_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
+                   axis="model"):
+    """Ring attention: Q, K and V all stay sharded over the sequence on
+    ``axis`` — no device ever materializes the full K/V (memory O(S/n),
+    unlike the all-gather variant).  Each step computes flash attention
+    of the local Q shard against the currently-held K/V chunk (with
+    global q/k offsets keeping causality exact), merges the partial
+    result through a streaming logsumexp, and rotates the chunk to the
+    next device with ``lax.ppermute`` over ICI.  Differentiable: the
+    merge consumes the kernel's (o, lse) pair, whose VJP folds the lse
+    cotangent into the flash backward's delta; scan + ppermute transpose
+    handles the ring reversal.
+
+    Local sequence length must be a multiple of 128.
+    """
+    n = int(mesh.shape[axis])
+    from taper_tpu.ops.pallas.attention import flash_attention_lse
+
+    def local(q, k, v):
+        i = jax.lax.axis_index(axis)
+        b, h, sq_l, d = q.shape
+        perm = [(s, (s + 1) % n) for s in range(n)]
+
+        def step(carry, j):
+            k_c, v_c, num, den, m = carry
+            koff = ((i - j) % n) * sq_l
+            o_j, lse_j = flash_attention_lse(
+                q, k_c, v_c, causal, scale,
+                q_offset=i * sq_l, k_offset=koff)
+            lse_j = lse_j.reshape(b, h, sq_l, 1)
+            m_new = jnp.maximum(m, lse_j)
+            corr = jnp.exp(m - m_new)
+            w = jnp.exp(lse_j - m_new)
+            num = num * corr + o_j.astype(jnp.float32) * w
+            den = den * corr + w
+            k_c = jax.lax.ppermute(k_c, axis, perm)
+            v_c = jax.lax.ppermute(v_c, axis, perm)
+            return (k_c, v_c, num, den, m_new), None
+
+        num0 = jnp.zeros((b, h, sq_l, d), jnp.float32)
+        den0 = jnp.zeros((b, h, sq_l, 1), jnp.float32)
+        m0 = jnp.full((b, h, sq_l, 1), -jnp.inf, jnp.float32)
+        (k_c, v_c, num, den, m), _ = jax.lax.scan(
+            step, (k, v, num0, den0, m0), jnp.arange(n))
+        return (num / den).astype(q.dtype)
+
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)
