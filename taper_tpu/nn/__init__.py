@@ -9,6 +9,7 @@ from taper_tpu.nn.layers import (
 )
 from taper_tpu.nn.transformer import (
     LayerNorm, Embedding, MultiHeadAttention, MLPBlock, TransformerBlock,
+    MoEMLP,
 )
 
 __all__ = [
@@ -18,5 +19,5 @@ __all__ = [
     "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d",
     "Flatten", "Dropout", "BatchNorm2d", "BasicBlock",
     "LayerNorm", "Embedding", "MultiHeadAttention", "MLPBlock",
-    "TransformerBlock",
+    "TransformerBlock", "MoEMLP",
 ]

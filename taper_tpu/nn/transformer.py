@@ -328,3 +328,55 @@ def apply_rope(x, cos, sin, offset=0):
     si = si[None, None].astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * c - x2 * si, x2 * c + x1 * si], axis=-1)
+
+
+class MoEMLP(Module):
+    """Mixture-of-experts FFN: softmax top-k gating over ``n_experts``
+    parallel :class:`MLPBlock`-shaped experts.
+
+    Dense dispatch: every expert runs on every token and non-top-k
+    contributions are zero-weighted — the compiler-friendly formulation
+    (no sort/scatter, static shapes); expert PARALLELISM then divides
+    the expert compute across devices (``parallel.expert_parallel_moe``),
+    which is where the real cost goes at scale.  Capacity-based token
+    routing (dropping) is the sparse-dispatch upgrade path.
+    """
+
+    def __init__(self, dim: int, n_experts: int, ratio: int = 4,
+                 top_k: int = 2, init_std: float = 0.02,
+                 out_init_std: Optional[float] = None):
+        assert 1 <= top_k <= n_experts
+        self.dim = dim
+        self.n_experts = n_experts
+        self.top_k = top_k
+        self.expert = MLPBlock(dim, ratio=ratio, init_std=init_std,
+                               out_init_std=out_init_std)
+        self.init_std = init_std
+
+    def init(self, key):
+        kg, ke = jax.random.split(key)
+        experts = [self.expert.init(k)
+                   for k in jax.random.split(ke, self.n_experts)]
+        return {
+            "gate": jax.random.normal(
+                kg, (self.n_experts, self.dim),
+                jnp.float32) * self.init_std,
+            "experts": jax.tree.map(lambda *xs: jnp.stack(xs), *experts),
+        }
+
+    def gates(self, params, x):
+        """Top-k-masked, renormalized softmax gates ``[B, S, n_experts]``
+        (f32)."""
+        logits = jnp.einsum("bse,ne->bsn", x.astype(jnp.float32),
+                            params["gate"])
+        if self.top_k < self.n_experts:
+            kth = jnp.sort(logits, axis=-1)[..., -self.top_k][..., None]
+            logits = jnp.where(logits >= kth, logits, -jnp.inf)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def apply(self, params, x, *, train=False, rng=None):
+        g = self.gates(params, x)
+        ye = jax.vmap(lambda p: self.expert.apply(p, x))(
+            params["experts"])                     # [n_e, B, S, E]
+        y = jnp.einsum("nbse,bsn->bse", ye.astype(jnp.float32), g)
+        return y.astype(x.dtype)

@@ -160,3 +160,31 @@ def ring_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)
+
+
+def expert_parallel_moe(mesh: Mesh, moe, params, x, *, axis="model"):
+    """Expert parallelism for :class:`~taper_tpu.nn.transformer.MoEMLP`:
+    the stacked expert params shard over ``axis`` (each device runs
+    ``n_experts / n`` experts on the full batch), gates are computed
+    locally from the replicated gate weights, and the gate-weighted
+    partial sums all-reduce over ICI.  Output == the single-device MoE.
+    """
+    n = int(mesh.shape[axis])
+    assert moe.n_experts % n == 0, (moe.n_experts, n)
+    e_local = moe.n_experts // n
+
+    def local(gate_w, experts_local, x):
+        i = jax.lax.axis_index(axis)
+        g = moe.gates({"gate": gate_w}, x)          # [B, S, n_experts]
+        ye = jax.vmap(lambda p: moe.expert.apply(p, x))(experts_local)
+        g_loc = jax.lax.dynamic_slice_in_dim(g, i * e_local, e_local, 2)
+        y = jnp.einsum("nbse,bsn->bse", ye.astype(jnp.float32), g_loc)
+        return jax.lax.psum(y, axis).astype(x.dtype)
+
+    spec_e = jax.tree.map(
+        lambda leaf: P(*(axis,) + (None,) * (leaf.ndim - 1)),
+        params["experts"])
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), spec_e, P()), out_specs=P(),
+                       check_vma=False)
+    return fn(params["gate"], params["experts"], x)

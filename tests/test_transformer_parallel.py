@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from taper_tpu import models, optim, parallel
+from taper_tpu import models, nn, optim, parallel
 from taper_tpu.data.seq import masked_token_loss, sort_task_batch
 from taper_tpu.ops import xla as X
 
@@ -125,4 +125,86 @@ def test_ring_attention_grads_match():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gs, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5)
+
+
+def test_pipeline_apply_matches_sequential_stack():
+    # 4-stage GPipe over the block stack == running the layers in order.
+    from taper_tpu.nn.transformer import TransformerBlock
+    mesh = parallel.make_mesh(data=2, model=4)
+    depth, dim = 4, 32
+    blk = TransformerBlock(dim, num_heads=2, causal=True)
+    key = jax.random.PRNGKey(0)
+    layer_params = [blk.init(k) for k in jax.random.split(key, depth)]
+    stacked = parallel.stack_layer_params(layer_params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, dim))
+
+    ref = x
+    for p in layer_params:
+        ref = blk.apply(p, ref)
+
+    x_mb = x.reshape(4, 2, 16, dim)        # 4 microbatches of 2
+    got = parallel.pipeline_apply(mesh, blk.apply, stacked, x_mb,
+                                  axis="model")
+    np.testing.assert_allclose(np.asarray(got.reshape(8, 16, dim)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_pipeline_grads_match_sequential():
+    from taper_tpu.nn.transformer import TransformerBlock
+    mesh = parallel.make_mesh(data=2, model=4)
+    depth, dim = 4, 16
+    blk = TransformerBlock(dim, num_heads=2, causal=True)
+    layer_params = [blk.init(k)
+                    for k in jax.random.split(jax.random.PRNGKey(0), depth)]
+    stacked = parallel.stack_layer_params(layer_params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, dim))
+    x_mb = x.reshape(4, 1, 8, dim)
+
+    def loss_pp(stacked):
+        y = parallel.pipeline_apply(mesh, blk.apply, stacked, x_mb)
+        return jnp.sum(y ** 2)
+
+    def loss_seq(stacked):
+        h = x
+        for i in range(depth):
+            p = jax.tree.map(lambda a, i=i: a[i], stacked)
+            h = blk.apply(p, h)
+        return jnp.sum(h ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+
+
+def test_expert_parallel_moe_matches_single_device():
+    mesh = parallel.make_mesh(data=2, model=4)
+    moe = nn.MoEMLP(32, n_experts=8, ratio=2, top_k=2)
+    p = moe.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32))
+    ref = moe.apply(p, x)
+    got = parallel.expert_parallel_moe(mesh, moe, p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+    # gates: top-k sparsity and normalization
+    g = moe.gates(p, x)
+    nz = np.sum(np.asarray(g) > 1e-9, axis=-1)
+    assert (nz <= 2).all()
+    np.testing.assert_allclose(np.asarray(jnp.sum(g, -1)), 1.0,
+                               atol=1e-5)
+
+
+def test_expert_parallel_moe_grads_match():
+    mesh = parallel.make_mesh(data=2, model=4)
+    moe = nn.MoEMLP(16, n_experts=4, ratio=2, top_k=1)
+    p = moe.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+
+    g_ep = jax.grad(lambda p: jnp.sum(
+        parallel.expert_parallel_moe(mesh, moe, p, x) ** 2))(p)
+    g_ref = jax.grad(lambda p: jnp.sum(moe.apply(p, x) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g_ep), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
