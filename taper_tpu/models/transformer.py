@@ -31,6 +31,7 @@ class TinyGPT(Module):
                  mlp_ratio: int = 4, tied_head: bool = True,
                  dropout: float = 0.0, rope: bool = False,
                  num_kv_heads: Optional[int] = None,
+                 n_experts: int = 0, top_k: int = 2,
                  compute_dtype: Optional[jnp.dtype] = None):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -47,7 +48,9 @@ class TinyGPT(Module):
                                         dropout=dropout,
                                         out_init_std=out_std,
                                         rope=rope, max_seq=max_seq,
-                                        num_kv_heads=num_kv_heads)
+                                        num_kv_heads=num_kv_heads,
+                                        n_experts=n_experts,
+                                        top_k=top_k)
                        for _ in range(depth)]
         self.ln_f = LayerNorm(dim)
 

@@ -201,7 +201,8 @@ class TransformerBlock(Module):
                  init_std: float = 0.02,
                  out_init_std: Optional[float] = None,
                  rope: bool = False, max_seq: int = 4096,
-                 num_kv_heads: Optional[int] = None):
+                 num_kv_heads: Optional[int] = None,
+                 n_experts: int = 0, top_k: int = 2):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
@@ -209,8 +210,15 @@ class TransformerBlock(Module):
                                        rope=rope, max_seq=max_seq,
                                        num_kv_heads=num_kv_heads)
         self.ln2 = LayerNorm(dim)
-        self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
-                            out_init_std=out_init_std)
+        # n_experts > 0 swaps the FFN for a top-k-gated MoE (MoEMLP is
+        # defined below in this module; resolved at call time)
+        if n_experts > 0:
+            self.mlp = MoEMLP(dim, n_experts, ratio=mlp_ratio,
+                              top_k=top_k, init_std=init_std,
+                              out_init_std=out_init_std)
+        else:
+            self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
+                                out_init_std=out_init_std)
         self.drop = Dropout(dropout) if dropout > 0 else None
 
     def init(self, key):

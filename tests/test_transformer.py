@@ -319,3 +319,46 @@ def test_tinygpt_gqa_rope_generate():
                                np.asarray(full), atol=2e-5)
     out = model.generate(p, toks[:, :4], 6)
     assert out.shape == (2, 10)
+
+
+def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
+    from taper_tpu.utils import checkpoint as ckpt
+
+    model = models.TinyGPT(vocab_size=sort_task_vocab(), dim=32, depth=2,
+                           num_heads=2, max_seq=16, n_experts=4,
+                           top_k=2)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(3e-3)
+    state = opt.init(params)
+
+    def loss_fn(params, key):
+        toks, tgts, mask = sort_task_batch(key, 16, 7)
+        return masked_token_loss(model.apply(params, toks), tgts, mask)
+
+    @jax.jit
+    def step(params, state, key):
+        (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        params, state = opt.update(g, state, params)
+        return params, state, l
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, k)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+    # expert + gate grads actually flowed
+    assert not np.allclose(
+        np.asarray(params["blocks"][0]["mlp"]["gate"]), 0.02)
+
+    # checkpoint roundtrip of the nested transformer pytree
+    path = str(tmp_path / "gpt.npz")
+    ckpt.save_checkpoint(path, params)
+    loaded, _meta = ckpt.load_checkpoint(path, template=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 12)
+    np.testing.assert_allclose(np.asarray(model.apply(loaded, toks)),
+                               np.asarray(model.apply(params, toks)),
+                               atol=1e-6)
