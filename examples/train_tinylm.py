@@ -4,8 +4,13 @@ Beyond-reference example (the reference's model zoo stops at MLP/CNN):
 a decoder-only transformer learns to emit the sorted copy of its input
 digits — a task that is chance-level (~1/10) until content-based
 attention works.  Everything — data generation (jax.random + jnp.sort),
-forward, flash attention, backward, Adam — compiles into ONE scanned XLA
+forward, attention, backward, Adam — compiles into ONE scanned XLA
 program; the host only sees the per-eval metrics.
+
+At the default S=128 the measured attention dispatch uses XLA's fused
+attention (fastest below the S=1024 crossover); pass ``--length 511``
+(S=1024) or more — or set ``TAPER_FLASH_MIN=128`` — to exercise the
+flash kernel end-to-end.
 
 Run: python examples/train_tinylm.py [--backend pallas] [--bf16]
 """
@@ -85,6 +90,7 @@ def main():
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     done = 0
+    eval_acc = 0.0
     while done < args.steps:
         n = min(args.eval_every, args.steps - done)
         key, k1, k2 = jax.random.split(key, 3)

@@ -78,9 +78,13 @@ class TinyGPT(Module):
         for blk, bp, r in zip(self.blocks, params["blocks"], rngs):
             x = blk.apply(bp, x, train=train, rng=r)
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
-        head = (params["tok"]["w"] if self.tied_head
-                else params["head"])
+        return self._logits(params, x)
+
+    def _logits(self, params, x):
+        """Final-LN'd activations → vocab logits (tied or untied head;
+        PTQ'd heads dequantize inside the jitted forward)."""
         from taper_tpu.nn.transformer import _is_qt
+        head = params["tok"]["w"] if self.tied_head else params["head"]
         if _is_qt(head):
             head = head.dequantize()
         return jnp.einsum("bse,ve->bsv", x, head)
@@ -107,11 +111,7 @@ class TinyGPT(Module):
             x, c = block_apply_decode(blk, bp, x, c, pos)
             new_caches.append(c)
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
-        head = (params["tok"]["w"] if self.tied_head else params["head"])
-        from taper_tpu.nn.transformer import _is_qt
-        if _is_qt(head):
-            head = head.dequantize()
-        return jnp.einsum("bse,ve->bsv", x, head)[:, 0], new_caches
+        return self._logits(params, x)[:, 0], new_caches
 
     def generate(self, params, prompt, max_new: int,
                  temperature: float = 0.0, key=None):

@@ -288,13 +288,18 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         k = apply_rope(k, cos, sin, offset=pos)
     k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, pos, 2)
     v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, pos, 2)
-    ku, vu = k_cache, v_cache
     if mha.kv_groups > 1:
-        ku = jnp.repeat(ku, mha.kv_groups, axis=1)
-        vu = jnp.repeat(vu, mha.kv_groups, axis=1)
-    o = _decode_attention(q, ku, vu, pos,
-                          mha.head_dim ** -0.5)
-    o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
+        # GQA: never repeat the cache (that would re-spend the HBM
+        # bandwidth GQA saves) — fold the query groups into the query
+        # dim instead: [B, kvh, groups, D] against the kv-sized cache.
+        qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
+        o = _decode_attention(qg, k_cache, v_cache, pos,
+                              mha.head_dim ** -0.5)
+        o2 = o.reshape(b, e)
+    else:
+        o = _decode_attention(q, k_cache, v_cache, pos,
+                              mha.head_dim ** -0.5)
+        o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
     y = _proj(o2, params["wo"], params.get("bo"))
     return y.reshape(b, 1, e), {"k": k_cache, "v": v_cache}
 

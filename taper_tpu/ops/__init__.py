@@ -70,7 +70,9 @@ def _dequant(w):
     return w.dequantize()
 
 
-_Q8_KERNEL = os.environ.get("TAPER_Q8_KERNEL", "0") == "1"
+# tri-state: "1" forces the hand q8 kernel at every shape, "0" forces
+# the XLA fused-dequant path, unset -> shape-aware measured dispatch.
+_Q8_KERNEL = os.environ.get("TAPER_Q8_KERNEL")
 
 
 def linear(x, w, b=None, *, activation=None):
@@ -83,8 +85,9 @@ def linear(x, w, b=None, *, activation=None):
     int8 reads vs 0.20 ms for the f32 weights — a real 2.9× serving
     speedup from quantization).  The hand-written Pallas dequant-on-load
     kernel (``ops/pallas/quant.py``) implements the same contract
-    explicitly and is selectable with ``TAPER_Q8_KERNEL=1``; at measured
-    shapes XLA's fusion is equal-or-faster, so it is not the default.
+    explicitly; under the pallas backend dispatch is shape-aware (the
+    kernel wins serving batches M≥64, XLA's fusion wins the decode
+    matvec) — ``TAPER_Q8_KERNEL=1``/``=0`` force either path.
     """
     if _is_qtensor(w):
         from taper_tpu.quantization.config import QuantizationType
@@ -99,7 +102,8 @@ def linear(x, w, b=None, *, activation=None):
         # backend; TAPER_Q8_KERNEL=1 forces it at any shape.
         if (w.qtype == QuantizationType.INT8
                 and get_backend() == "pallas"
-                and (_Q8_KERNEL or x.shape[0] >= 64)):
+                and (_Q8_KERNEL == "1"
+                     or (_Q8_KERNEL != "0" and x.shape[0] >= 64))):
             from taper_tpu.ops.pallas import quant as _q
             if b is None:
                 return _q.linear_q8(x, w.values, w.scale, w.zero_point,
@@ -112,7 +116,8 @@ def linear(x, w, b=None, *, activation=None):
         # backend; CPU keeps the jnp fallback as the oracle.
         if (w.qtype == QuantizationType.INT4 and w.shape[1] % 2 == 0
                 and (on_tpu()
-                     or (_Q8_KERNEL and get_backend() == "pallas"))):
+                     or (_Q8_KERNEL == "1"
+                         and get_backend() == "pallas"))):
             from taper_tpu.ops.pallas import quant as _q
             return _q.linear_q4(x, w.values, w.scale, w.zero_point, b,
                                 n_features=w.shape[1], epilogue=name,

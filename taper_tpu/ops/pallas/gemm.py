@@ -249,15 +249,19 @@ def linear(x, w, b, activation: str = "none"):
 
 def _linear_fwd(x, w, b, activation):
     y = linear(x, w, b, activation)
-    return y, (x, w, y)
+    return y, (x, w, b, y)
 
 
 def _linear_bwd(activation, res, g):
-    x, w, y = res
+    x, w, b, y = res
     if activation == "relu":
         g = jnp.where(y > 0, g, 0.0)
     elif activation == "sigmoid":
         g = g * y * (1.0 - y)
+    # db sums the f32 cotangent BEFORE the operand-dtype cast and lands
+    # at the bias's own dtype (an f32 bias keeps an f32 grad even under
+    # a bf16 trunk).
+    db = jnp.sum(g, axis=0).astype(b.dtype)
     # The output (and so its cotangent) is f32 even for bf16 operands;
     # run the grad GEMMs at the operand dtype and return grads with the
     # operand dtypes (custom_vjp requires dx.dtype == x.dtype).
@@ -265,7 +269,6 @@ def _linear_bwd(activation, res, g):
     # dX = g @ W ([M,N]·[N,K]); dW = gᵀ @ X ([M,N]ᵀ·[M,K]); db = Σ_M g.
     dx = _gemm(g, w, None, has_bias=False, mode="nn").astype(x.dtype)
     dw = _gemm(g, x, None, has_bias=False, mode="tn").astype(w.dtype)
-    db = jnp.sum(g, axis=0).astype(x.dtype)
     return dx, dw, db
 
 

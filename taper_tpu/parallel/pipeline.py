@@ -56,10 +56,11 @@ def pipeline_apply(mesh: Mesh, layer_fn, stacked_params, x_mb, *,
     """
     n = int(mesh.shape[axis])
     n_micro = x_mb.shape[0]
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert depth % n == 0, (depth, n)
 
     def local(params_local, x_mb):
         s = jax.lax.axis_index(axis)
-        layers_here = jax.tree.leaves(params_local)[0].shape[0]
         perm = [(d, d + 1) for d in range(n - 1)]
 
         def stage(x):
@@ -92,7 +93,6 @@ def pipeline_apply(mesh: Mesh, layer_fn, stacked_params, x_mb, *,
         # replicate the last stage's outputs to every device
         outs = jax.lax.psum(
             jnp.where(s == n - 1, outs, jnp.zeros_like(outs)), axis)
-        del layers_here
         return outs
 
     spec_p = jax.tree.map(

@@ -341,6 +341,7 @@ def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
         params, state = opt.update(g, state, params)
         return params, state, l
 
+    gate0 = np.asarray(params["blocks"][0]["mlp"]["gate"]).copy()
     losses = []
     key = jax.random.PRNGKey(1)
     for _ in range(30):
@@ -348,9 +349,9 @@ def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
         params, state, l = step(params, state, k)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
-    # expert + gate grads actually flowed
+    # gate grads actually flowed: the gate moved from its init values
     assert not np.allclose(
-        np.asarray(params["blocks"][0]["mlp"]["gate"]), 0.02)
+        np.asarray(params["blocks"][0]["mlp"]["gate"]), gate0)
 
     # checkpoint roundtrip of the nested transformer pytree
     path = str(tmp_path / "gpt.npz")
