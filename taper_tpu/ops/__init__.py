@@ -172,12 +172,14 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
                               padding=padding)
 
 
-def attention(q, k, v, *, causal=False, scale=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None):
     """Scaled dot-product attention over ``[B, H, S, D]`` (beyond-reference
     transformer extension — SURVEY.md §5.7 notes the reference has none).
     The pallas backend runs the flash kernel (O(S·D) HBM traffic); xla
-    materializes the S×S score matrix."""
-    return _impl().attention(q, k, v, causal=causal, scale=scale)
+    materializes the S×S score matrix.  ``window=W`` = sliding-window
+    (local) attention over the last W positions."""
+    return _impl().attention(q, k, v, causal=causal, scale=scale,
+                             window=window)
 
 
 __all__ = [

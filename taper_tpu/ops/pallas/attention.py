@@ -76,7 +76,7 @@ def _dot_in(x, lowp):
         else x
 
 
-def _blocks(sq: int, sk: int):
+def _blocks(sq: int, sk: int, window=None):
     """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk.
 
     Swept on v5e (benchmarks/tune_attention.py, S=2048 D=64 f32): bigger
@@ -88,27 +88,47 @@ def _blocks(sq: int, sk: int):
             if s % c == 0:
                 return c
         return s
-    bk = best(sk, (2048, 1024, 512, 256, 128))
+    caps = (2048, 1024, 512, 256, 128)
+    if window is not None:
+        # sliding window: KV blocks larger than the window defeat the
+        # block-skip (a 2048-col block almost always intersects a
+        # 512-wide window) — cap bk near the window size.
+        wcap = max(128, 1 << (int(window) - 1).bit_length())
+        caps = tuple(c for c in caps if c <= wcap) or (128,)
+    bk = best(sk, caps)
     bq = best(sq, tuple(c for c in (512, 256, 128) if c <= bk))
     return bq, bk
 
 
-def _mask(s, iq, ik, bq, bk, off, koff):
-    """Causal mask with global row/col offsets (sequence parallelism: a
-    device's Q shard starts at global position ``off``; ring attention
-    additionally streams K/V chunks starting at ``koff``)."""
+def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
+    """Causal and/or sliding-window mask with global row/col offsets
+    (sequence parallelism: a device's Q shard starts at global position
+    ``off``; ring attention additionally streams K/V chunks starting at
+    ``koff``).  ``window=W``: row r attends cols in [r−W+1, r]."""
     rows = off + iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = koff + ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(rows >= cols, s, _NEG_INF)
+    ok = jnp.full(s.shape, True)
+    if causal:
+        ok &= rows >= cols
+    if window is not None:
+        ok &= cols > rows - window
+    return jnp.where(ok, s, _NEG_INF)
 
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
-                l_sc, acc_sc, *, scale, causal, bq, bk, nk, lowp):
+                l_sc, acc_sc, *, scale, causal, window, bq, bk, nk, lowp,
+                grid_banded=False):
     iq, ik = pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(2)
+    raw = ik
+    if grid_banded:
+        # grid covers only the band: step j maps to kv block lo+j
+        raw = (iq * bq - (window - 1)) // bk + ik
+        ik = jnp.clip(raw, 0, nk - 1)
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(ik == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
         l_sc[:] = jnp.zeros_like(l_sc)
@@ -119,12 +139,16 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
         s = jax.lax.dot_general(
             q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        if causal:
-            s = _mask(s, iq, ik, bq, bk, off, koff)
+        if causal or window is not None:
+            s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         m_prev = m_sc[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
+        # fully-masked rows (possible under a sliding window / per ring
+        # chunk) keep m_new = -inf; exp against a finite stand-in keeps
+        # p = corr = 0 instead of NaN.
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe)
+        corr = jnp.exp(m_prev - m_safe)
         l_sc[:] = jnp.broadcast_to(
             l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
             l_sc.shape)
@@ -135,12 +159,22 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
             preferred_element_type=jnp.float32)
         acc_sc[:] = acc_sc[:] * corr + pv
 
+    run = True
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
-    else:
+        run = off + iq * bq + bq - 1 >= koff + ik * bk
+    if window is not None:
+        # newest window col for the OLDEST row in this q block
+        in_win = (koff + ik * bk + bk - 1
+                  > off + iq * bq - window)
+        run = in_win if run is True else run & in_win
+    if grid_banded:
+        run = run & (raw == ik)     # clipped duplicates are idle
+    if run is True:
         body()
+    else:
+        pl.when(run)(body)
 
-    @pl.when(ik == nk - 1)
+    @pl.when(pl.program_id(2) == nsteps - 1)
     def _fin():
         l = l_sc[:, :1]
         safe = jnp.maximum(l, 1e-30)
@@ -154,12 +188,18 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
 
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
-               dq_ref, dq_sc, *, scale, causal, bq, bk, nk, lowp):
+               dq_ref, dq_sc, *, scale, causal, window, bq, bk, nk, lowp,
+               grid_banded=False):
     iq, ik = pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(2)
+    raw = ik
+    if grid_banded:
+        raw = (iq * bq - (window - 1)) // bk + ik
+        ik = jnp.clip(raw, 0, nk - 1)
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(ik == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
@@ -169,8 +209,8 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        if causal:
-            s = _mask(s, iq, ik, bq, bk, off, koff)
+        if causal or window is not None:
+            s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         dp = jax.lax.dot_general(
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
@@ -181,24 +221,41 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    run = True
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
-    else:
+        run = off + iq * bq + bq - 1 >= koff + ik * bk
+    if window is not None:
+        # newest window col for the OLDEST row in this q block
+        in_win = (koff + ik * bk + bk - 1
+                  > off + iq * bq - window)
+        run = in_win if run is True else run & in_win
+    if grid_banded:
+        run = run & (raw == ik)     # clipped duplicates are idle
+    if run is True:
         body()
+    else:
+        pl.when(run)(body)
 
-    @pl.when(ik == nk - 1)
+    @pl.when(pl.program_id(2) == nsteps - 1)
     def _fin():
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
-                dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, bq, bk,
-                nq, lowp):
+                dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window, bq, bk,
+                nq, lowp, grid_banded=False):
     ik, iq = pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(2)
+    raw = iq
+    if grid_banded:
+        # band over q blocks for this k block (causal: start at the
+        # diagonal; window bounds the height)
+        raw = (ik * bk) // bq + iq
+        iq = jnp.clip(raw, 0, nq - 1)
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(iq == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         dk_sc[:] = jnp.zeros_like(dk_sc)
         dv_sc[:] = jnp.zeros_like(dv_sc)
@@ -210,8 +267,8 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        if causal:
-            s = _mask(s, iq, ik, bq, bk, off, koff)
+        if causal or window is not None:
+            s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         p = jnp.exp(s - lse_ref[0, 0, :][:, None])
         pv = p.astype(do.dtype)
         dv_sc[:] += jax.lax.dot_general(
@@ -225,12 +282,22 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    run = True
     if causal:
-        pl.when(off + iq * bq + bq - 1 >= koff + ik * bk)(body)
-    else:
+        run = off + iq * bq + bq - 1 >= koff + ik * bk
+    if window is not None:
+        # newest window col for the OLDEST row in this q block
+        in_win = (koff + ik * bk + bk - 1
+                  > off + iq * bq - window)
+        run = in_win if run is True else run & in_win
+    if grid_banded:
+        run = run & (raw == iq)
+    if run is True:
         body()
+    else:
+        pl.when(run)(body)
 
-    @pl.when(iq == nq - 1)
+    @pl.when(pl.program_id(2) == nsteps - 1)
     def _fin():
         dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
@@ -239,27 +306,78 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 _SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _flash_fwd(q, k, v, off, causal, scale):
+def _nkb(bq, bk, window):
+    """Banded grid length over KV blocks for a window: the widest row
+    band spans bq + window - 1 columns."""
+    return min((bq + window - 2) // bk + 2, 10 ** 9)
+
+
+def _kv_band(i, j, *, bq, bk, nk, causal, window):
+    """Banded KV block index for q block ``i`` at inner step ``j``:
+    out-of-band steps clip to the band edge, so consecutive grid steps
+    revisit the same block and Pallas elides their HBM fetches (their
+    compute is already skipped by the kernels' run predicate).  Only
+    valid when q/k offsets are statically zero."""
+    lo = 0
+    hi = nk - 1
+    if window is not None:
+        lo = jnp.maximum((i * bq - (window - 1)) // bk, 0)
+    if causal:
+        hi = jnp.minimum((i * bq + bq - 1) // bk, nk - 1)
+    return jnp.clip(j, lo, hi)
+
+
+def _q_band(j, i, *, bq, bk, nq, causal, window):
+    """Banded Q block index for k block ``j`` (the dK/dV transposed
+    grid): rows attending col c lie in [c, c+window-1] (causal,
+    windowed)."""
+    lo = 0
+    hi = nq - 1
+    if causal:
+        lo = jnp.minimum((j * bk) // bq, nq - 1)
+    if window is not None:
+        hi = jnp.minimum((j * bk + bk - 1 + window - 1) // bq, nq - 1)
+    return jnp.clip(i, lo, hi)
+
+
+def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
     # ``off``: f32[2] = (q_offset, k_offset)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _blocks(sq, sk)
+    bq, bk = _blocks(sq, sk, window)
     nq, nk = sq // bq, sk // bk
     bh = b * h
     q3 = q.reshape(bh, sq, d)
     k3 = k.reshape(bh, sk, d)
     v3 = v.reshape(bh, sk, d)
 
+    grid_banded = banded and window is not None
+    if grid_banded:
+        # the grid only covers the diagonal band of KV blocks
+        nkb = min(_nkb(bq, bk, window), nk)
+        kv_idx = lambda g, i, j: (
+            g, jnp.clip((i * bq - (window - 1)) // bk + j, 0, nk - 1), 0)
+        steps = nkb
+    elif banded:
+        kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
+                                  causal=causal, window=window)
+        kv_idx = lambda g, i, j: (g, kvmap(i, j), 0)
+        steps = nk
+    else:
+        kv_idx = lambda g, i, j: (g, j, 0)
+        steps = nk
+
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nk=nk,
-                          lowp=_dot_bf16_default()),
-        grid=(bh, nq, nk),
+                          window=window, bq=bq, bk=bk, nk=nk,
+                          lowp=_dot_bf16_default(),
+                          grid_banded=grid_banded),
+        grid=(bh, nq, steps),
         in_specs=[
             _SMEM_SPEC,
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, d), kv_idx),
+            pl.BlockSpec((1, bk, d), kv_idx),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
@@ -286,10 +404,11 @@ def _flash_fwd(q, k, v, off, causal, scale):
 
 
 def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
-                    dlse=None):
+                    dlse=None, window=None, banded=False):
+    # (banded grids need statically-zero offsets; guaranteed by callers)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _blocks(sq, sk)
+    bq, bk = _blocks(sq, sk, window)
     nq, nk = sq // bq, sk // bk
     bh = b * h
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -302,15 +421,30 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
     do3 = do.reshape(bh, sq, d)
 
+    grid_banded = banded and window is not None
     spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
-    spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0))
+    if grid_banded:
+        nkb = min(_nkb(bq, bk, window), nk)
+        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (
+            g, jnp.clip((i * bq - (window - 1)) // bk + j, 0, nk - 1), 0))
+        kv_steps = nkb
+    elif banded:
+        kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
+                                  causal=causal, window=window)
+        spec_k = pl.BlockSpec((1, bk, d),
+                              lambda g, i, j: (g, kvmap(i, j), 0))
+        kv_steps = nk
+    else:
+        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0))
+        kv_steps = nk
     spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nk=nk,
-                          lowp=_dot_bf16_default()),
-        grid=(bh, nq, nk),
+                          window=window, bq=bq, bk=bk, nk=nk,
+                          lowp=_dot_bf16_default(),
+                          grid_banded=grid_banded),
+        grid=(bh, nq, kv_steps),
         in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_r,
                   spec_r],
         out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
@@ -326,14 +460,33 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     )(off, q3, k3, v3, do3, lse, delta)
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
-    spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
+    if grid_banded:
+        nqb = min((bk + window - 2) // bq + 2, nq)
+        qb = lambda j, i: jnp.clip((j * bk) // bq + i, 0, nq - 1)
+        spec_q_t = pl.BlockSpec((1, bq, d),
+                                lambda g, j, i: (g, qb(j, i), 0))
+        spec_r_t = pl.BlockSpec((1, 8, bq),
+                                lambda g, j, i: (g, 0, qb(j, i)))
+        q_steps = nqb
+    elif banded:
+        qmap = functools.partial(_q_band, bq=bq, bk=bk, nq=nq,
+                                 causal=causal, window=window)
+        spec_q_t = pl.BlockSpec((1, bq, d),
+                                lambda g, j, i: (g, qmap(j, i), 0))
+        spec_r_t = pl.BlockSpec((1, 8, bq),
+                                lambda g, j, i: (g, 0, qmap(j, i)))
+        q_steps = nq
+    else:
+        spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
+        spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
+        q_steps = nq
     spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
-    spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
-                          bq=bq, bk=bk, nq=nq,
-                          lowp=_dot_bf16_default()),
-        grid=(bh, nk, nq),
+                          window=window, bq=bq, bk=bk, nq=nq,
+                          lowp=_dot_bf16_default(),
+                          grid_banded=grid_banded),
+        grid=(bh, nk, q_steps),
         in_specs=[_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
                   spec_r_t, spec_r_t],
         out_specs=[
@@ -359,42 +512,43 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     return dq.reshape(shp), dk.reshape(b, h, sk, d), dv.reshape(b, h, sk, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, off, causal, scale):
-    o, _ = _flash_fwd(q, k, v, off, causal, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, off, causal, scale, window, banded):
+    o, _ = _flash_fwd(q, k, v, off, causal, scale, window, banded)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, off, causal, scale):
-    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+def _flash_vjp_fwd(q, k, v, off, causal, scale, window, banded):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale, window, banded)
     return o, (q, k, v, off, o, lse)
 
 
-def _flash_vjp_bwd(causal, scale, res, do):
+def _flash_vjp_bwd(causal, scale, window, banded, res, do):
     q, k, v, off, o, lse = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
+                                 window=window, banded=banded)
     return dq, dk, dv, jnp.zeros_like(off)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_lse(q, k, v, off, causal, scale):
-    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_lse(q, k, v, off, causal, scale, window):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale, window)
     return o, lse[:, 0, :]              # drop the sublane replication
 
 
-def _flash_lse_vjp_fwd(q, k, v, off, causal, scale):
-    o, lse = _flash_fwd(q, k, v, off, causal, scale)
+def _flash_lse_vjp_fwd(q, k, v, off, causal, scale, window):
+    o, lse = _flash_fwd(q, k, v, off, causal, scale, window)
     return (o, lse[:, 0, :]), (q, k, v, off, o, lse)
 
 
-def _flash_lse_vjp_bwd(causal, scale, res, cts):
+def _flash_lse_vjp_bwd(causal, scale, window, res, cts):
     do, dlse = cts
     q, k, v, off, o, lse = res
     dq, dk, dv = _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
-                                 dlse=dlse)
+                                 dlse=dlse, window=window)
     return dq, dk, dv, jnp.zeros_like(off)
 
 
@@ -409,7 +563,7 @@ def _off_pair(q_offset, k_offset):
 
 
 def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
-                    k_offset=None):
+                    k_offset=None, window=None):
     """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D].
 
     ``q_offset``/``k_offset`` (traced scalars ok) are the global
@@ -419,11 +573,16 @@ def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
     boundaries stay aligned."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, _off_pair(q_offset, k_offset), causal, scale)
+    # banded fetch schedules need statically-zero offsets (the band is
+    # computed in index maps, which cannot see the runtime offsets)
+    banded = (causal or window is not None) and \
+        q_offset is None and k_offset is None
+    return _flash(q, k, v, _off_pair(q_offset, k_offset), causal, scale,
+                  window, banded)
 
 
 def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
-                        k_offset=None):
+                        k_offset=None, window=None):
     """Like :func:`flash_attention` but also returns the per-row
     logsumexp ``[B·H, Sq]`` (differentiable) — the merge statistic for
     combining partial attentions over K/V chunks (ring attention):
@@ -433,12 +592,14 @@ def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_lse(q, k, v, _off_pair(q_offset, k_offset), causal,
-                      scale)
+                      scale, window)
 
 
-def attention(q, k, v, *, causal=False, scale=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None):
     """Backend entry: flash kernel when shapes qualify, XLA oracle
-    otherwise.
+    otherwise.  ``window=W`` restricts each row to the last W positions
+    (sliding-window / local attention — blocks fully behind the window
+    are skipped, so compute scales O(S·W) instead of O(S²)).
 
     Requirements: lane-aligned sequences (multiples of 128), Sq == Sk for
     causal.  Measured dispatch threshold (benchmarks/bench_attention.py,
@@ -454,5 +615,6 @@ def attention(q, k, v, *, causal=False, scale=None):
           and (not causal or sq == sk) and sk >= min_sk)
     if not ok:
         from taper_tpu.ops import xla as _xla
-        return _xla.attention(q, k, v, causal=causal, scale=scale)
-    return flash_attention(q, k, v, causal, scale)
+        return _xla.attention(q, k, v, causal=causal, scale=scale,
+                              window=window)
+    return flash_attention(q, k, v, causal, scale, window=window)

@@ -164,7 +164,7 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
     return summed / counts
 
 
-def attention(q, k, v, *, causal=False, scale=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None):
     """Scaled dot-product attention (oracle path).
 
     ``q, k, v``: ``[B, H, S, D]``.  Softmax statistics are computed in f32
@@ -180,9 +180,16 @@ def attention(q, k, v, *, causal=False, scale=None):
         scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
-    if causal:
+    if causal or window is not None:
         sq, sk = q.shape[2], k.shape[2]
-        mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+        rows = jnp.arange(sq)[:, None] + (sk - sq)
+        cols = jnp.arange(sk)[None, :]
+        mask = jnp.ones((sq, sk), bool)
+        if causal:
+            mask &= rows >= cols
+        if window is not None:
+            # row attends cols in [row-window+1, row]
+            mask &= cols > rows - window
         s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)

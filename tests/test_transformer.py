@@ -41,7 +41,8 @@ def test_flash_matches_oracle(causal):
 def test_flash_multiblock_online_softmax(causal, monkeypatch):
     # Force 4x4 blocks so the running max/sum and causal block-skip paths
     # are actually exercised (default caps would fit S=512 in one block).
-    monkeypatch.setattr(A, "_blocks", lambda sq, sk: (128, 128))
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 512, 16)
     ref = X.attention(q, k, v, causal=causal)
     got = A.flash_attention(q, k, v, causal)
@@ -65,7 +66,8 @@ def test_flash_grads_match_oracle():
 
 
 def test_flash_bwd_multiblock(monkeypatch):
-    monkeypatch.setattr(A, "_blocks", lambda sq, sk: (128, 128))
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(3), 1, 1, 384, 16)
 
     def f(att):
@@ -363,3 +365,39 @@ def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
     np.testing.assert_allclose(np.asarray(model.apply(loaded, toks)),
                                np.asarray(model.apply(params, toks)),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("window", [64, 128, 200])
+def test_sliding_window_flash_matches_oracle(window, monkeypatch):
+    # small blocks force both skip edges (behind-window and above-diag)
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None: (128, 128))
+    q, k, v = _qkv(jax.random.PRNGKey(11), 1, 2, 512, 16)
+    ref = X.attention(q, k, v, causal=True, window=window)
+    got = A.flash_attention(q, k, v, True, None, window=window)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_sliding_window_grads_match(monkeypatch):
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None: (128, 128))
+    q, k, v = _qkv(jax.random.PRNGKey(12), 1, 1, 384, 16)
+
+    def f(att):
+        return lambda q, k, v: jnp.sum(att(q, k, v) ** 2)
+
+    gr = jax.grad(f(lambda q, k, v: X.attention(
+        q, k, v, causal=True, window=100)), argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(f(lambda q, k, v: A.flash_attention(
+        q, k, v, True, None, window=100)), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(b, a, atol=5e-5)
+
+
+def test_sliding_window_dispatch_and_mha():
+    # ops-layer passthrough + module-level window on the oracle path
+    q, k, v = _qkv(jax.random.PRNGKey(13), 1, 2, 128, 16)
+    with ops.use_backend("pallas"):
+        got = ops.attention(q, k, v, causal=True, window=32)
+    ref = X.attention(q, k, v, causal=True, window=32)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
