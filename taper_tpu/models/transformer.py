@@ -32,6 +32,7 @@ class TinyGPT(Module):
                  dropout: float = 0.0, rope: bool = False,
                  num_kv_heads: Optional[int] = None,
                  n_experts: int = 0, top_k: int = 2,
+                 window: Optional[int] = None,
                  compute_dtype: Optional[jnp.dtype] = None):
         self.vocab_size = vocab_size
         self.dim = dim
@@ -50,7 +51,7 @@ class TinyGPT(Module):
                                         rope=rope, max_seq=max_seq,
                                         num_kv_heads=num_kv_heads,
                                         n_experts=n_experts,
-                                        top_k=top_k)
+                                        top_k=top_k, window=window)
                        for _ in range(depth)]
         self.ln_f = LayerNorm(dim)
 

@@ -94,7 +94,8 @@ class MultiHeadAttention(Module):
                  bias: bool = True, init_std: float = 0.02,
                  out_init_std: Optional[float] = None,
                  rope: bool = False, max_seq: int = 4096,
-                 num_kv_heads: Optional[int] = None):
+                 num_kv_heads: Optional[int] = None,
+                 window: Optional[int] = None):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
@@ -114,6 +115,7 @@ class MultiHeadAttention(Module):
                              else out_init_std)
         self.rope = rope
         self.max_seq = max_seq
+        self.window = window
         if rope:
             self._rope = rope_angles(self.head_dim, max_seq)
 
@@ -155,7 +157,8 @@ class MultiHeadAttention(Module):
             # in serving (see mha_apply_decode).
             k = jnp.repeat(k, self.kv_groups, axis=1)
             v = jnp.repeat(v, self.kv_groups, axis=1)
-        o = ops.attention(q, k, v, causal=self.causal)
+        o = ops.attention(q, k, v, causal=self.causal,
+                          window=self.window)
         o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
         out = _proj(o2, params["wo"], params.get("bo"))
         return out.reshape(b, s, e)
@@ -202,13 +205,15 @@ class TransformerBlock(Module):
                  out_init_std: Optional[float] = None,
                  rope: bool = False, max_seq: int = 4096,
                  num_kv_heads: Optional[int] = None,
-                 n_experts: int = 0, top_k: int = 2):
+                 n_experts: int = 0, top_k: int = 2,
+                 window: Optional[int] = None):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
                                        out_init_std=out_init_std,
                                        rope=rope, max_seq=max_seq,
-                                       num_kv_heads=num_kv_heads)
+                                       num_kv_heads=num_kv_heads,
+                                       window=window)
         self.ln2 = LayerNorm(dim)
         # n_experts > 0 swaps the FFN for a top-k-gated MoE (MoEMLP is
         # defined below in this module; resolved at call time)
@@ -246,7 +251,7 @@ class TransformerBlock(Module):
 # KV-cache decode path (serving)
 # ---------------------------------------------------------------------------
 
-def _decode_attention(q, k_cache, v_cache, pos, scale):
+def _decode_attention(q, k_cache, v_cache, pos, scale, window=None):
     """Single-position attention against a static-shape KV cache.
 
     ``q``: [B, H, 1, D]; caches: [B, H, Smax, D]; ``pos``: the index of
@@ -256,7 +261,10 @@ def _decode_attention(q, k_cache, v_cache, pos, scale):
     """
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
                    preferred_element_type=jnp.float32) * scale
-    mask = jnp.arange(k_cache.shape[2]) <= pos
+    idx = jnp.arange(k_cache.shape[2])
+    mask = idx <= pos
+    if window is not None:
+        mask &= idx > pos - window
     s = jnp.where(mask[None, None, None, :], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(v_cache.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v_cache)
@@ -294,11 +302,11 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         # dim instead: [B, kvh, groups, D] against the kv-sized cache.
         qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
         o = _decode_attention(qg, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5)
+                              mha.head_dim ** -0.5, mha.window)
         o2 = o.reshape(b, e)
     else:
         o = _decode_attention(q, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5)
+                              mha.head_dim ** -0.5, mha.window)
         o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
     y = _proj(o2, params["wo"], params.get("bo"))
     return y.reshape(b, 1, e), {"k": k_cache, "v": v_cache}

@@ -401,3 +401,26 @@ def test_sliding_window_dispatch_and_mha():
         got = ops.attention(q, k, v, causal=True, window=32)
     ref = X.attention(q, k, v, causal=True, window=32)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_tinygpt_window_decode_matches_full_forward():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16, window=5, rope=True)
+    p = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 12)
+    full = model.apply(p, toks)
+    caches = model.init_cache(2)
+    outs = []
+    for t in range(16):
+        logits, caches = model.decode_step(p, toks[:, t], t, caches)
+        outs.append(logits)
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(full), atol=2e-5)
+    # windowing is real: perturbing a token far outside the window does
+    # not change late logits, perturbing inside does
+    far = toks.at[0, 0].set((toks[0, 0] + 1) % 12)
+    assert float(jnp.max(jnp.abs(model.apply(p, far)[0, 10:]
+                                 - full[0, 10:]))) < 1e-5
+    near = toks.at[0, 13].set((toks[0, 13] + 1) % 12)
+    assert float(jnp.max(jnp.abs(model.apply(p, near)[0, 15]
+                                 - full[0, 15]))) > 1e-4
