@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk (params/softmax/logits stay f32)")
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--rope", action="store_true",
+                    help="rotary position embeddings (drops the learned "
+                         "position table)")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="GQA: number of KV heads (0 = same as --heads)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window attention over the last W "
+                         "positions (0 = full causal)")
+    ap.add_argument("--experts", type=int, default=0,
+                    help="MoE: experts per FFN (0 = dense)")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -54,7 +64,10 @@ def main():
     vocab = sort_task_vocab()
     model = models.TinyGPT(
         vocab_size=vocab, dim=args.dim, depth=args.depth,
-        num_heads=args.heads, max_seq=seq,
+        num_heads=args.heads, max_seq=seq, rope=args.rope,
+        num_kv_heads=args.kv_heads or None,
+        window=args.window or None,
+        n_experts=args.experts,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
     params = model.init(jax.random.PRNGKey(0))
     print(f"TinyGPT dim={args.dim} depth={args.depth} heads={args.heads} "
