@@ -424,3 +424,44 @@ def test_tinygpt_window_decode_matches_full_forward():
     near = toks.at[0, 13].set((toks[0, 13] + 1) % 12)
     assert float(jnp.max(jnp.abs(model.apply(p, near)[0, 15]
                                  - full[0, 15]))) > 1e-4
+
+
+def test_tinygpt_trains_with_fake_quant_weights():
+    """QAT-style training of the transformer family: int8 fake-quantize
+    (STE) every projection weight inside the loss; the f32 master
+    weights keep learning through the straight-through gradients."""
+    from taper_tpu.quantization.fake_quantize import fake_quantize_int
+
+    model = models.TinyGPT(vocab_size=sort_task_vocab(), dim=32, depth=1,
+                           num_heads=2, max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(3e-3)
+    state = opt.init(params)
+
+    def fq_tree(params):
+        def fq(leaf):
+            if leaf.ndim == 2 and leaf.size >= 64:
+                amax = jnp.max(jnp.abs(leaf)) + 1e-8
+                scale = amax / 127.0
+                return fake_quantize_int(leaf, scale, 0.0, -127, 127)
+            return leaf
+        return jax.tree.map(fq, params)
+
+    def loss_fn(params, key):
+        toks, tgts, mask = sort_task_batch(key, 16, 7)
+        logits = model.apply(fq_tree(params), toks)
+        return masked_token_loss(logits, tgts, mask)
+
+    @jax.jit
+    def step(params, state, key):
+        (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        params, state = opt.update(g, state, params)
+        return params, state, l
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, key)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])

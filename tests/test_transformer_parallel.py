@@ -208,3 +208,29 @@ def test_expert_parallel_moe_grads_match():
     for a, b in zip(jax.tree.leaves(g_ep), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
+
+
+def test_sequence_parallel_attention_with_window():
+    # SP composes with sliding windows: offsets disable banded grids but
+    # the global mask stays exact.
+    from taper_tpu.ops.pallas import attention  # noqa: F401
+    mesh = parallel.make_mesh(data=4, model=2)
+    b, h, s, d = 1, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(20), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in ks)
+    from taper_tpu.ops.pallas.attention import flash_attention
+    from jax.sharding import PartitionSpec as P
+
+    def local(q, k, v):
+        i = jax.lax.axis_index("model")
+        kg = jax.lax.all_gather(k, "model", axis=2, tiled=True)
+        vg = jax.lax.all_gather(v, "model", axis=2, tiled=True)
+        return flash_attention(q, kg, vg, True, None,
+                               q_offset=i * q.shape[2], window=100)
+
+    spec = P(None, None, "model", None)
+    got = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                        out_specs=spec, check_vma=False)(q, k, v)
+    ref = X.attention(q, k, v, causal=True, window=100)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
