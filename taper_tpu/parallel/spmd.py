@@ -188,3 +188,35 @@ def expert_parallel_moe(mesh: Mesh, moe, params, x, *, axis="model"):
                        in_specs=(P(), spec_e, P()), out_specs=P(),
                        check_vma=False)
     return fn(params["gate"], params["experts"], x)
+
+
+def ulysses_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
+                      axis="model"):
+    """Ulysses-style sequence parallelism: inputs arrive sequence-sharded
+    ``[B, H, S/n, D]``; an all-to-all reshards to head-sharded
+    ``[B, H/n, S, D]`` so each device runs the flash kernel over the FULL
+    sequence for its head slice (no causal-offset bookkeeping, perfect
+    load balance), and a second all-to-all brings the output back to
+    sequence-sharded.  Requires ``H % n == 0``; communication is two
+    all-to-alls of the activation size over ICI (vs the ring's n-1
+    K/V hops).
+    """
+    n = int(mesh.shape[axis])
+    assert q.shape[1] % n == 0, (q.shape, n)
+
+    def local(q, k, v):
+        def to_heads(t):
+            # [B, H, S/n, D] local -> [B, H/n, S, D] local
+            return jax.lax.all_to_all(t, axis, split_axis=1,
+                                      concat_axis=2, tiled=True)
+        from taper_tpu.ops.pallas.attention import flash_attention
+        o = flash_attention(to_heads(q), to_heads(k), to_heads(v),
+                            causal, scale)
+        # [B, H/n, S, D] -> [B, H, S/n, D]
+        return jax.lax.all_to_all(o, axis, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)

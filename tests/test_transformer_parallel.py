@@ -234,3 +234,28 @@ def test_sequence_parallel_attention_with_window():
     ref = X.attention(q, k, v, causal=True, window=100)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_ulysses_attention_matches_oracle():
+    mesh = parallel.make_mesh(data=4, model=2)
+    b, h, s, d = 2, 4, 256, 16          # H=4 divisible by model=2
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in ks)
+    ref = X.attention(q, k, v, causal=True)
+    got = parallel.ulysses_attention(mesh, q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_ulysses_attention_grads_match():
+    mesh = parallel.make_mesh(data=4, model=2)
+    b, h, s, d = 1, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(22), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in ks)
+    gs = jax.grad(lambda q, k, v: jnp.sum(parallel.ulysses_attention(
+        mesh, q, k, v, causal=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(X.attention(
+        q, k, v, causal=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5)
