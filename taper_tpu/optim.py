@@ -357,3 +357,56 @@ class ReduceLROnPlateau(LRScheduler):
                 self.bad_epochs = 0
                 return max(self.lr * self.factor, self.min_lr)
         return self.lr
+
+
+class WarmupCosineLR(LRScheduler):
+    """Linear warmup to ``initial_lr`` over ``warmup`` steps, then cosine
+    decay to ``min_lr`` over the remaining ``t_max − warmup`` — the
+    standard transformer schedule (absent in the reference, whose four
+    schedulers are epoch-decay shapes; ``src/optim.rs:184-352``)."""
+
+    def __init__(self, initial_lr: float, t_max: int, warmup: int,
+                 min_lr: float = 0.0):
+        super().__init__(initial_lr)
+        assert 0 <= warmup < t_max, (warmup, t_max)
+        self.t_max = int(t_max)
+        self.warmup = int(warmup)
+        self.min_lr = float(min_lr)
+
+    def _compute(self, metric):
+        # step() increments epoch before computing: epoch is 1-based here
+        t = self.epoch
+        if self.warmup and t <= self.warmup:
+            return self.initial_lr * t / self.warmup
+        t = min(t - self.warmup, self.t_max - self.warmup)
+        cos = (1.0 + math.cos(
+            math.pi * t / max(self.t_max - self.warmup, 1))) / 2.0
+        return self.min_lr + (self.initial_lr - self.min_lr) * cos
+
+    def schedule_array(self):
+        """Per-step lr as a jnp array — precompute for scanned training
+        loops (the fused-fit pattern).  Entry k is the lr after step
+        k+1, matching ``step()``'s sequence."""
+        saved = self.epoch
+        try:
+            out = []
+            for t in range(1, self.t_max + 1):
+                self.epoch = t
+                out.append(self._compute(None))
+            return jnp.asarray(out, jnp.float32)
+        finally:
+            self.epoch = saved
+
+
+def clip_grad_norm(grads, max_norm: float):
+    """Scale the gradient pytree so its global L2 norm is ≤ ``max_norm``.
+
+    Returns ``(clipped_grads, global_norm)``; jit-safe (no data-dependent
+    control flow).  The reference has no clipping anywhere.
+    """
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda l: (l * scale).astype(l.dtype),
+                        grads), norm

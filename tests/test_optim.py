@@ -146,3 +146,40 @@ def test_reduce_lr_on_plateau():
     s2 = optim.ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=0)
     assert s2.step(0.9) == 1.0
     assert s2.step(0.8) == 0.5  # lower is worse in max mode
+
+
+def test_warmup_cosine_schedule():
+    from taper_tpu.optim import WarmupCosineLR
+    sch = WarmupCosineLR(1.0, t_max=100, warmup=10, min_lr=0.1)
+    lrs = [sch.step(None) for _ in range(100)]
+    # linear warmup
+    assert abs(lrs[0] - 0.1) < 1e-6          # (0+1)/10 * 1.0
+    assert abs(lrs[9] - 1.0) < 1e-6
+    # peak then monotone cosine decay to min_lr
+    assert all(a >= b - 1e-9 for a, b in zip(lrs[9:], lrs[10:]))
+    assert abs(lrs[-1] - 0.1) < 1e-2
+    # precomputed array matches the step-by-step schedule
+    arr = sch.schedule_array()
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(arr), lrs, rtol=1e-6)
+
+
+def test_clip_grad_norm():
+    from taper_tpu.optim import clip_grad_norm
+    import numpy as np
+    g = {"a": jnp.full((3,), 3.0), "b": jnp.full((4,), 4.0)}
+    # global norm = sqrt(9*3 + 16*4) = sqrt(91)
+    clipped, norm = clip_grad_norm(g, 1.0)
+    assert abs(float(norm) - np.sqrt(91)) < 1e-5
+    cn = np.sqrt(sum(np.sum(np.square(np.asarray(l)))
+                     for l in jax.tree_util.tree_leaves(clipped)))
+    assert abs(cn - 1.0) < 1e-5
+    # under the cap: unchanged
+    same, _ = clip_grad_norm(g, 100.0)
+    for a, b in zip(jax.tree_util.tree_leaves(same),
+                    jax.tree_util.tree_leaves(g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # dtype preserved for bf16 grads
+    gb = {"a": jnp.ones((4,), jnp.bfloat16) * 8}
+    cb, _ = clip_grad_norm(gb, 1.0)
+    assert cb["a"].dtype == jnp.bfloat16
