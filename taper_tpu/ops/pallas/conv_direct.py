@@ -53,16 +53,23 @@ conv 32→32 28×28 batch 256):**
   the MXU.  (For C == 1 a pure-VPU broadcast-FMA tap variant is exact
   f32 — 2.5e-8 vs a float64 reference, where XLA's emitter shows 6e-4
   single-pass-bf16 error — but is equally slow, 876us.)
+* CHWN batch-on-lanes taps (``benchmarks/proto_conv_chwn.py``: Mosaic's
+  multi-dim dot_general contracts C directly against (C, h, w, N) tiles
+  — no reshape, no relayout, halo bands pre-materialized): the best
+  hand formulation at small C — 141us vs this kernel's 1589us at CIFAR
+  16ch 32x32 (11x), 508 vs 898us at conv 32→32 — but still 8-23x behind
+  XLA's emitter, bounded by the same K=C<128 MXU padding, and it needs
+  a CHWN activation layout the rest of the network doesn't use (the
+  NCHW↔CHWN transposes at the conv boundary cost more than the win).
 * the structural dead end: a 2D MXU dot contracts over [lanes of A] x
   [sublanes of B], and the im2col axis (c, kh, kw) mixes the channel
   (lane) dim with spatial-shift (sublane) dims.  Every layout assignment
   therefore either interleaves lanes during assembly (relayout), makes
   K=C alone (MXU padding waste at C<128), or reshapes major dims onto
-  lanes at dot time (relayout again, incl. in CHWN batch-on-lanes
-  layouts).  XLA's conv emitter sidesteps the trilemma with windowed MXU
-  feeds that Mosaic does not expose to custom kernels.  Hence the
-  dispatch knob: hand kernels where they win (GEMM, int8/int4 serving),
-  XLA's emitter where it is provably unreachable.
+  lanes at dot time.  XLA's conv emitter sidesteps the trilemma with
+  windowed MXU feeds that Mosaic does not expose to custom kernels.
+  Hence the dispatch knob: hand kernels where they win (GEMM, int8/int4
+  serving, attention), XLA's emitter where it is provably unreachable.
 """
 
 from __future__ import annotations
