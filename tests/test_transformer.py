@@ -465,3 +465,48 @@ def test_tinygpt_trains_with_fake_quant_weights():
         params, state, l = step(params, state, key)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_vit_forward_and_patchify():
+    model = models.vit_cifar(dim=32, depth=1, num_heads=2)
+    p = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    logits = model.apply(p, x)
+    assert logits.shape == (2, 10)
+    # patchify is a pure re-layout: reconstructing pixel (c,y,x) from the
+    # patch tensor matches the original
+    patches = model._patchify(x)        # [B, 64, 48]
+    b, c, y, xx = 1, 2, 13, 7
+    g, pp = 8, 4
+    pi = (y // pp) * g + (xx // pp)
+    offset = c * pp * pp + (y % pp) * pp + (xx % pp)
+    np.testing.assert_allclose(float(patches[b, pi, offset]),
+                               float(x[b, c, y, xx]))
+
+
+def test_vit_learns_synthetic_cifar():
+    from taper_tpu import losses
+    from taper_tpu.data.cifar10 import synthesize_cifar
+
+    labels = np.arange(256) % 10
+    images = jnp.asarray(synthesize_cifar(labels.astype(np.int32)))
+    y = jnp.asarray(labels, jnp.int32)
+    model = models.vit_cifar(dim=48, depth=2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_of(p):
+            logits = model.apply(p, images)
+            return losses.cross_entropy_loss(logits, y), logits
+        (l, logits), g = jax.value_and_grad(loss_of, has_aux=True)(params)
+        params, state = opt.update(g, state, params)
+        return params, state, l, losses.accuracy(logits, y)
+
+    accs = []
+    for _ in range(60):
+        params, state, l, a = step(params, state)
+        accs.append(float(a))
+    assert accs[-1] > 0.5, accs[-5:]     # chance = 0.1
