@@ -510,3 +510,20 @@ def test_vit_learns_synthetic_cifar():
         params, state, l, a = step(params, state)
         accs.append(float(a))
     assert accs[-1] > 0.5, accs[-5:]     # chance = 0.1
+
+
+def test_vit_ptq_int8():
+    from taper_tpu.quantization import ptq
+    from taper_tpu.quantization.config import QuantizationConfig
+
+    model = models.vit_cifar(dim=48, depth=2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    ref = model.apply(params, x)
+    qmodel, qparams = ptq.quantize_model(model, params,
+                                         QuantizationConfig.int8())
+    got = jax.jit(qmodel.apply)(qparams, x)
+    agree = float(jnp.mean((jnp.argmax(got, -1) == jnp.argmax(ref, -1))
+                           .astype(jnp.float32)))
+    assert agree >= 0.875, agree
+    assert ptq.quantized_bytes(qparams) < 0.35 * model.param_bytes(params)
