@@ -69,16 +69,15 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
     return best, max(m.val_acc), m.val_acc[-1]
 
 
-def bench_attention():
-    """Flash-vs-XLA attention speedup (bf16, causal, B4 H8 S2048 D64) —
-    the beyond-reference transformer extension's headline.  Measured with
+def bench_attention(b=4, h=8, s=2048, d=64):
+    """Flash-vs-XLA attention speedup (bf16, causal) — the
+    beyond-reference transformer extension's headline.  Measured with
     the scan-difference methodology (see benchmarks/timing.py)."""
     from benchmarks.timing import Contender, race  # noqa: F401
     import jax.numpy as jnp
     from taper_tpu.ops import xla as X
     from taper_tpu.ops.pallas.attention import flash_attention
 
-    b, h, s, d = 4, 8, 2048, 64
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
                for kk in ks)
@@ -145,6 +144,8 @@ def main():
         attn = {"attn_flash_us": round(t_flash * 1e6, 1),
                 "attn_xla_us": round(t_xla_attn * 1e6, 1),
                 "attn_flash_speedup": round(t_xla_attn / t_flash, 2)}
+        t_fl4, t_xla4 = bench_attention(b=2, s=4096)
+        attn["attn_flash_speedup_s4096"] = round(t_xla4 / t_fl4, 2)
     except Exception as e:
         print(f"[bench] attention failed: {e}", file=sys.stderr)
         attn = {}
