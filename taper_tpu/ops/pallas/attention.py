@@ -24,9 +24,11 @@ Backward: two kernels (the standard flash split) —
 
 Numerics: softmax statistics, logits and accumulators are f32 regardless of
 input dtype (bf16 inputs run bf16 MXU passes with f32 accumulation); causal
-masking uses −inf pre-softmax.  Fully-masked rows cannot occur because
-``bq ≤ bk`` is enforced, so every row of a visited causal block has at
-least one unmasked column (the diagonal).
+masking uses −inf pre-softmax.  Rows of a visited block CAN be fully
+masked (sliding windows; per ring chunk) — the forward guards the
+running max with a finite stand-in so their p/corr stay 0 instead of
+NaN; in plain causal mode ``bq ≤ bk`` additionally guarantees every
+visited row sees its diagonal.
 
 Causality skips whole blocks above the diagonal via ``pl.when`` (compute
 saved; the prefetch pipeline still streams the blocks).
@@ -120,11 +122,10 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
                 grid_banded=False):
     iq, ik = pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(2)
-    raw = ik
     if grid_banded:
-        # grid covers only the band: step j maps to kv block lo+j
-        raw = (iq * bq - (window - 1)) // bk + ik
-        ik = jnp.clip(raw, 0, nk - 1)
+        # grid covers only the band: step j maps to kv block start+j
+        ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
+                            steps=nsteps) + ik
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
@@ -167,8 +168,6 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
         in_win = (koff + ik * bk + bk - 1
                   > off + iq * bq - window)
         run = in_win if run is True else run & in_win
-    if grid_banded:
-        run = run & (raw == ik)     # clipped duplicates are idle
     if run is True:
         body()
     else:
@@ -192,10 +191,9 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                grid_banded=False):
     iq, ik = pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(2)
-    raw = ik
     if grid_banded:
-        raw = (iq * bq - (window - 1)) // bk + ik
-        ik = jnp.clip(raw, 0, nk - 1)
+        ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
+                            steps=nsteps) + ik
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
@@ -229,8 +227,6 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         in_win = (koff + ik * bk + bk - 1
                   > off + iq * bq - window)
         run = in_win if run is True else run & in_win
-    if grid_banded:
-        run = run & (raw == ik)     # clipped duplicates are idle
     if run is True:
         body()
     else:
@@ -246,12 +242,11 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 nq, lowp, grid_banded=False):
     ik, iq = pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(2)
-    raw = iq
     if grid_banded:
         # band over q blocks for this k block (causal: start at the
         # diagonal; window bounds the height)
-        raw = (ik * bk) // bq + iq
-        iq = jnp.clip(raw, 0, nq - 1)
+        iq = _q_band_start(ik, bq=bq, bk=bk, nq=nq,
+                           steps=nsteps) + iq
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
@@ -290,8 +285,6 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         in_win = (koff + ik * bk + bk - 1
                   > off + iq * bq - window)
         run = in_win if run is True else run & in_win
-    if grid_banded:
-        run = run & (raw == iq)
     if run is True:
         body()
     else:
@@ -309,7 +302,24 @@ _SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 def _nkb(bq, bk, window):
     """Banded grid length over KV blocks for a window: the widest row
     band spans bq + window - 1 columns."""
-    return min((bq + window - 2) // bk + 2, 10 ** 9)
+    return (bq + window - 2) // bk + 2
+
+
+def _kv_band_start(i, *, bq, bk, nk, window, steps):
+    """First KV block of the banded grid for q block ``i`` — THE single
+    source of the band formula, shared by the kernels and the BlockSpec
+    index maps (they must agree exactly).  Clipped so the steps-long
+    band lies inside [0, nk-1]; blocks it covers beyond the true band
+    are rejected by the kernels' causal/window run predicates."""
+    lo = (i * bq - (window - 1)) // bk
+    return jnp.clip(lo, 0, nk - steps)
+
+
+def _q_band_start(j, *, bq, bk, nq, steps):
+    """First Q block of the banded dK/dV grid for k block ``j``
+    (causal: the diagonal row block)."""
+    lo = (j * bk) // bq
+    return jnp.clip(lo, 0, nq - steps)
 
 
 def _kv_band(i, j, *, bq, bk, nk, causal, window):
@@ -351,13 +361,15 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
     k3 = k.reshape(bh, sk, d)
     v3 = v.reshape(bh, sk, d)
 
-    grid_banded = banded and window is not None
+    # banded GRIDS assume causal geometry (no future blocks); a
+    # non-causal window keeps the full sweep with clipped fetches.
+    grid_banded = banded and window is not None and causal
     if grid_banded:
         # the grid only covers the diagonal band of KV blocks
-        nkb = min(_nkb(bq, bk, window), nk)
-        kv_idx = lambda g, i, j: (
-            g, jnp.clip((i * bq - (window - 1)) // bk + j, 0, nk - 1), 0)
-        steps = nkb
+        steps = min(_nkb(bq, bk, window), nk)
+        start = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
+                                  window=window, steps=steps)
+        kv_idx = lambda g, i, j: (g, start(i) + j, 0)
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
@@ -421,13 +433,14 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
     do3 = do.reshape(bh, sq, d)
 
-    grid_banded = banded and window is not None
+    grid_banded = banded and window is not None and causal
     spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
     if grid_banded:
-        nkb = min(_nkb(bq, bk, window), nk)
-        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (
-            g, jnp.clip((i * bq - (window - 1)) // bk + j, 0, nk - 1), 0))
-        kv_steps = nkb
+        kv_steps = min(_nkb(bq, bk, window), nk)
+        kstart = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
+                                   window=window, steps=kv_steps)
+        spec_k = pl.BlockSpec((1, bk, d),
+                              lambda g, i, j: (g, kstart(i) + j, 0))
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
@@ -461,13 +474,13 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
     if grid_banded:
-        nqb = min((bk + window - 2) // bq + 2, nq)
-        qb = lambda j, i: jnp.clip((j * bk) // bq + i, 0, nq - 1)
+        q_steps = min((bk + window - 2) // bq + 2, nq)
+        qstart = functools.partial(_q_band_start, bq=bq, bk=bk, nq=nq,
+                                   steps=q_steps)
         spec_q_t = pl.BlockSpec((1, bq, d),
-                                lambda g, j, i: (g, qb(j, i), 0))
+                                lambda g, j, i: (g, qstart(j) + i, 0))
         spec_r_t = pl.BlockSpec((1, 8, bq),
-                                lambda g, j, i: (g, 0, qb(j, i)))
-        q_steps = nqb
+                                lambda g, j, i: (g, 0, qstart(j) + i))
     elif banded:
         qmap = functools.partial(_q_band, bq=bq, bk=bk, nq=nq,
                                  causal=causal, window=window)
@@ -612,7 +625,11 @@ def attention(q, k, v, *, causal=False, scale=None, window=None):
     sq, sk = q.shape[2], k.shape[2]
     min_sk = int(os.environ.get("TAPER_FLASH_MIN", "1024"))
     ok = (sq % 128 == 0 and sk % 128 == 0
-          and (not causal or sq == sk) and sk >= min_sk)
+          and (not causal or sq == sk)
+          # the oracle bottom-aligns windowed rows when sq != sk; the
+          # kernel uses absolute positions — only equal lengths agree
+          and (window is None or sq == sk)
+          and sk >= min_sk)
     if not ok:
         from taper_tpu.ops import xla as _xla
         return _xla.attention(q, k, v, causal=causal, scale=scale,

@@ -527,3 +527,51 @@ def test_vit_ptq_int8():
                            .astype(jnp.float32)))
     assert agree >= 0.875, agree
     assert ptq.quantized_bytes(qparams) < 0.35 * model.param_bytes(params)
+
+
+@pytest.mark.parametrize("s,window", [(1024, 768), (512, 512),
+                                      (512, 384)])
+def test_sliding_window_large_window_default_blocks(s, window):
+    """Regression: windows approaching S with the DEFAULT block sizes
+    once hit a clamped banded grid whose band start went negative and
+    produced all-zero outputs/grads."""
+    q, k, v = _qkv(jax.random.PRNGKey(30), 1, 2, s, 16)
+    ref = X.attention(q, k, v, causal=True, window=window)
+    got = A.flash_attention(q, k, v, True, None, window=window)
+    assert float(jnp.max(jnp.abs(got))) > 0
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    g = jax.grad(lambda a: jnp.sum(A.flash_attention(
+        a, k, v, True, None, window=window) ** 2))(q)
+    gr = jax.grad(lambda a: jnp.sum(X.attention(
+        a, k, v, causal=True, window=window) ** 2))(q)
+    np.testing.assert_allclose(g, gr, atol=5e-5)
+
+
+def test_sliding_window_noncausal_matches_oracle():
+    """Regression: non-causal windows once ran the causal banded grid
+    and dropped all future columns."""
+    q, k, v = _qkv(jax.random.PRNGKey(31), 1, 2, 1024, 16)
+    ref = X.attention(q, k, v, causal=False, window=256)
+    got = A.flash_attention(q, k, v, False, None, window=256)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    g = jax.grad(lambda a: jnp.sum(A.flash_attention(
+        a, k, v, False, None, window=256) ** 2))(q)
+    gr = jax.grad(lambda a: jnp.sum(X.attention(
+        a, k, v, causal=False, window=256) ** 2))(q)
+    np.testing.assert_allclose(g, gr, atol=5e-5)
+
+
+def test_windowed_dispatch_requires_equal_lengths():
+    # sq != sk with a window: the oracle bottom-aligns, the kernel uses
+    # absolute positions — dispatch must take the oracle
+    q, _, _ = _qkv(jax.random.PRNGKey(32), 1, 2, 128, 16)
+    _, k, v = _qkv(jax.random.PRNGKey(33), 1, 2, 2048, 16)
+    import os
+    os.environ["TAPER_FLASH_MIN"] = "128"
+    try:
+        with ops.use_backend("pallas"):
+            got = ops.attention(q, k, v, causal=False, window=512)
+    finally:
+        del os.environ["TAPER_FLASH_MIN"]
+    ref = X.attention(q, k, v, causal=False, window=512)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
