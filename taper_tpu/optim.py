@@ -410,3 +410,55 @@ def clip_grad_norm(grads, max_norm: float):
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
     return jax.tree.map(lambda l: (l * scale).astype(l.dtype),
                         grads), norm
+
+
+def accumulate_gradients(loss_fn, params, batches, *, has_aux=False):
+    """Gradient accumulation: mean of per-microbatch gradients, computed
+    inside one scanned program (peak memory = one microbatch's
+    activations instead of the full batch's).
+
+    ``loss_fn(params, batch) -> loss`` (or ``(loss, aux)`` with
+    ``has_aux``); ``batches`` is a pytree whose leaves carry a leading
+    microbatch axis.  Returns ``(mean_loss, mean_grads)`` (plus stacked
+    aux when ``has_aux``).  The reference accumulates nothing — its
+    batches are whatever fits.
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+    n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+    def step(carry, batch):
+        loss_sum, grad_sum = carry
+        if has_aux:
+            (loss, aux), g = grad_fn(params, batch)
+        else:
+            loss, g = grad_fn(params, batch)
+            aux = None
+        grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+        return (loss_sum + loss, grad_sum), aux
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         params)
+    (loss_sum, grad_sum), auxs = jax.lax.scan(
+        step, (jnp.zeros((), jnp.float32), zeros), batches)
+    mean_grads = jax.tree.map(
+        lambda g, p: (g / n).astype(p.dtype), grad_sum, params)
+    if has_aux:
+        return loss_sum / n, mean_grads, auxs
+    return loss_sum / n, mean_grads
+
+
+class EMA:
+    """Exponential moving average of a parameter pytree (evaluation /
+    serving weights): ``shadow = decay·shadow + (1−decay)·params``."""
+
+    def __init__(self, decay: float = 0.999):
+        assert 0.0 < decay < 1.0
+        self.decay = float(decay)
+
+    def init(self, params):
+        return jax.tree.map(jnp.asarray, params)
+
+    def update(self, shadow, params):
+        d = self.decay
+        return jax.tree.map(lambda s, p: d * s + (1.0 - d) * p,
+                            shadow, params)

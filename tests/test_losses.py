@@ -92,3 +92,24 @@ def test_mse_loss():
     np.testing.assert_allclose(L.mse_loss(p, t), 5.0 / 3.0, atol=1e-6)
     g = jax.grad(L.mse_loss)(p, t)
     np.testing.assert_allclose(g, 2 * (p - t) / 3, atol=1e-6)
+
+
+def test_cross_entropy_smoothed():
+    import numpy as np
+    from taper_tpu import losses
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 5))
+    y = jnp.arange(8) % 5
+    # smoothing=0 reduces to plain CE
+    np.testing.assert_allclose(
+        float(losses.cross_entropy_loss_smoothed(logits, y, 0.0)),
+        float(losses.cross_entropy_loss(logits, y)), rtol=1e-6)
+    # smoothed loss is bounded below by the smoothed entropy floor and
+    # differs from plain CE
+    l_s = float(losses.cross_entropy_loss_smoothed(logits, y, 0.1))
+    l_p = float(losses.cross_entropy_loss(logits, y))
+    assert l_s != l_p
+    # hand formula check on one sample
+    lp = jax.nn.log_softmax(logits[0])
+    want = -0.9 * lp[int(y[0])] - 0.1 * jnp.mean(lp)
+    one = losses.cross_entropy_loss_smoothed(logits[:1], y[:1], 0.1)
+    np.testing.assert_allclose(float(one), float(want), rtol=1e-6)

@@ -183,3 +183,35 @@ def test_clip_grad_norm():
     gb = {"a": jnp.ones((4,), jnp.bfloat16) * 8}
     cb, _ = clip_grad_norm(gb, 1.0)
     assert cb["a"].dtype == jnp.bfloat16
+
+
+def test_accumulate_gradients_matches_full_batch():
+    from taper_tpu.optim import accumulate_gradients
+    import numpy as np
+    w = {"w": jnp.asarray([[1.0, 2.0], [3.0, 4.0]])}
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+
+    def loss_fn(p, batch):
+        bx, by = batch
+        return jnp.mean((bx @ p["w"] - by) ** 2)
+
+    full_loss, full_g = jax.value_and_grad(loss_fn)(w, (x, y))
+    mb = (x.reshape(4, 2, 2), y.reshape(4, 2, 2))
+    acc_loss, acc_g = accumulate_gradients(loss_fn, w, mb)
+    np.testing.assert_allclose(float(acc_loss), float(full_loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_g["w"]),
+                               np.asarray(full_g["w"]), rtol=1e-5)
+
+
+def test_ema():
+    from taper_tpu.optim import EMA
+    import numpy as np
+    ema = EMA(0.9)
+    p = {"w": jnp.zeros((3,))}
+    s = ema.init(p)
+    s = ema.update(s, {"w": jnp.ones((3,))})
+    np.testing.assert_allclose(np.asarray(s["w"]), 0.1, rtol=1e-6)
+    s = ema.update(s, {"w": jnp.ones((3,))})
+    np.testing.assert_allclose(np.asarray(s["w"]), 0.19, rtol=1e-6)
