@@ -61,7 +61,7 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
         unroll=8)
     fit()                            # compile + warm
     best = None
-    for _ in range(3):               # identical reruns: device throughput
+    for _ in range(6):               # identical reruns: device throughput
         trainer.reset_parameters(seed=0)   # drifts ±15%, take the best
         m = fit()                    # timed: one dispatch, one fetch
         total = sum(m.epoch_times[-epochs:])
