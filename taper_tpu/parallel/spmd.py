@@ -86,7 +86,7 @@ def sharded_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
 
 
 def sequence_parallel_attention(mesh: Mesh, q, k, v, *, causal=False,
-                                scale=None, axis="model"):
+                                scale=None, axis="model", window=None):
     """Context/sequence parallelism for attention: Q, K and V are sharded
     over the SEQUENCE axis on ``axis``; each device all-gathers K/V over
     ICI (the standard all-gather SP recipe for moderate S) and runs the
@@ -103,7 +103,7 @@ def sequence_parallel_attention(mesh: Mesh, q, k, v, *, causal=False,
         vg = jax.lax.all_gather(v, axis, axis=2, tiled=True)
         from taper_tpu.ops.pallas.attention import flash_attention
         return flash_attention(q, kg, vg, causal, scale,
-                               q_offset=i * q.shape[2])
+                               q_offset=i * q.shape[2], window=window)
     spec = P(None, None, axis, None)
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
@@ -111,7 +111,7 @@ def sequence_parallel_attention(mesh: Mesh, q, k, v, *, causal=False,
 
 
 def ring_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
-                   axis="model"):
+                   axis="model", window=None):
     """Ring attention: Q, K and V all stay sharded over the sequence on
     ``axis`` — no device ever materializes the full K/V (memory O(S/n),
     unlike the all-gather variant).  Each step computes flash attention
@@ -138,7 +138,7 @@ def ring_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
             koff = ((i - j) % n) * sq_l
             o_j, lse_j = flash_attention_lse(
                 q, k_c, v_c, causal, scale,
-                q_offset=i * sq_l, k_offset=koff)
+                q_offset=i * sq_l, k_offset=koff, window=window)
             lse_j = lse_j.reshape(b, h, sq_l, 1)
             m_new = jnp.maximum(m, lse_j)
             corr = jnp.exp(m - m_new)

@@ -278,3 +278,70 @@ def test_checkpoint_roundtrip_of_sharded_params(tmp_path):
     loaded, _ = ckpt.load_checkpoint(path, template=params)
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ring_and_sp_attention_with_window():
+    mesh = parallel.make_mesh(data=4, model=2)
+    b, h, s, d = 1, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(40), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in ks)
+    ref = X.attention(q, k, v, causal=True, window=100)
+    got_ring = parallel.ring_attention(mesh, q, k, v, causal=True,
+                                       window=100)
+    got_sp = parallel.sequence_parallel_attention(mesh, q, k, v,
+                                                  causal=True, window=100)
+    np.testing.assert_allclose(np.asarray(got_ring), np.asarray(ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_pipeline_parallel_tinygpt_loss_and_grads():
+    """Full TinyGPT training math with the block stack pipelined: embed
+    (replicated) -> 4-stage GPipe over stacked block params -> final LN
+    + tied head -> masked loss. Loss and ALL gradients (embeddings,
+    stacked blocks, final LN) match the single-device model exactly."""
+    from taper_tpu.data.seq import masked_token_loss, sort_task_batch
+
+    mesh = parallel.make_mesh(data=2, model=4)
+    depth = 4
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=depth,
+                           num_heads=2, max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    toks, tgts, mask = sort_task_batch(jax.random.PRNGKey(1), 8, 7)
+
+    def loss_ref(params):
+        return masked_token_loss(model.apply(params, toks), tgts, mask)[0]
+
+    # PP version: same params, blocks stacked and pipelined
+    stacked = parallel.stack_layer_params(params["blocks"])
+    pp_params = {**{k: v for k, v in params.items() if k != "blocks"},
+                 "blocks": stacked}
+    blk = model.blocks[0]
+
+    def loss_pp(pp_params):
+        b, s = toks.shape
+        x = (model.tok.apply(pp_params["tok"], toks)
+             + model.pos.apply(pp_params["pos"], jnp.arange(s)))
+        x_mb = x.reshape(4, b // 4, s, model.dim)
+        y = parallel.pipeline_apply(mesh, blk.apply,
+                                    pp_params["blocks"], x_mb)
+        y = y.reshape(b, s, model.dim)
+        y = model.ln_f.apply(pp_params["ln_f"], y)
+        logits = jnp.einsum("bse,ve->bsv", y, pp_params["tok"]["w"])
+        return masked_token_loss(logits, tgts, mask)[0]
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_pp, g_pp = jax.value_and_grad(loss_pp)(pp_params)
+    assert abs(float(l_ref) - float(l_pp)) < 1e-6
+    # stacked block grads == stacked per-layer grads
+    g_ref_stacked = parallel.stack_layer_params(g_ref["blocks"])
+    for a, b_ in zip(jax.tree.leaves(g_pp["blocks"]),
+                     jax.tree.leaves(g_ref_stacked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5)
+    for name in ("tok", "pos", "ln_f"):
+        for a, b_ in zip(jax.tree.leaves(g_pp[name]),
+                         jax.tree.leaves(g_ref[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-5)
