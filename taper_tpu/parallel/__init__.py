@@ -2,12 +2,12 @@
 
 from taper_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated, param_sharding, shard_params,
-    optimizer_state_sharding,
+    optimizer_state_sharding, fsdp_sharding,
 )
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "param_sharding",
-    "shard_params", "optimizer_state_sharding",
+    "shard_params", "optimizer_state_sharding", "fsdp_sharding",
 ]
 
 from taper_tpu.parallel.spmd import (  # noqa: E402
