@@ -354,7 +354,14 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
     # ``off``: f32[2] = (q_offset, k_offset)
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    assert sq % 128 == 0 and sk % 128 == 0, (
+        f"flash_attention needs lane-aligned sequence lengths "
+        f"(multiples of 128); got Sq={sq}, Sk={sk} — use ops.attention, "
+        f"which falls back to the XLA oracle for these shapes")
     bq, bk = _blocks(sq, sk, window)
+    assert bk % bq == 0, (
+        f"internal: bk={bk} must be a multiple of bq={bq} (the causal "
+        f"no-fully-masked-row invariant)")
     nq, nk = sq // bq, sk // bk
     bh = b * h
     q3 = q.reshape(bh, sq, d)
