@@ -60,13 +60,16 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
         epochs, batch_size=256, early_stop_acc=2.0, verbose=False,
         unroll=8)
     fit()                            # compile + warm
-    best = None
-    for _ in range(6):               # identical reruns: device throughput
-        trainer.reset_parameters(seed=0)   # drifts ±15%, take the best
+    totals = []
+    for _ in range(6):               # identical reruns of one program;
+        trainer.reset_parameters(seed=0)   # device throughput drifts ±15%
         m = fit()                    # timed: one dispatch, one fetch
-        total = sum(m.epoch_times[-epochs:])
-        best = total if best is None else min(best, total)
-    return best, max(m.val_acc), m.val_acc[-1]
+        totals.append(sum(m.epoch_times[-epochs:]))
+    totals.sort()
+    # best = the standard noise-removing latency statistic; the median
+    # rides along in the JSON so typical throughput is also on record
+    return totals[0], totals[len(totals) // 2], max(m.val_acc), \
+        m.val_acc[-1]
 
 
 def bench_attention(b=4, h=8, s=2048, d=64):
@@ -136,7 +139,7 @@ def main():
 
     # best_backend may be the synthetic "pallas_hybrid" row name; the MLP
     # has no convs, so only the real backend part matters.
-    mlp_total, mlp_acc, mlp_acc_final = bench_mlp(
+    mlp_total, mlp_median, mlp_acc, mlp_acc_final = bench_mlp(
         train_ds, test_ds, best_backend.split("_")[0])
 
     try:
@@ -159,6 +162,7 @@ def main():
         "cnn_test_acc_final": round(float(cnn_acc_final), 4),
         "mlp_train_total_s": round(mlp_total, 2),
         "mlp_vs_baseline": round(REF_MLP_TOTAL_S / mlp_total, 2),
+        "mlp_vs_baseline_median": round(REF_MLP_TOTAL_S / mlp_median, 2),
         "mlp_test_acc": round(float(mlp_acc), 4),
         "mlp_test_acc_final": round(float(mlp_acc_final), 4),
         "backend": best_backend,

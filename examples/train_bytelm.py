@@ -34,6 +34,10 @@ def load_corpus(root="."):
         if p.exists():
             parts.append(p.read_bytes())
     data = b"\n\n".join(parts)
+    if len(data) < 20_000:
+        raise SystemExit(
+            "corpus not found — run from the repo root (needs the "
+            "checked-in README.md/PARITY.md/SURVEY.md)")
     return np.frombuffer(data, np.uint8).astype(np.int32)
 
 

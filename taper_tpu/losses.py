@@ -77,7 +77,6 @@ def cross_entropy_loss_smoothed(logits, targets, smoothing: float = 0.1):
     on the true class and spreads ``smoothing`` uniformly.  Reduces to
     :func:`cross_entropy_loss` at ``smoothing = 0``."""
     targets = targets.reshape(-1).astype(jnp.int32)
-    n = logits.shape[-1]
     logp = log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     uniform = -jnp.mean(logp, axis=-1)

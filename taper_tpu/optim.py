@@ -449,16 +449,28 @@ def accumulate_gradients(loss_fn, params, batches, *, has_aux=False):
 
 class EMA:
     """Exponential moving average of a parameter pytree (evaluation /
-    serving weights): ``shadow = decay·shadow + (1−decay)·params``."""
+    serving weights): ``shadow = decay·shadow + (1−decay)·params``.
+
+    The shadow lives in f32 regardless of the parameter dtype — with
+    bf16 params and decay ≥ ~0.99, ``(1−decay)·p`` is below bf16
+    resolution and a bf16 shadow would never move.  Cast with
+    :meth:`as_params` when evaluating."""
 
     def __init__(self, decay: float = 0.999):
         assert 0.0 < decay < 1.0
         self.decay = float(decay)
 
     def init(self, params):
-        return jax.tree.map(jnp.asarray, params)
+        return jax.tree.map(lambda p: jnp.asarray(p, jnp.float32),
+                            params)
 
     def update(self, shadow, params):
         d = self.decay
-        return jax.tree.map(lambda s, p: d * s + (1.0 - d) * p,
-                            shadow, params)
+        return jax.tree.map(
+            lambda s, p: d * s + (1.0 - d) * p.astype(jnp.float32),
+            shadow, params)
+
+    @staticmethod
+    def as_params(shadow, like):
+        """Shadow cast back to the dtypes of ``like``."""
+        return jax.tree.map(lambda s, p: s.astype(p.dtype), shadow, like)

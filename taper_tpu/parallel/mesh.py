@@ -120,11 +120,13 @@ def fsdp_sharding(mesh: Mesh, params, axis: str = "data"):
     def rule(leaf):
         shape = np.shape(leaf)
         if n > 1 and len(shape) >= 1:
-            d = int(np.argmax(shape))
-            if shape[d] % n == 0 and shape[d] >= n:
-                spec = [None] * len(shape)
-                spec[d] = axis
-                return NamedSharding(mesh, P(*spec))
+            # largest dim that actually divides n (argmax alone would
+            # silently replicate e.g. a [50257, 512] embedding)
+            for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
+                if shape[d] % n == 0 and shape[d] >= n:
+                    spec = [None] * len(shape)
+                    spec[d] = axis
+                    return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(rule, params)

@@ -215,3 +215,18 @@ def test_ema():
     np.testing.assert_allclose(np.asarray(s["w"]), 0.1, rtol=1e-6)
     s = ema.update(s, {"w": jnp.ones((3,))})
     np.testing.assert_allclose(np.asarray(s["w"]), 0.19, rtol=1e-6)
+
+
+def test_ema_bf16_params_move():
+    from taper_tpu.optim import EMA
+    import numpy as np
+    ema = EMA(0.999)
+    p = {"w": jnp.ones((4,), jnp.bfloat16)}
+    s = ema.init(p)
+    assert s["w"].dtype == jnp.float32
+    for _ in range(10):
+        s = ema.update(s, {"w": jnp.full((4,), 2.0, jnp.bfloat16)})
+    # f32 shadow moved (a bf16 shadow would be frozen: 1e-3 < bf16 eps)
+    assert float(s["w"][0]) > 1.005
+    back = EMA.as_params(s, p)
+    assert back["w"].dtype == jnp.bfloat16

@@ -160,3 +160,14 @@ def test_fit_device_fused_on_mesh_matches_single_device():
         results.append((list(m.train_loss), list(m.val_acc)))
     np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-4)
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-4)
+
+
+def test_fsdp_sharding_uses_largest_divisible_dim():
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from taper_tpu import parallel
+    mesh = parallel.make_mesh(data=8, model=1)
+    # largest dim (50257) does not divide 8; dim 1 (512) does
+    params = {"emb": jnp.zeros((50257, 512))}
+    sh = parallel.fsdp_sharding(mesh, params)
+    assert sh["emb"].spec == P(None, "data"), sh["emb"].spec
