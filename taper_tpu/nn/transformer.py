@@ -391,8 +391,14 @@ class MoEMLP(Module):
         logits = jnp.einsum("bse,ne->bsn", x.astype(jnp.float32),
                             params["gate"])
         if self.top_k < self.n_experts:
-            kth = jnp.sort(logits, axis=-1)[..., -self.top_k][..., None]
-            logits = jnp.where(logits >= kth, logits, -jnp.inf)
+            # exactly-k selection via top_k indices (a >= kth-value
+            # threshold keeps MORE than k experts on ties, e.g. with
+            # quantized/degenerate gate inputs)
+            _, idx = jax.lax.top_k(logits, self.top_k)
+            keep = jnp.any(
+                jax.nn.one_hot(idx, self.n_experts, dtype=jnp.bool_),
+                axis=-2)
+            logits = jnp.where(keep, logits, -jnp.inf)
         return jax.nn.softmax(logits, axis=-1)
 
     def apply(self, params, x, *, train=False, rng=None):

@@ -176,8 +176,10 @@ def attention(q, k, v, *, causal=False, scale=None, window=None):
     """Scaled dot-product attention over ``[B, H, S, D]`` (beyond-reference
     transformer extension — SURVEY.md §5.7 notes the reference has none).
     The pallas backend runs the flash kernel (O(S·D) HBM traffic); xla
-    materializes the S×S score matrix.  ``window=W`` = sliding-window
-    (local) attention over the last W positions."""
+    materializes the S×S score matrix.  ``window=W`` bounds the lookback
+    to W positions; with ``causal=True`` that is sliding-window (local)
+    attention over the last W positions — without causal, future
+    positions stay visible."""
     return _impl().attention(q, k, v, causal=causal, scale=scale,
                              window=window)
 

@@ -106,7 +106,9 @@ def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
     """Causal and/or sliding-window mask with global row/col offsets
     (sequence parallelism: a device's Q shard starts at global position
     ``off``; ring attention additionally streams K/V chunks starting at
-    ``koff``).  ``window=W``: row r attends cols in [r−W+1, r]."""
+    ``koff``).  ``window=W`` bounds the PAST only (cols > r−W); with
+    ``causal=True`` that makes row r attend exactly [r−W+1, r].  Without
+    causal, future cols stay visible (the XLA oracle matches)."""
     rows = off + iq * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = koff + ik * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     ok = jnp.full(s.shape, True)
@@ -209,7 +211,13 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32) * scale
         if causal or window is not None:
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
-        p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+        # fully-masked rows saved lse = -inf (sliding window / ring
+        # chunk); exp(s - (-inf)) would be exp(-inf + inf) = NaN.  A
+        # finite stand-in makes p = exp(-inf - 0) = 0 for those rows
+        # (mirrors the forward's m_safe guard).
+        lse_row = lse_ref[0, 0, :]
+        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        p = jnp.exp(s - lse_safe[:, None])
         dp = jax.lax.dot_general(
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
             (((1,), (1,)), ((), ())),
@@ -264,7 +272,10 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32) * scale
         if causal or window is not None:
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
-        p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+        # same -inf lse guard as _dq_kernel (fully-masked rows)
+        lse_row = lse_ref[0, 0, :]
+        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        p = jnp.exp(s - lse_safe[:, None])
         pv = p.astype(do.dtype)
         dv_sc[:] += jax.lax.dot_general(
             pv, do, (((0,), (0,)), ((), ())),
@@ -617,9 +628,11 @@ def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
 
 def attention(q, k, v, *, causal=False, scale=None, window=None):
     """Backend entry: flash kernel when shapes qualify, XLA oracle
-    otherwise.  ``window=W`` restricts each row to the last W positions
-    (sliding-window / local attention — blocks fully behind the window
-    are skipped, so compute scales O(S·W) instead of O(S²)).
+    otherwise.  ``window=W`` bounds how far BACK a row attends (blocks
+    fully behind the window are skipped, so compute scales O(S·W)
+    instead of O(S²)); combine with ``causal=True`` for the usual
+    sliding-window "last W positions" semantics — without causal, future
+    positions remain visible (both backends agree).
 
     Requirements: lane-aligned sequences (multiples of 128), Sq == Sk for
     causal.  Measured dispatch threshold (benchmarks/bench_attention.py,

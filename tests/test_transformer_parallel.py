@@ -296,6 +296,31 @@ def test_ring_and_sp_attention_with_window():
                                atol=2e-5)
 
 
+def test_ring_attention_window_grads_match():
+    """Gradients through windowed ring attention: per ring chunk, rows
+    behind the sliding window are FULLY masked (o=0, lse=-inf), which
+    exercises the backward kernels' -inf lse guard — without it every
+    dk/dv of a visited block is NaN-poisoned (advisor round-2 finding)."""
+    mesh = parallel.make_mesh(data=4, model=2)
+    b, h, s, d = 1, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(41), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in ks)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(parallel.ring_attention(
+            mesh, q, k, v, causal=True, window=100) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(X.attention(q, k, v, causal=True, window=100) ** 2)
+
+    gs = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5)
+
+
 def test_pipeline_parallel_tinygpt_loss_and_grads():
     """Full TinyGPT training math with the block stack pipelined: embed
     (replicated) -> 4-stage GPipe over stacked block params -> final LN
