@@ -77,5 +77,49 @@ def main():
     race(cs, rounds=3, scale=batch, unit="tokens/s")
 
 
+def bench_prefill(plen=1024, batch=8):
+    """Prompt processing (one-shot prefill) vs decode rate.
+
+    Prefill runs the whole prompt through one flash forward per layer
+    (matmul-bound); decode streams all weights per token (HBM-bound) —
+    prompt tokens/s should be >=20x the decode tokens/s at P=1024."""
+    dim, depth, heads, vocab, smax = 2048, 6, 16, 4096, plen + 128
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           num_kv_heads=4, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, plen), 0,
+                                vocab)
+
+    def make_prefill(backend):
+        def pstep(pr, p):
+            ops.set_backend(backend)       # trace-time switch
+            logits, _ = model.prefill(p, pr, model.init_cache(batch))
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        return pstep
+
+    def dstep(carry, p):
+        tok, pos, caches = carry
+        ops.set_backend("xla")
+        logits, caches = model.decode_step(p, tok, pos, caches)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1, caches)
+
+    print(f"prefill P={plen} B={batch} "
+          f"({model.param_count(params) / 1e6:.0f}M params, bf16 trunk)",
+          flush=True)
+    dinit = (prompt[:, 0], jnp.int32(0), model.init_cache(batch))
+    race([
+        Contender("prefill flash (tok/s)", make_prefill("pallas"),
+                  prompt, (params,), n_hi=30, n_lo=5),
+        Contender("prefill xla (tok/s)", make_prefill("xla"),
+                  prompt, (params,), n_hi=30, n_lo=5),
+        Contender("decode (tok/s)", dstep, dinit, (params,),
+                  n_hi=40, n_lo=8, scale=batch),
+    ], rounds=3, scale=batch * plen, unit="tokens/s")
+
+
 if __name__ == "__main__":
-    main()
+    if "prefill" in sys.argv[1:]:
+        bench_prefill()
+    else:
+        main()

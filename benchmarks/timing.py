@@ -50,8 +50,10 @@ def timeit_scan(step, init, consts=(), n_hi=60, n_lo=10, reps=3):
 class Contender:
     """One participant in an interleaved A/B race."""
 
-    def __init__(self, name, step, init, consts=(), n_hi=60, n_lo=10):
+    def __init__(self, name, step, init, consts=(), n_hi=60, n_lo=10,
+                 scale=None):
         self.name = name
+        self.scale = scale      # per-contender override of race(scale=)
         self.init, self.consts = init, consts
         self.n_hi, self.n_lo = n_hi, n_lo
 
@@ -85,6 +87,7 @@ def race(contenders, rounds=4, scale=None, unit=""):
             c.measure()
     for c in contenders:
         t = c.per_iter()
-        val = scale / t if scale else t * 1e3
+        sc = c.scale if c.scale is not None else scale
+        val = sc / t if sc else t * 1e3
         print(f"  {c.name:42s} {val:9.1f} {unit} ({t*1e6:.0f}us)",
               flush=True)

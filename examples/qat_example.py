@@ -49,13 +49,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--per-channel", action="store_true",
+                    help="per-output-channel weight fake-quant ranges")
     ap.add_argument("--data-dir", default="data/mnist")
     args = ap.parse_args()
     enable_compilation_cache()
     ops.set_backend(args.backend)
 
     qat_cfg = QATConfig.int8(lr=0.001, warmup_epochs=1, symmetric=True)
-    model = build_qat_cnn(qat_cfg.quant_config)
+    if args.per_channel:
+        qat_cfg = qat_cfg.with_per_channel()
+    model = build_qat_cnn(qat_cfg.qconfig)
     params = model.init(jax.random.PRNGKey(0))
 
     train_ds = data.MNISTDataset(train=True, data_dir=args.data_dir)

@@ -114,12 +114,38 @@ class TinyGPT(Module):
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         return self._logits(params, x)[:, 0], new_caches
 
+    def prefill(self, params, prompt, caches):
+        """Process the whole prompt ``[B, P]`` in ONE forward (full flash
+        attention) and fill cache positions [0, P) of every layer in a
+        single dispatch.  Returns ``(logits [B, P, vocab], new_caches)``
+        — prompt processing at matmul rates, vs. P sequential decode
+        steps at matvec rates."""
+        from taper_tpu.nn.transformer import block_apply_prefill
+        b, s = prompt.shape
+        assert s <= self.max_seq, (s, self.max_seq)
+        x = self.tok.apply(params["tok"], prompt)
+        if not self.rope:
+            x = x + self.pos.apply(params["pos"], jnp.arange(s))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        new_caches = []
+        for blk, bp, c in zip(self.blocks, params["blocks"], caches):
+            x, c = block_apply_prefill(blk, bp, x, c)
+            new_caches.append(c)
+        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
+        return self._logits(params, x), new_caches
+
     def generate(self, params, prompt, max_new: int,
-                 temperature: float = 0.0, key=None):
-        """Autoregressive generation with a static-shape KV cache, all in
-        one ``lax.scan`` program.  ``prompt``: [B, P] int32 (same length
-        per batch row).  Greedy when ``temperature == 0``.  Returns
-        ``[B, P + max_new]`` tokens."""
+                 temperature: float = 0.0, key=None,
+                 one_shot_prefill: bool = True):
+        """Autoregressive generation with a static-shape KV cache.
+        ``prompt``: [B, P] int32 (same length per batch row).  Greedy
+        when ``temperature == 0``.  Returns ``[B, P + max_new]`` tokens.
+
+        Default path: :meth:`prefill` fills all P cache entries in one
+        dispatch, then one ``lax.scan`` decodes the ``max_new`` new
+        tokens.  ``one_shot_prefill=False`` keeps the token-at-a-time
+        reference path (the equality oracle for tests)."""
         b, plen = prompt.shape
         total = plen + max_new
         assert total <= self.max_seq, (total, self.max_seq)
@@ -129,17 +155,29 @@ class TinyGPT(Module):
             [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
         caches = self.init_cache(b)
 
-        def step(carry, pos):
-            tokens, caches, key = carry
-            tok_t = jax.lax.dynamic_index_in_dim(tokens, pos, 1,
-                                                 keepdims=False)
-            logits, caches = self.decode_step(params, tok_t, pos, caches)
+        def sample(logits, key):
             if temperature > 0:
                 key, sk = jax.random.split(key)
                 nxt = jax.random.categorical(sk, logits / temperature)
             else:
                 nxt = jnp.argmax(logits, axis=-1)
-            nxt = nxt.astype(jnp.int32)
+            return nxt.astype(jnp.int32), key
+
+        if one_shot_prefill:
+            logits_all, caches = self.prefill(params, prompt, caches)
+            nxt, key = sample(logits_all[:, -1], key)
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, nxt, plen, 1)
+            start = plen            # decode consumes positions plen..
+        else:
+            start = 0
+
+        def step(carry, pos):
+            tokens, caches, key = carry
+            tok_t = jax.lax.dynamic_index_in_dim(tokens, pos, 1,
+                                                 keepdims=False)
+            logits, caches = self.decode_step(params, tok_t, pos, caches)
+            nxt, key = sample(logits, key)
             # prompt positions keep their token; generated ones update
             keep = pos + 1 < plen
             cur = jax.lax.dynamic_index_in_dim(tokens, pos + 1, 1,
@@ -150,5 +188,6 @@ class TinyGPT(Module):
             return (tokens, caches, key), None
 
         (tokens, _, _), _ = jax.lax.scan(
-            step, (tokens, caches, key), jnp.arange(total - 1))
+            step, (tokens, caches, key),
+            jnp.arange(start, total - 1))
         return tokens

@@ -312,9 +312,51 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
     return y.reshape(b, 1, e), {"k": k_cache, "v": v_cache}
 
 
+def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
+    """Prompt prefill: one full (flash) attention forward over
+    ``x`` [B, P, E] that ALSO fills cache positions [0, P) in a single
+    dispatch — a length-P prompt costs one forward instead of P
+    sequential decode steps (prompt processing runs at matmul rates,
+    decode at matvec/HBM rates).  Returns ``(y [B, P, E], new_cache)``."""
+    b, s, e = x.shape
+    x2 = x.reshape(b * s, e)
+
+    def heads(w_name, b_name, n_heads):
+        y = _proj(x2, params[w_name], params.get(b_name))
+        return y.reshape(b, s, n_heads,
+                         mha.head_dim).transpose(0, 2, 1, 3)
+
+    q = heads("wq", "bq", mha.num_heads)
+    k = heads("wk", "bk", mha.num_kv_heads)
+    v = heads("wv", "bv", mha.num_kv_heads)
+    if mha.rope:
+        cos, sin = mha._rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        cache["k"], k.astype(cache["k"].dtype), 0, 2)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        cache["v"], v.astype(cache["v"].dtype), 0, 2)
+    if mha.kv_groups > 1:
+        k = jnp.repeat(k, mha.kv_groups, axis=1)
+        v = jnp.repeat(v, mha.kv_groups, axis=1)
+    o = ops.attention(q, k, v, causal=True, window=mha.window)
+    o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
+    y = _proj(o2, params["wo"], params.get("bo"))
+    return y.reshape(b, s, e), {"k": k_cache, "v": v_cache}
+
+
 def block_init_cache(blk: TransformerBlock, batch: int, max_seq: int,
                      dtype=jnp.float32):
     return mha_init_cache(blk.attn, batch, max_seq, dtype)
+
+
+def block_apply_prefill(blk: TransformerBlock, params, x, cache):
+    a, cache = mha_apply_prefill(
+        blk.attn, params["attn"], blk.ln1.apply(params["ln1"], x), cache)
+    x = x + a
+    m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x))
+    return x + m, cache
 
 
 def block_apply_decode(blk: TransformerBlock, params, x_t, cache, pos):

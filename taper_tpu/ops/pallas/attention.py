@@ -102,6 +102,38 @@ def _blocks(sq: int, sk: int, window=None):
     return bq, bk
 
 
+def _blocks_bwd(sq, sk, window=None):
+    """Backward block sizes, tuned independently of the forward.
+
+    The bwd kernels keep ~4 live (bq, bk) f32 intermediates per tile
+    (s, p, dp, ds) where the forward keeps two, so the forward's
+    (512, 2048) tiles put ~16 MB of values in flight and stall the
+    pipeline.  Swept on v5e (benchmarks/tune_attn_bwd.py, S=4096 D=64
+    bf16): see the table in that script's docstring — (bq, bk) =
+    (512, 512) wins for both kernels.  ``TAPER_ATTN_BWD_BLOCKS=bq,bk``
+    overrides (read at trace time, like the other TAPER_* knobs)."""
+    import os
+
+    ov = os.environ.get("TAPER_ATTN_BWD_BLOCKS")
+    if ov:
+        bq, bk = (int(x) for x in ov.split(","))
+        bq, bk = min(bq, sq), min(bk, sk)
+        if sq % bq == 0 and sk % bk == 0 and bk % bq == 0:
+            return bq, bk
+    def best(s, caps):
+        for c in caps:
+            if s % c == 0:
+                return c
+        return s
+    caps = (512, 256, 128)
+    if window is not None:
+        wcap = max(128, 1 << (int(window) - 1).bit_length())
+        caps = tuple(c for c in caps if c <= wcap) or (128,)
+    bk = best(sk, caps)
+    bq = best(sq, tuple(c for c in (512, 256, 128) if c <= bk))
+    return bq, bk
+
+
 def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
     """Causal and/or sliding-window mask with global row/col offsets
     (sequence parallelism: a device's Q shard starts at global position
@@ -438,7 +470,7 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     # (banded grids need statically-zero offsets; guaranteed by callers)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _blocks(sq, sk, window)
+    bq, bk = _blocks_bwd(sq, sk, window)
     nq, nk = sq // bq, sk // bk
     bh = b * h
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from taper_tpu.quantization.config import (
-    QuantizationConfig, QuantizationType,
+    QuantizationConfig, QuantizationSchema, QuantizationType,
 )
 
 
@@ -111,14 +111,26 @@ class FakeQuantize:
         if self.config.symmetric:
             amax = jnp.maximum(jnp.abs(observed_min), jnp.abs(observed_max))
             scale = jnp.maximum(amax / qmax, 1e-12)
-            zp = jnp.float32(0.0)
+            zp = jnp.zeros_like(scale)
         else:
             scale = jnp.maximum((observed_max - observed_min) / (qmax - qmin),
                                 1e-12)
             zp = jnp.round(qmin - observed_min / scale)
-        return FakeQuantize(jnp.float32(scale), jnp.float32(zp), self.config)
+        return FakeQuantize(jnp.asarray(scale, jnp.float32),
+                            jnp.asarray(zp, jnp.float32), self.config)
 
     def calibrate(self, x) -> "FakeQuantize":
+        """Set ranges from a live tensor.  ``schema=PER_CHANNEL`` reduces
+        over every axis but 0 (output channels) with kept dims, so the
+        resulting scale/zp broadcast against the weight — one range per
+        output channel/row (matches ``config.rs:21-25`` done right; the
+        reference declares PerChannel and never uses it)."""
+        if self.config.schema == QuantizationSchema.PER_CHANNEL \
+                and jnp.ndim(x) > 0:
+            axes = tuple(range(1, jnp.ndim(x)))
+            return self.update_params(
+                jnp.min(x, axis=axes, keepdims=True),
+                jnp.max(x, axis=axes, keepdims=True))
         return self.update_params(jnp.min(x), jnp.max(x))
 
     # -- forward ---------------------------------------------------------

@@ -23,7 +23,9 @@ import jax
 
 from taper_tpu import nn
 from taper_tpu.nn.module import Module
-from taper_tpu.quantization.config import QuantizationConfig
+from taper_tpu.quantization.config import (
+    QuantizationConfig, QuantizationSchema,
+)
 from taper_tpu.quantization.fake_quantize import FakeQuantize
 from taper_tpu.quantization.observers import ObserverManager
 
@@ -45,6 +47,18 @@ class QATConfig:
 
     def with_per_channel(self, v: bool = True) -> "QATConfig":
         return dataclasses.replace(self, per_channel=v)
+
+    @property
+    def qconfig(self) -> QuantizationConfig:
+        """The effective :class:`QuantizationConfig` for layer weights —
+        ``per_channel=True`` lifts the schema to PER_CHANNEL (the field
+        the reference declares and never wires, qat_config.rs:10-25).
+        Pass THIS (not ``quant_config``) when building QAT layers."""
+        if self.per_channel and \
+                self.quant_config.schema != QuantizationSchema.PER_CHANNEL:
+            return dataclasses.replace(
+                self.quant_config, schema=QuantizationSchema.PER_CHANNEL)
+        return self.quant_config
 
     def is_warmup(self, epoch: int) -> bool:
         return epoch < self.warmup_epochs
@@ -90,10 +104,14 @@ class _QATMixin:
     """
 
     def _init_fq(self, inner_params):
+        # per-channel applies to WEIGHTS only (axis 0 = output channels);
+        # activations' axis 0 is the batch, so their fq stays per-tensor
+        acfg = dataclasses.replace(self.qconfig,
+                                   schema=QuantizationSchema.UNIFORM)
         return {
             "inner": inner_params,
             "weight_fq": FakeQuantize.create(self.qconfig),
-            "act_fq": FakeQuantize.create(self.qconfig),
+            "act_fq": FakeQuantize.create(acfg),
         }
 
     def _apply_fq(self, params, x, qat: Optional[QATState], train, rng):

@@ -307,6 +307,69 @@ def test_qat_config_warmup_lr():
     assert cfg.get_effective_lr(7) == pytest.approx(0.001)
 
 
+def test_fake_quantize_per_channel_beats_per_tensor_on_conv():
+    """QAT counterpart of test_int8_per_channel_beats_per_tensor: a conv
+    weight with one huge-magnitude output channel wrecks per-tensor
+    fake-quant for the small channels; PER_CHANNEL scales (one per
+    output channel, kept dims) recover them (VERDICT r2 item 3 — the
+    reference declares PerChannel and never wires it,
+    config.rs:21-25)."""
+    from taper_tpu.quantization.qat import QATConv2d
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (8, 3, 3, 3))
+    w = w.at[0].mul(100.0)
+
+    def small_ch_err(schema):
+        fq = FakeQuantize.create(QuantizationConfig.int8(
+            symmetric=True, schema=schema)).calibrate(w)
+        return float(jnp.max(jnp.abs(fq.apply(w)[1:] - w[1:]))), fq
+
+    err_t, _ = small_ch_err(QuantizationSchema.UNIFORM)
+    err_c, fq = small_ch_err(QuantizationSchema.PER_CHANNEL)
+    assert fq.scale.shape == (8, 1, 1, 1)
+    assert err_c < err_t / 10
+
+    # end-to-end: QATConv2d outputs with per-channel WEIGHT fq track the
+    # float layer far closer on the small channels (activation fq is
+    # per-tensor by design — its error affects both variants equally, so
+    # compare the weight-quantized forward)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8))
+
+    def conv_err(config):
+        layer = QATConv2d(3, 8, 3, config=config)
+        params = layer.init(jax.random.PRNGKey(2))
+        params["inner"]["w"] = w
+        y_f = layer.inner.apply(params["inner"], x)
+        wfq = params["weight_fq"].calibrate(w)
+        y_w = layer.inner.apply({**params["inner"],
+                                 "w": wfq.apply(w)}, x)
+        return float(jnp.max(jnp.abs((y_w - y_f)[:, 1:])))
+
+    e_t = conv_err(QuantizationConfig.int8(symmetric=True))
+    e_c = conv_err(QuantizationConfig.int8(
+        symmetric=True, schema=QuantizationSchema.PER_CHANNEL))
+    assert e_c < e_t / 10, (e_c, e_t)
+
+
+def test_qat_config_per_channel_wires_schema():
+    cfg = QATConfig.int8().with_per_channel()
+    assert cfg.qconfig.schema == QuantizationSchema.PER_CHANNEL
+    assert cfg.quant_config.schema == QuantizationSchema.UNIFORM
+
+    # layers built from cfg.qconfig get per-channel WEIGHT fq and
+    # per-tensor activation fq; STE grads still flow
+    layer = QATLinear(16, 8, config=cfg.qconfig)
+    params = layer.init(jax.random.PRNGKey(0))
+    assert (params["weight_fq"].config.schema
+            == QuantizationSchema.PER_CHANNEL)
+    assert params["act_fq"].config.schema == QuantizationSchema.UNIFORM
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    g = jax.grad(lambda p: jnp.sum(
+        layer.apply(p, x, train=True, qat=QATState()) ** 2))(params)
+    assert float(jnp.sum(jnp.abs(g["inner"]["w"]))) > 0
+
+
 def test_qat_linear_disabled_matches_plain():
     layer = QATLinear(16, 8)
     params = layer.init(jax.random.PRNGKey(0))

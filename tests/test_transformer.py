@@ -207,6 +207,35 @@ def test_generate_greedy_continues_prompt():
                                   np.asarray(jnp.argmax(full[:, -1], -1)))
 
 
+def test_one_shot_prefill_matches_sequential_generate():
+    """prefill() fills all P cache entries in one dispatch; greedy
+    generation must equal the token-at-a-time reference path exactly,
+    and the prefill logits must equal the plain full forward."""
+    for kwargs in ({}, {"rope": True, "num_kv_heads": 1}):
+        model = models.TinyGPT(vocab_size=12, dim=32, depth=2,
+                               num_heads=2, max_seq=32, **kwargs)
+        p = model.init(jax.random.PRNGKey(0))
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, 12)
+
+        logits, caches = model.prefill(p, prompt, model.init_cache(2))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(model.apply(p, prompt)),
+                                   atol=2e-5)
+        # caches hold the same K/V the sequential path would have written
+        seq_caches = model.init_cache(2)
+        for t in range(7):
+            _, seq_caches = model.decode_step(p, prompt[:, t], t,
+                                              seq_caches)
+        for c1, c2 in zip(caches, seq_caches):
+            np.testing.assert_allclose(np.asarray(c1["k"][:, :, :7]),
+                                       np.asarray(c2["k"][:, :, :7]),
+                                       atol=2e-5)
+
+        fast = model.generate(p, prompt, 8)
+        slow = model.generate(p, prompt, 8, one_shot_prefill=False)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
 def test_tinygpt_ptq_int8_serving():
     from taper_tpu.quantization import ptq
     from taper_tpu.quantization.config import QuantizationConfig
