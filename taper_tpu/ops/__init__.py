@@ -52,6 +52,18 @@ def fma(a, b, c):
     return _impl().fma(a, b, c)
 
 
+def sub(a, b):
+    """Elementwise subtract (reference ``src/ops.rs:377-496`` Sub
+    overloads; grad (+g, −g))."""
+    return _impl().sub(a, b)
+
+
+def div(a, b):
+    """Elementwise divide (reference ``src/ops.rs:440-496`` Div
+    overloads; grad (g/b, −g·a/b²))."""
+    return _impl().div(a, b)
+
+
 # -- matmul / linear ---------------------------------------------------------
 
 def matmul(a, b):
@@ -186,6 +198,7 @@ def attention(q, k, v, *, causal=False, scale=None, window=None):
 
 __all__ = [
     "set_backend", "get_backend", "use_backend", "on_tpu",
-    "relu", "sigmoid", "add", "mul", "fma", "matmul", "linear",
+    "relu", "sigmoid", "add", "mul", "fma", "sub", "div", "matmul",
+    "linear",
     "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d", "attention",
 ]

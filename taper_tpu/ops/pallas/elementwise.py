@@ -81,6 +81,14 @@ def _fma_kernel(a_ref, b_ref, c_ref, o_ref):
     o_ref[:] = a_ref[:] * b_ref[:] + c_ref[:]
 
 
+def _sub_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] - b_ref[:]
+
+
+def _div_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] / b_ref[:]
+
+
 @jax.custom_vjp
 def relu(x):
     return _ew_call(_relu_kernel, x)
@@ -165,6 +173,41 @@ def _fma_bwd(res, g):
 _fma_eq.defvjp(_fma_fwd, _fma_bwd)
 
 
+@jax.custom_vjp
+def _sub_eq(a, b):
+    return _ew_call(_sub_kernel, a, b)
+
+
+def _sub_fwd(a, b):
+    return _sub_eq(a, b), None
+
+
+def _sub_bwd(_, g):
+    # reference Sub grad: (+g, −g) (src/ops.rs:377-416)
+    return g, -g
+
+
+_sub_eq.defvjp(_sub_fwd, _sub_bwd)
+
+
+@jax.custom_vjp
+def _div_eq(a, b):
+    return _ew_call(_div_kernel, a, b)
+
+
+def _div_fwd(a, b):
+    return _div_eq(a, b), (a, b)
+
+
+def _div_bwd(res, g):
+    # reference Div grad: ga = g/b, gb = −g·a/b² (src/ops.rs:440-496)
+    a, b = res
+    return g / b, -g * a / (b * b)
+
+
+_div_eq.defvjp(_div_fwd, _div_bwd)
+
+
 def add(a, b):
     """Broadcasting add matching the xla backend's semantics; the broadcast
     happens outside the custom_vjp so JAX reduces gradients over the
@@ -195,3 +238,22 @@ def fma(a, b, c):
     if not (a.shape == b.shape == c.shape):
         a, b, c = jnp.broadcast_arrays(a, b, c)
     return _fma_eq(a, b, c)
+
+
+def sub(a, b):
+    """Broadcasting subtract (reference ``src/ops.rs:377-416``); see
+    :func:`add` for the broadcast/grad-reduction contract."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    return _sub_eq(a, b)
+
+
+def div(a, b):
+    """Broadcasting divide (reference ``src/ops.rs:440-496``)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    return _div_eq(a, b)

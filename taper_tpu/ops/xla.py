@@ -50,6 +50,14 @@ def fma(a, b, c):
     return a * b + c
 
 
+def sub(a, b):
+    return a - b
+
+
+def div(a, b):
+    return a / b
+
+
 # ---------------------------------------------------------------------------
 # Matmul (MXU)
 # ---------------------------------------------------------------------------

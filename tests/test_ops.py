@@ -111,6 +111,45 @@ def test_elementwise_broadcasting(backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sub_div(backend):
+    """Sub/Div kernel-backend parity with the reference's grad formulas
+    (src/ops.rs:377-496): sub -> (+g, -g); div -> (g/b, -g*a/b^2)."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (3, 17))
+    b = jax.random.normal(jax.random.PRNGKey(1), (3, 17)) + 2.0
+    row = jax.random.normal(jax.random.PRNGKey(2), (17,)) + 2.0
+    with use_backend(backend):
+        np.testing.assert_allclose(ops.sub(a, b), a - b, atol=TOL)
+        np.testing.assert_allclose(ops.div(a, b), a / b, atol=TOL)
+        np.testing.assert_allclose(ops.sub(a, row), a - row, atol=TOL)
+        ga, gb = jax.grad(lambda x, y: jnp.sum(ops.sub(x, y) * b),
+                          argnums=(0, 1))(a, b)
+        np.testing.assert_allclose(ga, b, atol=TOL)
+        np.testing.assert_allclose(gb, -b, atol=TOL)
+        da, db = jax.grad(lambda x, y: jnp.sum(ops.div(x, y)),
+                          argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(da, 1.0 / b, atol=TOL)
+    np.testing.assert_allclose(db, -a / (b * b), atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_elementwise_bf16(backend):
+    """bf16 inputs through the full elementwise family keep their dtype
+    and match the f32 oracle within bf16 resolution."""
+    xf = jax.random.normal(jax.random.PRNGKey(0), (5, 33))
+    yf = jax.random.normal(jax.random.PRNGKey(1), (5, 33)) + 2.0
+    x, y = xf.astype(jnp.bfloat16), yf.astype(jnp.bfloat16)
+    with use_backend(backend):
+        for op, ref in ((ops.add, xf + yf), (ops.mul, xf * yf),
+                        (ops.sub, xf - yf), (ops.div, xf / yf),
+                        (ops.relu, jnp.maximum(xf, 0))):
+            got = op(x, y) if op is not ops.relu else op(x)
+            assert got.dtype == jnp.bfloat16, op
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref),
+                atol=0.11, rtol=0.02)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_fma(backend):
     # Reference fma_f32_simd (src/tensor.rs:203-233): out = a*b + c.
     a = jax.random.normal(jax.random.PRNGKey(0), (3, 17))
