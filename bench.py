@@ -72,10 +72,13 @@ def bench_mlp(train_ds, test_ds, backend: str, epochs: int = 10):
         m.val_acc[-1]
 
 
-def bench_attention(b=4, h=8, s=2048, d=64):
+def bench_attention(b=4, h=8, s=2048, d=64, with_bwd=False):
     """Flash-vs-XLA attention speedup (bf16, causal) — the
     beyond-reference transformer extension's headline.  Measured with
-    the scan-difference methodology (see benchmarks/timing.py)."""
+    the scan-difference methodology (see benchmarks/timing.py).
+
+    ``with_bwd`` adds full fwd+bwd (grad wrt q, k AND v) rows for both
+    backends and returns their times too."""
     from benchmarks.timing import Contender, race  # noqa: F401
     import jax.numpy as jnp
     from taper_tpu.ops import xla as X
@@ -91,15 +94,74 @@ def bench_attention(b=4, h=8, s=2048, d=64):
     def xl(qc, kc, vc):
         return qc + 0.001 * X.attention(qc, kc, vc, causal=True)
 
+    def step_of(attn):
+        def step(qc, kc, vc):
+            gs = jax.grad(lambda a, kk_, vv: jnp.sum(
+                attn(a, kk_, vv).astype(jnp.float32)),
+                argnums=(0, 1, 2))(qc, kc, vc)
+            return qc + 0.001 * gs[0].astype(qc.dtype)
+        return step
+
     cs = [Contender("flash", fl, q, (k, v), n_hi=60, n_lo=10),
           Contender("xla", xl, q, (k, v), n_hi=60, n_lo=10)]
+    if with_bwd:
+        cs.append(Contender(
+            "flash fwd+bwd",
+            step_of(lambda a, kk_, vv: flash_attention(a, kk_, vv, True)),
+            q, (k, v), n_hi=30, n_lo=5))
+        cs.append(Contender(
+            "xla fwd+bwd",
+            step_of(lambda a, kk_, vv: X.attention(a, kk_, vv,
+                                                   causal=True)),
+            q, (k, v), n_hi=30, n_lo=5))
     for c in cs:
         c.warm()
     for _ in range(3):
         for c in cs:
             c.measure()
-    t_fl, t_xla = (c.per_iter() for c in cs)
-    return t_fl, t_xla
+    times = [c.per_iter() for c in cs]
+    return times if with_bwd else times[:2]
+
+
+def bench_transformer_mfu(b=8, s=2048):
+    """Model-FLOPs-utilization of a full TinyGPT train step (fwd + bwd +
+    Adam) on a ~83M-param config (dim 768, depth 10, S=2048, bf16 trunk,
+    flash attention).  MFU = analytic model flops / wall / v5e bf16 peak
+    (197 TFLOP/s, README "performance model" section).  Model flops use
+    the standard 6·P·T + causal attention term — hardware-agnostic
+    counting, NOT the kernels' actual (recompute-inflated) flops."""
+    import jax.numpy as jnp
+    from benchmarks.timing import timeit_scan
+    from taper_tpu import models, optim, ops
+
+    ops.set_backend("pallas")          # flash attention at S=2048
+    dim, depth, heads, vocab = 768, 10, 12, 16384
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=s, rope=True,
+                           compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(1e-4)
+    state = opt.init(params)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, vocab)
+    tgts = jnp.roll(toks, -1, axis=1)
+
+    def step(carry, toks, tgts):
+        params, state = carry
+        def loss_of(p):
+            lp = jax.nn.log_softmax(model.apply(p, toks))
+            return -jnp.mean(jnp.take_along_axis(lp, tgts[..., None],
+                                                 axis=-1))
+        _, g = jax.value_and_grad(loss_of)(params)
+        return opt.update(g, state, params)
+
+    t = timeit_scan(step, (params, state), (toks, tgts), n_hi=12, n_lo=3)
+    n_params = model.param_count(params)
+    tokens = b * s
+    flops = 3 * (2 * n_params * tokens
+                 + depth * 4 * b * s * s * dim * 0.5)
+    mfu = flops / t / 197e12
+    ops.set_backend("xla")
+    return mfu, t, n_params, tokens / t
 
 
 def main():
@@ -117,11 +179,13 @@ def main():
     import os
 
     results = {}
-    # "pallas_hybrid" = pallas backend with its measured conv dispatch
-    # (TAPER_CONV=xla): the GEMM/pool policies at their fastest, vs the
-    # all-kernels "pallas" row where stride-1 convs run the direct kernel.
-    for backend, conv in (("xla", None), ("pallas", "direct"),
-                          ("pallas_hybrid", "xla")):
+    # "pallas" = the default measured per-shape conv dispatch (direct
+    # kernel only where it wins); "pallas_hybrid" forces TAPER_CONV=xla
+    # (round-2's fastest); "pallas_allkernels" forces the direct kernel
+    # at every stride-1 conv (round-2's "pallas" row) for transparency.
+    for backend, conv in (("xla", None), ("pallas", None),
+                          ("pallas_hybrid", "xla"),
+                          ("pallas_allkernels", "direct")):
         try:
             if conv is not None:
                 os.environ["TAPER_CONV"] = conv
@@ -147,11 +211,51 @@ def main():
         attn = {"attn_flash_us": round(t_flash * 1e6, 1),
                 "attn_xla_us": round(t_xla_attn * 1e6, 1),
                 "attn_flash_speedup": round(t_xla_attn / t_flash, 2)}
-        t_fl4, t_xla4 = bench_attention(b=2, s=4096)
+        b4, s4 = 2, 4096
+        t_fl4, t_xla4, t_flb4, t_xlb4 = bench_attention(
+            b=b4, s=s4, with_bwd=True)
         attn["attn_flash_speedup_s4096"] = round(t_xla4 / t_fl4, 2)
+        attn["attn_fwdbwd_speedup_s4096"] = round(t_xlb4 / t_flb4, 2)
+        # TFLOP/s with the standard causal accounting: fwd = 2 matmuls,
+        # bwd = 2.5x fwd (5 matmuls) — NOT the kernels' recompute count.
+        f4 = 4.0 * b4 * 8 * s4 * s4 * 64 / 2
+        attn["attn_fwd_tflops"] = round(f4 / t_fl4 / 1e12, 1)
+        attn["attn_bwd_tflops"] = round(
+            2.5 * f4 / max(t_flb4 - t_fl4, 1e-9) / 1e12, 1)
     except Exception as e:
         print(f"[bench] attention failed: {e}", file=sys.stderr)
         attn = {}
+
+    try:
+        # CNN-epoch MFU: XLA cost analysis of one train step (the fused
+        # fit runs the same math), scaled by steps/epoch over the epoch
+        # wall time; denominator is the v5e bf16 peak even though the
+        # CNN trains f32 (v5e f32 matmuls run as multi-pass bf16, so
+        # this is a conservative utilization number).
+        from taper_tpu.utils.profiling import flops_per_step
+
+        ops.set_backend("xla")
+        cm = models.mnist_cnn()
+        ctr = Trainer(cm, optim.Adam(3e-3, weight_decay=1e-4))
+        bx = jnp.asarray(train_ds.images[:256])
+        by = jnp.asarray(train_ds.labels[:256])
+        cost = flops_per_step(
+            lambda p, s, x, y, r: ctr._train_step(p, s, x, y, r),
+            ctr.params, ctr.opt_state, bx, by, jax.random.PRNGKey(0))
+        steps_per_epoch = len(train_ds.labels) // 256
+        attn["cnn_mfu"] = round(
+            cost["flops"] * steps_per_epoch / epoch_s / 197e12, 4)
+    except Exception as e:
+        print(f"[bench] cnn mfu failed: {e}", file=sys.stderr)
+
+    try:
+        mfu, t_step, n_params, tok_s = bench_transformer_mfu()
+        attn["mfu"] = round(mfu, 4)
+        attn["mfu_step_ms"] = round(t_step * 1e3, 1)
+        attn["mfu_params_m"] = round(n_params / 1e6, 1)
+        attn["mfu_tokens_per_s"] = round(tok_s)
+    except Exception as e:
+        print(f"[bench] transformer mfu failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mnist_cnn_epoch_time",

@@ -300,6 +300,81 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
+def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                  dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window,
+                  bq, bk, nq, lowp, grid_banded=False):
+    """Transposed dK/dV formulation: the score tile is computed as
+    sᵀ = K·Qᵀ ``(bk, bq)`` so all four dots are NT/NN forms —
+    dV += Pᵀ·dO and dK += dSᵀ·Q become natural NN contractions over bq
+    instead of the row-major kernel's TN forms (contraction over the
+    sublane axis of both operands).  Measured NEUTRAL on v5e at bf16
+    S=4096 (2699 vs 2704 µs full fwd+bwd — Mosaic evidently lowers the
+    TN dots without a separate transpose pass); kept as the documented
+    experiment, selected by ``TAPER_ATTN_DKV_T=1``."""
+    ik, iq = pl.program_id(1), pl.program_id(2)
+    nsteps = pl.num_programs(2)
+    if grid_banded:
+        iq = _q_band_start(ik, bq=bq, bk=bk, nq=nq,
+                           steps=nsteps) + iq
+    off = off_ref[0].astype(jnp.int32)
+    koff = off_ref[1].astype(jnp.int32)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    def body():
+        q = _dot_in(q_ref[0], lowp)
+        k = _dot_in(k_ref[0], lowp)
+        do = _dot_in(do_ref[0], lowp)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (bk, bq)
+        if causal or window is not None:
+            # transposed tile: axis 0 = kv cols, axis 1 = q rows
+            kcols = koff + ik * bk + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 0)
+            qrows = off + iq * bq + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1)
+            ok = jnp.full(st.shape, True)
+            if causal:
+                ok &= qrows >= kcols
+            if window is not None:
+                ok &= kcols > qrows - window
+            st = jnp.where(ok, st, _NEG_INF)
+        lse_row = lse_ref[0, 0, :]
+        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        pt = jnp.exp(st - lse_safe[None, :])
+        dv_sc[:] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            _dot_in(v_ref[0], lowp), do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dst = pt * (dpt - dl_ref[0, 0, :][None, :]) * scale
+        dk_sc[:] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    run = True
+    if causal:
+        run = off + iq * bq + bq - 1 >= koff + ik * bk
+    if window is not None:
+        in_win = (koff + ik * bk + bk - 1
+                  > off + iq * bq - window)
+        run = in_win if run is True else run & in_win
+    if run is True:
+        body()
+    else:
+        pl.when(run)(body)
+
+    @pl.when(pl.program_id(2) == nsteps - 1)
+    def _fin():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
 def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window, bq, bk,
                 nq, lowp, grid_banded=False):
@@ -577,8 +652,11 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
         q_steps = nq
     spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+    import os as _os
+    dkv = (_dkv_kernel_t if _os.environ.get("TAPER_ATTN_DKV_T") == "1"
+           else _dkv_kernel)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+        functools.partial(dkv, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nq=nq,
                           lowp=_dot_bf16_default(),
                           grid_banded=grid_banded),

@@ -12,13 +12,15 @@ from ``gemm.py`` with the bias + ReLU epilogue fused into the final K-step
 skips patch extraction entirely and is a pure reshape + fused GEMM, matching
 the reference's 1×1-as-matmul specialization.
 
-**Dispatch policy:** stride-1 convs with C·kh·kw ≤ 4096 run the direct
-Pallas kernel (``conv_direct.py``) that assembles patches in VMEM inside
-the grid — no HBM patch matrix, full custom VJP.  Strided/huge-K convs
-take the materialized im2col + fused Pallas GEMM below; 1×1 convs are pure
-channel-mixing fused GEMMs.  ``TAPER_CONV=xla`` switches the stride-1 path
-to XLA's native conv emitter, which measures faster at MNIST-CNN shapes
-(see ``conv_direct.py`` for the numbers and the hardware reason).
+**Dispatch policy (measured, per-shape — the default):** stride-1 convs
+with C·kh·kw ≤ 4096 run the direct Pallas kernel (``conv_direct.py``)
+when C is lane-aligned (C % 128 == 0, where its in-VMEM patch assembly
+moves whole lanes) and XLA's native conv emitter otherwise (it wins
+3-40× at C < 128 — ``conv_direct.py``'s formulation study).
+Strided/huge-K convs take the materialized im2col + fused Pallas GEMM
+below; 1×1 convs are pure channel-mixing fused GEMMs.  ``TAPER_CONV=
+direct`` forces the hand kernel at every stride-1 shape (all-kernels
+mode); ``TAPER_CONV=xla`` forces the XLA emitter.
 
 Unlike the reference — whose conv weight/input grads are severed (SURVEY.md
 §2.2 ⚠) — every path is fully differentiable: patches are extracted with
@@ -94,20 +96,28 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
     o, ci, kh, kw = w.shape
     assert ci == c, (x.shape, w.shape)
 
-    # Stride-1 convs run the direct (implicit-im2col) kernel: patches are
-    # assembled in VMEM inside the grid, so HBM traffic is input-once +
-    # output-once instead of the kh*kw x blowup of a materialized patch
-    # matrix (round-1's reason to delegate small-K convs to XLA).
-    # TAPER_CONV=xla restores the measured-fastest hybrid (XLA's native
-    # conv emitter wins these shapes — see conv_direct.py docstring).
+    # Stride-1 convs: measured per-shape dispatch (default).  The direct
+    # (implicit-im2col) kernel assembles patches in VMEM inside the grid
+    # — HBM traffic is input-once + output-once — but its patch-assembly
+    # relayout is VPU-bound when C < 128 lanes, where XLA's native conv
+    # emitter (windowed MXU feeds, no materialized patches) wins by
+    # 3-40x (conv_direct.py's formulation study).  At lane-aligned
+    # C >= 128 the relayout moves whole lanes and the kernel becomes
+    # competitive (benchmarks/probe_conv_c128.py).  So the DEFAULT
+    # routes each shape to the measured-fastest path; TAPER_CONV=direct
+    # forces the hand kernel everywhere (all-kernels mode, the round-2
+    # default), TAPER_CONV=xla forces XLA everywhere.
     if ((kh, kw) != (1, 1) and stride == (1, 1)
             and c * kh * kw <= 4096):
-        if os.environ.get("TAPER_CONV", "direct") == "xla":
-            from taper_tpu.ops import xla as _xla
-            return _xla.conv2d(x, w, b, stride=stride, padding=padding,
-                               activation=activation)
-        from taper_tpu.ops.pallas.conv_direct import conv2d_direct
-        return conv2d_direct(x, w, b, padding, epilogue)
+        knob = os.environ.get("TAPER_CONV", "")
+        use_direct = (knob == "direct"
+                      or (knob != "xla" and c % 128 == 0))
+        if use_direct:
+            from taper_tpu.ops.pallas.conv_direct import conv2d_direct
+            return conv2d_direct(x, w, b, padding, epilogue)
+        from taper_tpu.ops import xla as _xla
+        return _xla.conv2d(x, w, b, stride=stride, padding=padding,
+                           activation=activation)
 
     if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):
         # 1×1 fast path: pure channel-mixing matmul.
