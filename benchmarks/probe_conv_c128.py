@@ -4,6 +4,13 @@ conv_direct.py's trilemma analysis says the patch-assembly relayout
 collapses when C fills the 128 lanes; this probe races the two at
 C in {32, 64, 128, 256} to set the dispatch rule (VERDICT r2 item 2).
 
+Measured (v5e, f32, n_hi=400 chains — short chains under-resolve the
+fast rows): the relayout collapse is REAL (direct recovers from 2.6 to
+55-80 TFLOP/s at C 128/256) but XLA's emitter still wins everywhere:
+C=128 14x14: 67us vs 17us; C=256 7x7: 47 vs 18; C=128 28x28 N16: 64 vs
+11.  Hence the default dispatch routes ALL stride-1 small-K convs to
+the emitter (conv.py), and TAPER_CONV=direct is the all-kernels opt-in.
+
 Run: python benchmarks/probe_conv_c128.py
 """
 

@@ -12,15 +12,18 @@ from ``gemm.py`` with the bias + ReLU epilogue fused into the final K-step
 skips patch extraction entirely and is a pure reshape + fused GEMM, matching
 the reference's 1×1-as-matmul specialization.
 
-**Dispatch policy (measured, per-shape — the default):** stride-1 convs
-with C·kh·kw ≤ 4096 run the direct Pallas kernel (``conv_direct.py``)
-when C is lane-aligned (C % 128 == 0, where its in-VMEM patch assembly
-moves whole lanes) and XLA's native conv emitter otherwise (it wins
-3-40× at C < 128 — ``conv_direct.py``'s formulation study).
-Strided/huge-K convs take the materialized im2col + fused Pallas GEMM
-below; 1×1 convs are pure channel-mixing fused GEMMs.  ``TAPER_CONV=
-direct`` forces the hand kernel at every stride-1 shape (all-kernels
-mode); ``TAPER_CONV=xla`` forces the XLA emitter.
+**Dispatch policy (measured — the default):** stride-1 convs with
+C·kh·kw ≤ 4096 route to XLA's native conv emitter, which wins at EVERY
+measured channel count — 3-40× at C < 128 (the direct kernel's patch
+assembly is VPU-relayout-bound there, ``conv_direct.py``'s formulation
+study) and still ~3× at lane-aligned C ∈ {128, 256}, where the direct
+kernel recovers to 55-80 TFLOP/s but the emitter's windowed MXU feeds
+run 206-217 effective (``benchmarks/probe_conv_c128.py``, v5e
+interleaved races, n_hi=400).  Strided/huge-K convs take the
+materialized im2col + fused Pallas GEMM below; 1×1 convs are pure
+channel-mixing fused GEMMs.  ``TAPER_CONV=direct`` forces the hand
+kernel at every stride-1 shape (all-kernels mode, round-2's default);
+``TAPER_CONV=xla`` forces the emitter.
 
 Unlike the reference — whose conv weight/input grads are severed (SURVEY.md
 §2.2 ⚠) — every path is fully differentiable: patches are extracted with
@@ -96,23 +99,14 @@ def conv2d(x, w, b=None, *, stride=(1, 1), padding=(0, 0), groups=1,
     o, ci, kh, kw = w.shape
     assert ci == c, (x.shape, w.shape)
 
-    # Stride-1 convs: measured per-shape dispatch (default).  The direct
-    # (implicit-im2col) kernel assembles patches in VMEM inside the grid
-    # — HBM traffic is input-once + output-once — but its patch-assembly
-    # relayout is VPU-bound when C < 128 lanes, where XLA's native conv
-    # emitter (windowed MXU feeds, no materialized patches) wins by
-    # 3-40x (conv_direct.py's formulation study).  At lane-aligned
-    # C >= 128 the relayout moves whole lanes and the kernel becomes
-    # competitive (benchmarks/probe_conv_c128.py).  So the DEFAULT
-    # routes each shape to the measured-fastest path; TAPER_CONV=direct
-    # forces the hand kernel everywhere (all-kernels mode, the round-2
-    # default), TAPER_CONV=xla forces XLA everywhere.
+    # Stride-1 convs: measured dispatch (default) — XLA's emitter wins
+    # at every probed channel count (see module docstring), so it is
+    # the default; TAPER_CONV=direct forces the hand kernel everywhere
+    # (all-kernels mode, the round-2 default), TAPER_CONV=xla is the
+    # explicit spelling of the default.
     if ((kh, kw) != (1, 1) and stride == (1, 1)
             and c * kh * kw <= 4096):
-        knob = os.environ.get("TAPER_CONV", "")
-        use_direct = (knob == "direct"
-                      or (knob != "xla" and c % 128 == 0))
-        if use_direct:
+        if os.environ.get("TAPER_CONV", "") == "direct":
             from taper_tpu.ops.pallas.conv_direct import conv2d_direct
             return conv2d_direct(x, w, b, padding, epilogue)
         from taper_tpu.ops import xla as _xla

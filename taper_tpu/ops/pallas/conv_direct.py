@@ -31,10 +31,12 @@ materializing patches OR lane-padding C=32 feature dims — runs the MNIST
 CNN conv shapes at 18-41us; this kernel measures 117-1469us, bottlenecked
 by the VPU relayout copies that assemble the patch scratch when C < 128
 lanes (a DMA-based assembly is rejected by the hardware's 128-lane slice
-alignment).  The pallas backend still uses this kernel by default — the
-backend's contract is hand-written kernels, and round 1's silent
-delegation hid that gap — but ``TAPER_CONV=xla`` restores the measured-
-fastest hybrid dispatch.
+alignment).  At lane-aligned C the relayout cost collapses as predicted —
+55-80 TFLOP/s at C ∈ {128, 256} (``benchmarks/probe_conv_c128.py``) —
+but XLA's emitter still wins ~3× there (206-217 effective), so since
+round 3 the pallas backend's DEFAULT dispatch routes stride-1 convs to
+the emitter and ``TAPER_CONV=direct`` opts into the all-kernels mode
+(round 1's silent delegation hid the gap; the dispatch now names it).
 
 **Formulation study (why this gap is structural, not a tuning miss —
 probes in ``benchmarks/probe_conv_split.py`` / ``proto_conv_taps.py``,
