@@ -473,9 +473,15 @@ class MoEMLP(Module):
         Token t's slot s (s < top_k) goes to expert ``idx[t, s]`` at the
         position given by its running count within that expert; slots
         past capacity are routed to a trash row and their contribution
-        (only) is zeroed — the token's other slots still land.  The
-        scatter/gather pair is static-shape and fully differentiable
-        (dx flows back through the gather's VJP)."""
+        (only) is zeroed — the token's other slots still land.
+
+        Dispatch is formulated as a GATHER via the inverse permutation
+        (built with a cheap scalar scatter of slot ids): TPU row
+        gathers run near memcpy rate while row scatters serialize, and
+        the unavoidable scatter-add then appears only once, in the
+        gather's VJP (measured v5e, B8 S2048 dim512 n8k2: 1283 µs vs
+        2175 for the row-scatter form; dense-8 3483, ideal-2 794).
+        Everything is static-shape and fully differentiable."""
         import math as _math
 
         b, s_len, e = x.shape
@@ -499,11 +505,15 @@ class MoEMLP(Module):
         keep = pos < cap
         dst = jnp.where(keep, expert * cap + pos, n * cap)  # trash row
 
-        x_rep = jnp.repeat(x2, k, axis=0)            # slot order = T-major
-        xe = jnp.zeros((n * cap + 1, e), x.dtype).at[dst].set(
-            x_rep, mode="drop", unique_indices=False)
+        # inverse permutation: which slot fills buffer position (e, c)?
+        slot = jnp.arange(t * k, dtype=jnp.int32)
+        inv = jnp.full((n * cap + 1,), t * k, jnp.int32).at[dst].set(
+            slot, unique_indices=False)
+        tok_idx = jnp.where(inv < t * k, inv // k, t)   # sentinel -> 0-row
+        x2p = jnp.concatenate([x2, jnp.zeros((1, e), x.dtype)], axis=0)
+        xe = x2p[tok_idx[:n * cap]]
         ye = jax.vmap(lambda p, xb: self.expert.apply(p, xb[None])[0])(
-            params["experts"], xe[:n * cap].reshape(n, cap, e))
+            params["experts"], xe.reshape(n, cap, e))
         ye_flat = jnp.concatenate(
             [ye.reshape(n * cap, e),
              jnp.zeros((1, e), ye.dtype)], axis=0)
