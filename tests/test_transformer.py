@@ -352,6 +352,30 @@ def test_tinygpt_gqa_rope_generate():
     assert out.shape == (2, 10)
 
 
+def test_remat_matches_plain_exactly():
+    """remat=True (jax.checkpoint per block) recomputes activations in
+    the backward — outputs and gradients must equal the plain model
+    bit-for-bit (same program, different scheduling)."""
+    plain = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16)
+    remat = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16, remat=True)
+    p = plain.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 12)
+
+    np.testing.assert_array_equal(np.asarray(plain.apply(p, toks)),
+                                  np.asarray(remat.apply(p, toks)))
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, toks) ** 2)
+
+    g1 = jax.grad(lambda p: loss(plain, p))(p)
+    g2 = jax.grad(lambda p: loss(remat, p))(p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_sparse_moe_matches_dense_at_large_capacity():
     """Capacity-routed dispatch == the dense oracle when nothing drops
     (capacity_factor = n_experts/top_k makes cap = T): outputs AND
