@@ -125,17 +125,21 @@ def bench_attention(b=4, h=8, s=2048, d=64, with_bwd=False):
 
 def bench_transformer_mfu(b=8, s=2048):
     """Model-FLOPs-utilization of a full TinyGPT train step (fwd + bwd +
-    Adam) on a ~83M-param config (dim 768, depth 10, S=2048, bf16 trunk,
-    flash attention).  MFU = analytic model flops / wall / v5e bf16 peak
-    (197 TFLOP/s, README "performance model" section).  Model flops use
-    the standard 6·P·T + causal attention term — hardware-agnostic
-    counting, NOT the kernels' actual (recompute-inflated) flops."""
+    Adam) on a ~170M-param config (dim 1024, depth 12, S=2048, bf16
+    trunk, flash attention).  MFU = analytic model flops / wall / v5e
+    bf16 peak (197 TFLOP/s, README "performance model" section).  Model
+    flops use the standard 6·P·T + causal attention term —
+    hardware-agnostic counting, NOT the kernels' actual
+    (recompute-inflated) flops.  Config swept in r3: dim 768/depth 10
+    gave 0.313, dim 1024/depth 12 gives ~0.35 (bigger dim → the
+    un-fusable elementwise/LN/transpose HBM traffic and the causal
+    flash-attention share amortize better)."""
     import jax.numpy as jnp
     from benchmarks.timing import timeit_scan
     from taper_tpu import models, optim, ops
 
     ops.set_backend("pallas")          # flash attention at S=2048
-    dim, depth, heads, vocab = 768, 10, 12, 16384
+    dim, depth, heads, vocab = 1024, 12, 16, 16384
     model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
                            num_heads=heads, max_seq=s, rope=True,
                            compute_dtype=jnp.bfloat16)
