@@ -168,12 +168,21 @@ def expert_parallel_moe(mesh: Mesh, moe, params, x, *, axis="model"):
     ``n_experts / n`` experts on the full batch), gates are computed
     locally from the replicated gate weights, and the gate-weighted
     partial sums all-reduce over ICI.  Output == the single-device MoE.
+
+    When the module carries ``capacity_factor`` the per-device compute
+    is SPARSE too: each device computes routing globally (cheap, the
+    gate is replicated) but builds capacity buffers and runs expert
+    FFNs only for its own ``n_experts/n`` experts — per-device expert
+    FLOPs are ``top_k·f/n`` of the dense single-device cost, the true
+    MoE scaling story.  Equality with the single-device
+    ``apply_sparse`` holds exactly (identical global routing, so the
+    same slots drop).
     """
     n = int(mesh.shape[axis])
     assert moe.n_experts % n == 0, (moe.n_experts, n)
     e_local = moe.n_experts // n
 
-    def local(gate_w, experts_local, x):
+    def local_dense(gate_w, experts_local, x):
         i = jax.lax.axis_index(axis)
         g = moe.gates({"gate": gate_w}, x)          # [B, S, n_experts]
         ye = jax.vmap(lambda p: moe.expert.apply(p, x))(experts_local)
@@ -181,6 +190,48 @@ def expert_parallel_moe(mesh: Mesh, moe, params, x, *, axis="model"):
         y = jnp.einsum("nbse,bsn->bse", ye.astype(jnp.float32), g_loc)
         return jax.lax.psum(y, axis).astype(x.dtype)
 
+    def local_sparse(gate_w, experts_local, x):
+        import math as _math
+
+        i = jax.lax.axis_index(axis)
+        b, s_len, e = x.shape
+        t = b * s_len
+        ne, k = moe.n_experts, moe.top_k
+        cap = min(int(_math.ceil(k * t / ne * moe.capacity_factor)), t)
+        x2 = x.reshape(t, e)
+        logits = jnp.einsum("te,ne->tn", x2.astype(jnp.float32), gate_w)
+        top, idx = jax.lax.top_k(logits, k)
+        w = jax.nn.softmax(top, axis=-1)
+        onehot = jax.nn.one_hot(idx.reshape(t * k), ne, dtype=jnp.int32)
+        pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
+                      axis=1)
+        expert = idx.reshape(t * k)
+        keep = pos < cap
+        # slots routed to THIS device's experts only
+        mine = keep & (expert >= i * e_local) \
+            & (expert < (i + 1) * e_local)
+        dst = jnp.where(mine, (expert - i * e_local) * cap + pos,
+                        e_local * cap)
+        slot = jnp.arange(t * k, dtype=jnp.int32)
+        inv = jnp.full((e_local * cap + 1,), t * k, jnp.int32) \
+            .at[dst].set(slot, unique_indices=False)
+        tok_idx = jnp.where(inv < t * k, inv // k, t)
+        x2p = jnp.concatenate([x2, jnp.zeros((1, e), x.dtype)], axis=0)
+        xe = x2p[tok_idx[:e_local * cap]]
+        ye = jax.vmap(lambda p, xb: moe.expert.apply(p, xb[None])[0])(
+            experts_local, xe.reshape(e_local, cap, e))
+        ye_flat = jnp.concatenate(
+            [ye.reshape(e_local * cap, e).astype(jnp.float32),
+             jnp.zeros((1, e), jnp.float32)], axis=0)
+        y_slot = ye_flat[dst]
+        y_slot = y_slot * jnp.where(mine, w.reshape(t * k),
+                                    0.0)[:, None]
+        y2 = jnp.sum(y_slot.reshape(t, k, e), axis=1)
+        y = y2.reshape(b, s_len, e)
+        return jax.lax.psum(y, axis).astype(x.dtype)
+
+    local = (local_sparse if getattr(moe, "capacity_factor", None)
+             is not None else local_dense)
     spec_e = jax.tree.map(
         lambda leaf: P(*(axis,) + (None,) * (leaf.ndim - 1)),
         params["experts"])

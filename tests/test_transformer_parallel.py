@@ -210,6 +210,30 @@ def test_expert_parallel_moe_grads_match():
                                    atol=5e-5)
 
 
+def test_expert_parallel_sparse_moe_matches_single_device():
+    """EP + capacity routing: each device builds buffers only for its
+    own experts; identical global routing means the same slots drop, so
+    the result (and grads) equal single-device apply_sparse exactly —
+    including a tight capacity where drops actually occur."""
+    mesh = parallel.make_mesh(data=2, model=4)
+    for cf in (4.0, 0.6):        # no-drop and with-drops regimes
+        moe = nn.MoEMLP(32, n_experts=8, ratio=2, top_k=2,
+                        capacity_factor=cf)
+        p = moe.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32))
+        ref = moe.apply(p, x)     # routes through apply_sparse
+        got = parallel.expert_parallel_moe(mesh, moe, p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"cf={cf}")
+
+    g_ep = jax.grad(lambda p: jnp.sum(
+        parallel.expert_parallel_moe(mesh, moe, p, x) ** 2))(p)
+    g_ref = jax.grad(lambda p: jnp.sum(moe.apply(p, x) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g_ep), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+
+
 def test_sequence_parallel_attention_with_window():
     # SP composes with sliding windows: offsets disable banded grids but
     # the global mask stays exact.
