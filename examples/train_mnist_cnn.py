@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--data-dir", default="data/mnist")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse ALL epochs into one XLA dispatch "
+                         "(Trainer.fit_device_fused; the bench path — "
+                         "avoids per-batch host round trips, which "
+                         "dominate on remote-tunneled TPUs)")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -52,9 +57,11 @@ def main():
     print(f"params: {model.param_count(trainer.params):,}")
 
     t0 = time.perf_counter()
-    trainer.fit_device(train_ds.images, train_ds.labels,
-                       test_ds.images, test_ds.labels, args.epochs,
-                       batch_size=args.batch_size, early_stop_acc=0.995)
+    fit = (trainer.fit_device_fused if args.fused
+           else trainer.fit_device)
+    fit(train_ds.images, train_ds.labels,
+        test_ds.images, test_ds.labels, args.epochs,
+        batch_size=args.batch_size, early_stop_acc=0.995)
     total = time.perf_counter() - t0
     trainer.metrics.plot_summary()
     n_epochs = len(trainer.metrics.epoch_times)

@@ -211,7 +211,8 @@ def test_one_shot_prefill_matches_sequential_generate():
     """prefill() fills all P cache entries in one dispatch; greedy
     generation must equal the token-at-a-time reference path exactly,
     and the prefill logits must equal the plain full forward."""
-    for kwargs in ({}, {"rope": True, "num_kv_heads": 1}):
+    for kwargs in ({}, {"rope": True, "num_kv_heads": 1},
+                   {"window": 5}):
         model = models.TinyGPT(vocab_size=12, dim=32, depth=2,
                                num_heads=2, max_seq=32, **kwargs)
         p = model.init(jax.random.PRNGKey(0))
