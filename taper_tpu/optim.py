@@ -30,6 +30,8 @@ Parity inventory:
 * ``AdamW``     — ``src/optim.rs:131-181`` (decoupled decay)
 * ``StepLR`` / ``ExponentialLR`` / ``CosineAnnealingLR`` /
   ``ReduceLROnPlateau`` — ``src/optim.rs:190-352``
+* ``Adafactor`` — beyond-reference: factored second moments for
+  large-model training (see its docstring)
 
 Non-trainable leaves (names starting with ``running_``, e.g. BatchNorm
 statistics) are masked out of every update.
@@ -256,6 +258,125 @@ class AdamW(Adam):
     """Adam with decoupled weight decay (reference ``src/optim.rs:131-181``)."""
 
     decoupled = True
+
+
+class Adafactor(Optimizer):
+    """Memory-efficient adaptive optimizer (Shazeer & Stern 2018) —
+    the TPU-era standard for large models (beyond-reference scope; the
+    reference stops at Adam/AdamW, ``src/optim.rs``).
+
+    Second-moment accumulators of rank-≥2 leaves are stored FACTORED
+    over the last two axes — a row vector + a column vector, O(r+c)
+    instead of O(r·c) — which cuts optimizer HBM by ~2× vs Adam (no
+    full ``v``, and no ``m`` by default).  Vectors/scalars keep a full
+    second moment.  Implements the paper's recommended recipe:
+
+    * β2 schedule ``1 − t^(−decay)`` (default decay 0.8),
+    * update clipping to RMS ≤ ``clip_threshold`` (d = 1.0),
+    * relative step size ``α_t = max(eps2, RMS(p)) · ρ_t`` with
+      ``ρ_t = min(lr, 1/√t)`` when ``relative_step=True`` (default;
+      ``lr`` then acts as the ρ ceiling — schedulers still work through
+      ``set_lr``), plain ``lr`` otherwise,
+    * optional first moment (``beta1 > 0``; off by default — that is
+      where the memory saving comes from), decoupled weight decay.
+    """
+
+    def __init__(self, lr: float = 1e-2, beta1: float = 0.0,
+                 decay: float = 0.8, eps1: float = 1e-30,
+                 eps2: float = 1e-3, clip_threshold: float = 1.0,
+                 weight_decay: float = 0.0, relative_step: bool = True):
+        super().__init__(lr, weight_decay)
+        self.beta1 = float(beta1)
+        self.decay = float(decay)
+        self.eps1 = float(eps1)
+        self.eps2 = float(eps2)
+        self.d = float(clip_threshold)
+        self.relative_step = bool(relative_step)
+
+    @staticmethod
+    def _factored(p) -> bool:
+        return p.ndim >= 2
+
+    def init(self, params) -> State:
+        def v_leaf(p):
+            if self._factored(p):
+                return (jnp.zeros(p.shape[:-1], jnp.float32),
+                        jnp.zeros(p.shape[:-2] + p.shape[-1:],
+                                  jnp.float32))
+            return (jnp.zeros(p.shape, jnp.float32),)
+
+        state: State = {
+            "lr": jnp.asarray(self.lr, jnp.float32),
+            "step": jnp.asarray(0, jnp.int32),
+            "v": jax.tree.map(v_leaf, params),
+            "mask": _trainable_mask(params),
+        }
+        if self.beta1 > 0.0:
+            state["m"] = jax.tree.map(jnp.zeros_like, params)
+        return state
+
+    def update(self, grads, state, params):
+        lr = state["lr"]
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        beta2 = 1.0 - tf ** (-self.decay)
+        rho = jnp.minimum(lr, 1.0 / jnp.sqrt(tf)) if self.relative_step \
+            else lr
+
+        treedef = jax.tree.structure(params)
+        leaves_p = jax.tree.leaves(params)
+        leaves_g = jax.tree.leaves(grads)
+        leaves_v = treedef.flatten_up_to(state["v"])
+        leaves_k = jax.tree.leaves(state["mask"])
+        leaves_m = (jax.tree.leaves(state["m"])
+                    if self.beta1 > 0.0 else [None] * len(leaves_p))
+
+        new_p, new_v, new_m = [], [], []
+        for p, g, v, k, m in zip(leaves_p, leaves_g, leaves_v, leaves_k,
+                                 leaves_m):
+            g = g.astype(jnp.float32)
+            g2 = g * g + self.eps1
+            if self._factored(p):
+                vr, vc = v
+                vr = beta2 * vr + (1.0 - beta2) * jnp.mean(g2, axis=-1)
+                vc = beta2 * vc + (1.0 - beta2) * jnp.mean(g2, axis=-2)
+                # rank-1 reconstruction: vhat = vr·vc / sum_rows(vr)
+                denom = jnp.mean(vr, axis=-1, keepdims=True)[..., None]
+                vhat = vr[..., :, None] * vc[..., None, :] \
+                    / jnp.maximum(denom, self.eps1)
+                v_out = (vr, vc)
+            else:
+                v_full = beta2 * v[0] + (1.0 - beta2) * g2
+                vhat = v_full
+                v_out = (v_full,)
+            u = g * jax.lax.rsqrt(jnp.maximum(vhat, self.eps1))
+            rms_u = jnp.sqrt(jnp.mean(u * u) + 1e-30)
+            u = u / jnp.maximum(1.0, rms_u / self.d)
+            if m is not None:
+                m = self.beta1 * m + (1.0 - self.beta1) * u
+                u = m
+                new_m.append(jnp.where(k > 0, m, 0.0))
+            if self.relative_step:
+                rms_p = jnp.sqrt(jnp.mean(
+                    p.astype(jnp.float32) ** 2) + 1e-30)
+                alpha = jnp.maximum(self.eps2, rms_p) * rho
+            else:
+                alpha = rho
+            p_out = p.astype(jnp.float32)
+            if self.weight_decay != 0.0:
+                p_out = p_out * (1.0 - alpha * self.weight_decay)
+            p_out = (p_out - alpha * u).astype(p.dtype)
+            new_p.append(jnp.where(k > 0, p_out, p))
+            new_v.append(v_out)
+
+        out = {**state, "step": t,
+               "v": jax.tree.unflatten(treedef, new_v)}
+        if self.beta1 > 0.0:
+            out["m"] = jax.tree.unflatten(treedef, new_m)
+        return jax.tree.unflatten(treedef, new_p), out
+
+    def zero_grad(self, grads):
+        return jax.tree.map(jnp.zeros_like, grads)
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,92 @@ def test_ema_bf16_params_move():
     assert float(s["w"][0]) > 1.005
     back = EMA.as_params(s, p)
     assert back["w"].dtype == jnp.bfloat16
+
+
+# -- Adafactor (beyond-reference: factored second moments) -------------------
+
+def test_adafactor_state_is_factored():
+    params = {"w": jnp.ones((64, 32)), "c": jnp.ones((4, 8, 16)),
+              "b": jnp.zeros((32,))}
+    opt = optim.Adafactor()
+    state = opt.init(params)
+    vr, vc = state["v"]["w"]
+    assert vr.shape == (64,) and vc.shape == (32,)     # O(r+c), not O(rc)
+    vr3, vc3 = state["v"]["c"]
+    assert vr3.shape == (4, 8) and vc3.shape == (4, 16)
+    assert state["v"]["b"][0].shape == (32,)           # full v for vectors
+    assert "m" not in state                            # no first moment
+
+
+def test_adafactor_minimizes_regression():
+    # least squares: Adafactor should drive the loss down fast
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (128, 16))
+    w_true = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    Y = X @ w_true
+    # nonzero init: the relative step size is RMS(p)-scaled, so zero
+    # params start at the eps2 floor (the paper's known cold start)
+    params = {"w": 0.1 * jax.random.normal(jax.random.PRNGKey(2),
+                                           (16, 4)),
+              "b": jnp.zeros((4,))}
+    opt = optim.Adafactor(lr=0.05)
+    state = opt.init(params)
+
+    def loss_fn(p):
+        return jnp.mean((X @ p["w"] + p["b"] - Y) ** 2)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        p, s = opt.update(g, s, p)
+        return p, s, l
+
+    losses = []
+    for _ in range(200):
+        params, state, l = step(params, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.01, (losses[0], losses[-1])
+
+
+def test_adafactor_momentum_and_frozen_leaves():
+    params = {"w": jnp.ones((8, 4)), "running_mean": jnp.ones((4,))}
+    grads = {"w": jnp.full((8, 4), 0.3), "running_mean": jnp.ones((4,))}
+    opt = optim.Adafactor(lr=0.1, beta1=0.9, relative_step=False)
+    state = opt.init(params)
+    assert "m" in state
+    new, state = opt.update(grads, state, params)
+    # frozen running stats never move
+    np.testing.assert_array_equal(np.asarray(new["running_mean"]),
+                                  np.asarray(params["running_mean"]))
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+    # clipped relative update magnitude bounded by lr * d
+    assert float(jnp.max(jnp.abs(new["w"] - params["w"]))) <= 0.1 + 1e-6
+
+
+def test_adafactor_trains_tinygpt_step():
+    from taper_tpu import models
+    from taper_tpu.data.seq import masked_token_loss, sort_task_batch
+
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adafactor(lr=0.05)
+    state = opt.init(params)
+
+    def loss_fn(params, key):
+        toks, tgts, mask = sort_task_batch(key, 16, 7)
+        return masked_token_loss(model.apply(params, toks), tgts, mask)
+
+    @jax.jit
+    def step(params, state, key):
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        params, state = opt.update(g, state, params)
+        return params, state, l
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(40):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, k)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
