@@ -112,11 +112,13 @@ class TinyGPT(Module):
 
     def decode_step(self, params, tok_t, pos, caches):
         """One token per sequence: ``tok_t`` [B] int32 at position ``pos``
-        (traced scalar).  Returns ``(logits [B, vocab], new_caches)``."""
+        (traced scalar, or a [B] vector for ragged serving — each row at
+        its own position).  Returns ``(logits [B, vocab], new_caches)``."""
         from taper_tpu.nn.transformer import block_apply_decode
         x = self.tok.apply(params["tok"], tok_t[:, None])  # [B, 1, E]
         if not self.rope:
-            x = x + self.pos.apply(params["pos"], pos)
+            pe = self.pos.apply(params["pos"], pos)
+            x = x + (pe[:, None, :] if jnp.ndim(pos) == 1 else pe)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         new_caches = []
@@ -149,15 +151,26 @@ class TinyGPT(Module):
 
     def generate(self, params, prompt, max_new: int,
                  temperature: float = 0.0, key=None,
-                 one_shot_prefill: bool = True):
+                 one_shot_prefill: bool = True, prompt_lens=None):
         """Autoregressive generation with a static-shape KV cache.
-        ``prompt``: [B, P] int32 (same length per batch row).  Greedy
-        when ``temperature == 0``.  Returns ``[B, P + max_new]`` tokens.
+        ``prompt``: [B, P] int32 (same length per batch row, unless
+        ``prompt_lens`` makes it ragged).  Greedy when
+        ``temperature == 0``.  Returns ``[B, P + max_new]`` tokens.
 
         Default path: :meth:`prefill` fills all P cache entries in one
         dispatch, then one ``lax.scan`` decodes the ``max_new`` new
         tokens.  ``one_shot_prefill=False`` keeps the token-at-a-time
-        reference path (the equality oracle for tests)."""
+        reference path (the equality oracle for tests).
+
+        **Ragged batches**: ``prompt_lens`` [B] int32 marks each row's
+        true prompt length (rows RIGHT-padded to P with any token).
+        Row r's generated tokens land at positions [L_r, L_r+max_new);
+        positions beyond stay as given.  Prefill is shared (pad-position
+        cache entries are overwritten by decode before any row can
+        attend them, since row r's mask stops at its own position)."""
+        if prompt_lens is not None:
+            return self._generate_ragged(params, prompt, max_new,
+                                         temperature, key, prompt_lens)
         b, plen = prompt.shape
         total = plen + max_new
         assert total <= self.max_seq, (total, self.max_seq)
@@ -202,4 +215,48 @@ class TinyGPT(Module):
         (tokens, _, _), _ = jax.lax.scan(
             step, (tokens, caches, key),
             jnp.arange(start, total - 1))
+        return tokens
+
+    def _generate_ragged(self, params, prompt, max_new: int,
+                         temperature, key, prompt_lens):
+        """Ragged-batch generation (see :meth:`generate`): shared
+        prefill, then per-row positions through the decode scan."""
+        b, plen = prompt.shape
+        total = plen + max_new
+        assert total <= self.max_seq, (total, self.max_seq)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        lens = jnp.asarray(prompt_lens, jnp.int32)
+        rows = jnp.arange(b)
+        tokens = jnp.concatenate(
+            [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
+
+        def sample(logits, key):
+            if temperature > 0:
+                key, sk = jax.random.split(key)
+                nxt = jax.random.categorical(sk, logits / temperature)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            return nxt.astype(jnp.int32), key
+
+        logits_all, caches = self.prefill(params, prompt,
+                                          self.init_cache(b))
+        logits0 = jnp.take_along_axis(
+            logits_all, (lens - 1)[:, None, None], axis=1)[:, 0]
+        nxt, key = sample(logits0, key)
+        tokens = tokens.at[rows, lens].set(nxt)
+
+        def step(carry, t):
+            tokens, caches, key = carry
+            pos = lens + t                                 # [B]
+            tok_t = jnp.take_along_axis(tokens, pos[:, None],
+                                        axis=1)[:, 0]
+            logits, caches = self.decode_step(params, tok_t, pos,
+                                              caches)
+            nxt, key = sample(logits, key)
+            tokens = tokens.at[rows, pos + 1].set(nxt)
+            return (tokens, caches, key), None
+
+        (tokens, _, _), _ = jax.lax.scan(
+            step, (tokens, caches, key), jnp.arange(max_new - 1))
         return tokens

@@ -257,17 +257,25 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None):
     """Single-position attention against a static-shape KV cache.
 
     ``q``: [B, H, 1, D]; caches: [B, H, Smax, D]; ``pos``: the index of
-    the current token — entries past ``pos`` are masked out.  A matvec,
-    not a matmul: XLA handles it at HBM roofline, so no Pallas here
-    (the flash kernel earns its keep on the S×S training path).
-    """
+    the current token — entries past ``pos`` are masked out.  ``pos``
+    may be a [B] vector (ragged serving: each row at its own position).
+    A matvec, not a matmul: XLA handles it at HBM roofline, so no
+    Pallas here (the flash kernel earns its keep on the S×S training
+    path)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
                    preferred_element_type=jnp.float32) * scale
     idx = jnp.arange(k_cache.shape[2])
-    mask = idx <= pos
-    if window is not None:
-        mask &= idx > pos - window
-    s = jnp.where(mask[None, None, None, :], s, -jnp.inf)
+    if jnp.ndim(pos) == 1:
+        mask = idx[None, :] <= pos[:, None]            # [B, S]
+        if window is not None:
+            mask &= idx[None, :] > pos[:, None] - window
+        mask = mask[:, None, None, :]
+    else:
+        mask = idx <= pos
+        if window is not None:
+            mask &= idx > pos - window
+        mask = mask[None, None, None, :]
+    s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(v_cache.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v_cache)
 
@@ -296,8 +304,17 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, pos, 2)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, pos, 2)
+    if jnp.ndim(pos) == 1:
+        # ragged: each row writes its cache slot at its own position
+        upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (0, p, 0)))
+        k_cache = upd(cache["k"], k, pos)
+        v_cache = upd(cache["v"], v, pos)
+    else:
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], k, pos, 2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], v, pos, 2)
     if mha.kv_groups > 1:
         # GQA: never repeat the cache (that would re-spend the HBM
         # bandwidth GQA saves) — fold the query groups into the query
@@ -385,12 +402,19 @@ def rope_angles(head_dim: int, max_seq: int, base: float = 10000.0):
 
 def apply_rope(x, cos, sin, offset=0):
     """Rotate ``x`` [B, H, S, D] by position; ``offset`` shifts the table
-    (traced ok — KV-cache decode passes the running position)."""
+    (traced ok — KV-cache decode passes the running position).  A vector
+    ``offset`` [B] gives each batch row its own position (ragged decode;
+    requires S == 1)."""
     s, half = x.shape[2], x.shape[3] // 2
-    c = jax.lax.dynamic_slice_in_dim(cos, offset, s, 0)
-    si = jax.lax.dynamic_slice_in_dim(sin, offset, s, 0)
-    c = c[None, None].astype(x.dtype)
-    si = si[None, None].astype(x.dtype)
+    if jnp.ndim(offset) == 1:
+        assert s == 1, "per-row rope offsets require single-token steps"
+        c = jnp.take(cos, offset, axis=0)[:, None, None, :]   # [B,1,1,half]
+        si = jnp.take(sin, offset, axis=0)[:, None, None, :]
+    else:
+        c = jax.lax.dynamic_slice_in_dim(cos, offset, s, 0)[None, None]
+        si = jax.lax.dynamic_slice_in_dim(sin, offset, s, 0)[None, None]
+    c = c.astype(x.dtype)
+    si = si.astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * c - x2 * si, x2 * c + x1 * si], axis=-1)
 

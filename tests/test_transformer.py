@@ -353,6 +353,32 @@ def test_tinygpt_gqa_rope_generate():
     assert out.shape == (2, 10)
 
 
+def test_ragged_generate_matches_per_row():
+    """Variable-length prompts in ONE batch (right-padded +
+    prompt_lens): each row's greedy continuation must equal generating
+    that row alone at its true length — pad positions can never leak
+    into any row's attention."""
+    for kwargs in ({}, {"rope": True, "num_kv_heads": 1, "window": 6}):
+        model = models.TinyGPT(vocab_size=12, dim=32, depth=2,
+                               num_heads=2, max_seq=32, **kwargs)
+        p = model.init(jax.random.PRNGKey(0))
+        full = jax.random.randint(jax.random.PRNGKey(1), (3, 7), 0, 12)
+        lens = jnp.array([7, 4, 2], jnp.int32)
+        # poison the pad region: result must be invariant to it
+        pad_poison = jnp.where(
+            jnp.arange(7)[None, :] < lens[:, None], full, 11)
+
+        max_new = 5
+        out = model.generate(p, pad_poison, max_new, prompt_lens=lens)
+        for r in range(3):
+            L = int(lens[r])
+            solo = model.generate(p, full[r:r + 1, :L], max_new)
+            np.testing.assert_array_equal(
+                np.asarray(out[r, :L + max_new]),
+                np.asarray(solo[0]),
+                err_msg=f"row {r} (kwargs={kwargs})")
+
+
 def test_remat_matches_plain_exactly():
     """remat=True (jax.checkpoint per block) recomputes activations in
     the backward — outputs and gradients must equal the plain model
