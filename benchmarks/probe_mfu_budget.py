@@ -70,11 +70,17 @@ def make_step(variant):
 
 
 def main():
-    cs = []
-    for v in ("full", "no-ln", "no-head", "no-attn", "sgd"):
-        step, init, consts = make_step(v)
-        cs.append(Contender(v, step, init, consts, n_hi=8, n_lo=2))
-    race(cs, rounds=3, scale=None, unit="ms")
+    # pairwise races (full vs one ablation at a time): five concurrent
+    # 170M-param states OOM the chip; the "full" program hits the
+    # compilation cache after the first pair.
+    for v in ("no-ln", "no-head", "no-attn", "sgd"):
+        cs = []
+        for name in ("full", v):
+            step, init, consts = make_step(name)
+            cs.append(Contender(name, step, init, consts,
+                                n_hi=8, n_lo=2))
+        race(cs, rounds=3, scale=None, unit="ms")
+        del cs
 
 
 if __name__ == "__main__":
