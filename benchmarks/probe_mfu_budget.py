@@ -11,6 +11,21 @@ each component (dim 1024, depth 12, S=2048, B8, bf16 trunk):
                and the head reshapes/transposes)
   sgd        — Adam -> plain SGD (prices optimizer state traffic)
 
+Measured (v5e, 85M config, full step = 160.5 ms):
+
+  no-ln    153.8 ms  -> LayerNorms ≈ 7 ms (4%)
+  no-head  149.5 ms  -> vocab logits + log_softmax + bwd ≈ 11 ms (7%)
+  no-attn   63.7 ms  -> the WHOLE MHA path ≈ 97 ms (60%): QKV/O
+                        projections (~15 ms of model matmul at GEMM
+                        rates), flash fwd+bwd kernels (~35-45 ms at
+                        their ~45 TF/s causal rate), head reshapes/
+                        transposes and bwd re-layouts (the rest)
+  sgd      161.1 ms  -> Adam update fully overlapped (≈ 0)
+
+So MFU gains would have to come from the causal flash kernels' per-
+grid-step fixed cost (see probe_attn_budget.py) and the transpose
+traffic around them — the optimizer, LN and loss are already free-ish.
+
 Run: python benchmarks/probe_mfu_budget.py
 """
 
@@ -31,7 +46,9 @@ from taper_tpu.nn import transformer as T         # noqa: E402
 
 
 def make_step(variant):
-    dim, depth, heads, vocab, b, s = 1024, 12, 16, 16384, 8, 2048
+    # 85M config: the 170M one OOMs with two contenders' params + Adam
+    # states + bwd activations resident at once on the 16 GB chip
+    dim, depth, heads, vocab, b, s = 768, 10, 12, 16384, 8, 2048
     ops.set_backend("pallas")
     model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
                            num_heads=heads, max_seq=s, rope=True,
