@@ -131,15 +131,17 @@ def bench_transformer_mfu(b=8, s=2048):
     flops use the standard 6·P·T + causal attention term —
     hardware-agnostic counting, NOT the kernels' actual
     (recompute-inflated) flops.  Config swept in r3: dim 768/depth 10
-    gave 0.313, dim 1024/depth 12 gives ~0.35 (bigger dim → the
-    un-fusable elementwise/LN/transpose HBM traffic and the causal
-    flash-attention share amortize better)."""
+    heads 12 gave 0.313; dim 1024/depth 12 heads 16 (D=64) 0.348;
+    heads 8 (**D=128**, the modern standard head dim) **0.424** — a
+    D=64 contraction only half-fills the 128-wide MXU, so the flash
+    kernels (60% of the step per probe_mfu_budget.py) run ~2× faster
+    at D=128."""
     import jax.numpy as jnp
     from benchmarks.timing import timeit_scan
     from taper_tpu import models, optim, ops
 
     ops.set_backend("pallas")          # flash attention at S=2048
-    dim, depth, heads, vocab = 1024, 12, 16, 16384
+    dim, depth, heads, vocab = 1024, 12, 8, 16384
     model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
                            num_heads=heads, max_seq=s, rope=True,
                            compute_dtype=jnp.bfloat16)
