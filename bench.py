@@ -166,8 +166,18 @@ def bench_transformer_mfu(b=8, s=2048):
     flops = 3 * (2 * n_params * tokens
                  + depth * 4 * b * s * s * dim * 0.5)
     mfu = flops / t / 197e12
+
+    # Same-session raw GEMM rate: device throughput on this host drifts
+    # ~1.7x between sessions, which would silently scale `mfu`; the
+    # peak-relative number divides the drift out.
+    m = jnp.zeros((4096, 4096), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(2), (4096, 4096),
+                          jnp.bfloat16) * 0.01
+    t_mm = timeit_scan(lambda c, w: (c + 0.5 * (c @ w)).astype(c.dtype),
+                       m, (w,), n_hi=200, n_lo=40)
+    peak = 2 * 4096 ** 3 / t_mm
     ops.set_backend("xla")
-    return mfu, t, n_params, tokens / t
+    return mfu, t, n_params, tokens / t, peak, flops / t / peak
 
 
 def main():
@@ -255,11 +265,14 @@ def main():
         print(f"[bench] cnn mfu failed: {e}", file=sys.stderr)
 
     try:
-        mfu, t_step, n_params, tok_s = bench_transformer_mfu()
+        mfu, t_step, n_params, tok_s, peak, mfu_rel = \
+            bench_transformer_mfu()
         attn["mfu"] = round(mfu, 4)
         attn["mfu_step_ms"] = round(t_step * 1e3, 1)
         attn["mfu_params_m"] = round(n_params / 1e6, 1)
         attn["mfu_tokens_per_s"] = round(tok_s)
+        attn["gemm_peak_tflops"] = round(peak / 1e12, 1)
+        attn["mfu_vs_session_peak"] = round(mfu_rel, 4)
     except Exception as e:
         print(f"[bench] transformer mfu failed: {e}", file=sys.stderr)
 

@@ -162,8 +162,9 @@ class TinyGPT(Module):
         tokens.  ``one_shot_prefill=False`` keeps the token-at-a-time
         reference path (the equality oracle for tests).
 
-        **Ragged batches**: ``prompt_lens`` [B] int32 marks each row's
-        true prompt length (rows RIGHT-padded to P with any token).
+        **Ragged batches**: ``prompt_lens`` [B] int32 (each ≥ 1) marks
+        each row's true prompt length (rows RIGHT-padded to P with any
+        token).
         Row r's generated tokens land at positions [L_r, L_r+max_new);
         positions beyond stay as given.  Prefill is shared (pad-position
         cache entries are overwritten by decode before any row can
