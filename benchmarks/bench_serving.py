@@ -118,8 +118,46 @@ def bench_prefill(plen=1024, batch=8):
     ], rounds=3, scale=batch * plen, unit="tokens/s")
 
 
+def bench_kvcache(smax=4096, batch=8):
+    """Long-context decode: f32 vs bf16 vs quantized-int8 KV cache.
+
+    Every decode step streams the WHOLE [B, H, Smax, D] cache of every
+    layer (masked attend over a static-shape cache), so at long context
+    the cache — not the weights — dominates the HBM traffic and the
+    int8 cache's 4×/2× byte saving shows up directly in tokens/s."""
+    ops.set_backend("xla")
+    dim, depth, heads, vocab = 1024, 8, 8, 4096
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    cache_mb = (batch * heads * smax * (dim // heads) * 2 * depth
+                / 2**20)
+    print(f"kvcache decode B={batch} Smax={smax} "
+          f"({model.param_count(params) / 1e6:.0f}M params; cache "
+          f"{cache_mb:.0f} MB/byte-of-dtype)", flush=True)
+
+    def step(carry, p):
+        tok, pos, caches = carry
+        logits, caches = model.decode_step(p, tok, pos, caches)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                caches)
+
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    cs = []
+    for name, kw in (("f32 cache", {"dtype": jnp.float32}),
+                     ("bf16 cache", {"dtype": jnp.bfloat16}),
+                     ("int8 cache", {"quantized": True})):
+        init = (tok0, jnp.int32(0), model.init_cache(batch, **kw))
+        cs.append(Contender(f"decode {name}", step, init, (params,),
+                            n_hi=40, n_lo=8))
+    race(cs, rounds=3, scale=batch, unit="tokens/s")
+
+
 if __name__ == "__main__":
     if "prefill" in sys.argv[1:]:
         bench_prefill()
+    elif "kvcache" in sys.argv[1:]:
+        bench_kvcache()
     else:
         main()

@@ -43,7 +43,12 @@ def main():
 
     cfgs = [(256, 256), (256, 512), (512, 512), (256, 1024),
             (512, 1024), (1024, 1024), (512, 2048)]
-    cfgs = [(bq, bk) for bq, bk in cfgs if bq <= s and bk <= s]
+    # only race configs the kernel accepts (the env override now
+    # raises on non-dividing blocks instead of silently falling
+    # back and mislabeling the row)
+    cfgs = [(bq, bk) for bq, bk in cfgs
+            if bq <= s and bk <= s and s % bq == 0 and s % bk == 0
+            and bk % bq == 0]
     print(f"B{b} H{h} S{s} D{d} {dtype.__name__} causal fwd+bwd(qkv)",
           flush=True)
     race([Contender(f"bwd blocks {bq}x{bk}", make_step(bq, bk), q, (),

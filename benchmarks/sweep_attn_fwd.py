@@ -37,7 +37,12 @@ def main():
 
     cfgs = [(256, 1024), (256, 2048), (512, 512), (512, 1024),
             (512, 2048), (1024, 1024), (512, 4096), (256, 4096)]
-    cfgs = [(bq, bk) for bq, bk in cfgs if bq <= s and bk <= s]
+    # only race configs the kernel accepts (the env override now
+    # raises on non-dividing blocks instead of silently falling
+    # back and mislabeling the row)
+    cfgs = [(bq, bk) for bq, bk in cfgs
+            if bq <= s and bk <= s and s % bq == 0 and s % bk == 0
+            and bk % bq == 0]
     print(f"B{b} H{h} S{s} D{d} {dtype.__name__} causal fwd", flush=True)
     race([Contender(f"fwd blocks {bq}x{bk}", make_fwd(bq, bk), q, (),
                     n_hi=60, n_lo=10) for bq, bk in cfgs],

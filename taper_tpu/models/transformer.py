@@ -24,6 +24,32 @@ from taper_tpu.nn.module import Module
 from taper_tpu.nn.transformer import Embedding, LayerNorm, TransformerBlock
 
 
+def _sample(logits, key, *, temperature=0.0, top_k=None, top_p=None):
+    """Next-token sampling shared by every generate path (greedy at
+    ``temperature == 0``).  ``top_k`` keeps the k highest-logit tokens;
+    ``top_p`` keeps the smallest set whose probability mass reaches p
+    (nucleus sampling; the argmax token is always kept).  Both filters
+    are static-shape mask-to-−inf transforms, jit/scan-safe.  Returns
+    ``(next_tokens int32, key)``."""
+    if temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+    logits = logits / temperature
+    if top_k is not None and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        idx = jnp.argsort(-logits, axis=-1)
+        sl = jnp.take_along_axis(logits, idx, -1)
+        probs = jax.nn.softmax(sl, axis=-1)
+        # exclusive prefix mass < p keeps the token; the first (argmax)
+        # token's prefix is 0, so it always survives
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        sl = jnp.where(keep, sl, -jnp.inf)
+        logits = jnp.take_along_axis(sl, jnp.argsort(idx, axis=-1), -1)
+    key, sk = jax.random.split(key)
+    return jax.random.categorical(sk, logits).astype(jnp.int32), key
+
+
 class TinyGPT(Module):
     """Causal LM over integer tokens ``[B, S] -> logits [B, S, vocab]``."""
 
@@ -104,10 +130,13 @@ class TinyGPT(Module):
 
     # -- serving: KV-cache autoregressive decode ---------------------------
 
-    def init_cache(self, batch: int, dtype=None):
+    def init_cache(self, batch: int, dtype=None, quantized: bool = False):
+        """``quantized=True``: int8 KV cache with per-(batch, head,
+        position) scales — 4×/2× less decode-time HBM traffic than
+        f32/bf16 caches (the dominant read at long context)."""
         from taper_tpu.nn.transformer import block_init_cache
         dt = dtype or self.compute_dtype or jnp.float32
-        return [block_init_cache(blk, batch, self.max_seq, dt)
+        return [block_init_cache(blk, batch, self.max_seq, dt, quantized)
                 for blk in self.blocks]
 
     def decode_step(self, params, tok_t, pos, caches):
@@ -151,7 +180,8 @@ class TinyGPT(Module):
 
     def generate(self, params, prompt, max_new: int,
                  temperature: float = 0.0, key=None,
-                 one_shot_prefill: bool = True, prompt_lens=None):
+                 one_shot_prefill: bool = True, prompt_lens=None,
+                 top_k=None, top_p=None, quantized_cache: bool = False):
         """Autoregressive generation with a static-shape KV cache.
         ``prompt``: [B, P] int32 (same length per batch row, unless
         ``prompt_lens`` makes it ragged).  Greedy when
@@ -168,10 +198,21 @@ class TinyGPT(Module):
         Row r's generated tokens land at positions [L_r, L_r+max_new);
         positions beyond stay as given.  Prefill is shared (pad-position
         cache entries are overwritten by decode before any row can
-        attend them, since row r's mask stops at its own position)."""
+        attend them, since row r's mask stops at its own position).
+        Ragged batches always use one-shot prefill; the sequential
+        oracle for them is running each row alone through the non-ragged
+        ``one_shot_prefill=False`` path (what the tests do)."""
+        if max_new <= 0:
+            return prompt
         if prompt_lens is not None:
+            if not one_shot_prefill:
+                raise ValueError(
+                    "ragged generation (prompt_lens=...) always uses "
+                    "one-shot prefill; for a sequential oracle run each "
+                    "row separately with one_shot_prefill=False")
             return self._generate_ragged(params, prompt, max_new,
-                                         temperature, key, prompt_lens)
+                                         temperature, key, prompt_lens,
+                                         top_k, top_p, quantized_cache)
         b, plen = prompt.shape
         total = plen + max_new
         assert total <= self.max_seq, (total, self.max_seq)
@@ -179,15 +220,9 @@ class TinyGPT(Module):
             key = jax.random.PRNGKey(0)
         tokens = jnp.concatenate(
             [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
-        caches = self.init_cache(b)
-
-        def sample(logits, key):
-            if temperature > 0:
-                key, sk = jax.random.split(key)
-                nxt = jax.random.categorical(sk, logits / temperature)
-            else:
-                nxt = jnp.argmax(logits, axis=-1)
-            return nxt.astype(jnp.int32), key
+        caches = self.init_cache(b, quantized=quantized_cache)
+        sample = functools.partial(_sample, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
 
         if one_shot_prefill:
             logits_all, caches = self.prefill(params, prompt, caches)
@@ -219,7 +254,9 @@ class TinyGPT(Module):
         return tokens
 
     def _generate_ragged(self, params, prompt, max_new: int,
-                         temperature, key, prompt_lens):
+                         temperature, key, prompt_lens,
+                         top_k=None, top_p=None,
+                         quantized_cache: bool = False):
         """Ragged-batch generation (see :meth:`generate`): shared
         prefill, then per-row positions through the decode scan."""
         b, plen = prompt.shape
@@ -231,17 +268,11 @@ class TinyGPT(Module):
         rows = jnp.arange(b)
         tokens = jnp.concatenate(
             [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
+        sample = functools.partial(_sample, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
 
-        def sample(logits, key):
-            if temperature > 0:
-                key, sk = jax.random.split(key)
-                nxt = jax.random.categorical(sk, logits / temperature)
-            else:
-                nxt = jnp.argmax(logits, axis=-1)
-            return nxt.astype(jnp.int32), key
-
-        logits_all, caches = self.prefill(params, prompt,
-                                          self.init_cache(b))
+        logits_all, caches = self.prefill(
+            params, prompt, self.init_cache(b, quantized=quantized_cache))
         logits0 = jnp.take_along_axis(
             logits_all, (lens - 1)[:, None, None], axis=1)[:, 0]
         nxt, key = sample(logits0, key)

@@ -253,7 +253,8 @@ class TransformerBlock(Module):
 # KV-cache decode path (serving)
 # ---------------------------------------------------------------------------
 
-def _decode_attention(q, k_cache, v_cache, pos, scale, window=None):
+def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
+                      k_scale=None, v_scale=None):
     """Single-position attention against a static-shape KV cache.
 
     ``q``: [B, H, 1, D]; caches: [B, H, Smax, D]; ``pos``: the index of
@@ -261,9 +262,22 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None):
     may be a [B] vector (ragged serving: each row at its own position).
     A matvec, not a matmul: XLA handles it at HBM roofline, so no
     Pallas here (the flash kernel earns its keep on the S×S training
-    path)."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+    path).
+
+    **Quantized caches** (``k_scale``/``v_scale`` [B, H, Smax] given):
+    caches hold int8 rows with one symmetric scale per (batch, head,
+    position); the int8→f32 convert fuses into the dot's HBM read, so
+    the decode step reads a quarter (vs f32) / half (vs bf16) of the
+    cache bytes — the dominant traffic at long context.  The
+    per-position k scale folds into the scores AFTER the dot; the v
+    scale folds into the softmax weights BEFORE the dot."""
+    kc, qq = k_cache, q
+    if k_scale is not None:
+        kc, qq = k_cache.astype(jnp.float32), q.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qq, kc,
                    preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        s = s * k_scale[:, :, None, :]
     idx = jnp.arange(k_cache.shape[2])
     if jnp.ndim(pos) == 1:
         mask = idx[None, :] <= pos[:, None]            # [B, S]
@@ -276,14 +290,39 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None):
             mask &= idx > pos - window
         mask = mask[None, None, None, :]
     s = jnp.where(mask, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1).astype(v_cache.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale[:, :, None, :]
+        return jnp.einsum("bhqk,bhkd->bhqd", p,
+                          v_cache.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    p = p.astype(v_cache.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v_cache)
 
 
+def kv_quantize(x):
+    """Symmetric int8 row quantization for KV cache entries: one scale
+    per (batch, head, position), amax over the head dim.  Returns
+    ``(int8 rows, f32 scales [..., :-1 dims])``."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(xf / scale[..., None])
+    return q.astype(jnp.int8), scale
+
+
 def mha_init_cache(mha: MultiHeadAttention, batch: int, max_seq: int,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, quantized: bool = False):
+    """``quantized=True``: int8 rows + one f32 scale per (batch, head,
+    position) — 4×/2× less decode-time cache traffic than f32/bf16
+    (see :func:`_decode_attention`); ``dtype`` is then ignored."""
     kvh = getattr(mha, "num_kv_heads", mha.num_heads)
     shape = (batch, kvh, max_seq, mha.head_dim)
+    if quantized:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -304,31 +343,53 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
+    quantized = "k_scale" in cache
+    if quantized:
+        k, k_sc = kv_quantize(k)                     # [B,kvh,1,D],[B,kvh,1]
+        v, v_sc = kv_quantize(v)
     if jnp.ndim(pos) == 1:
         # ragged: each row writes its cache slot at its own position
         upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
             c, u, (0, p, 0)))
-        k_cache = upd(cache["k"], k, pos)
-        v_cache = upd(cache["v"], v, pos)
+        k_cache = upd(cache["k"], k.astype(cache["k"].dtype), pos)
+        v_cache = upd(cache["v"], v.astype(cache["v"].dtype), pos)
+        if quantized:
+            upd2 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                c, u, (0, p)))
+            new_cache = {"k": k_cache, "v": v_cache,
+                         "k_scale": upd2(cache["k_scale"], k_sc, pos),
+                         "v_scale": upd2(cache["v_scale"], v_sc, pos)}
     else:
         k_cache = jax.lax.dynamic_update_slice_in_dim(
-            cache["k"], k, pos, 2)
+            cache["k"], k.astype(cache["k"].dtype), pos, 2)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
-            cache["v"], v, pos, 2)
+            cache["v"], v.astype(cache["v"].dtype), pos, 2)
+        if quantized:
+            new_cache = {
+                "k": k_cache, "v": v_cache,
+                "k_scale": jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_scale"], k_sc, pos, 2),
+                "v_scale": jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_scale"], v_sc, pos, 2)}
+    if not quantized:
+        new_cache = {"k": k_cache, "v": v_cache}
+    scales = ({"k_scale": new_cache["k_scale"],
+               "v_scale": new_cache["v_scale"]} if quantized else {})
     if mha.kv_groups > 1:
         # GQA: never repeat the cache (that would re-spend the HBM
         # bandwidth GQA saves) — fold the query groups into the query
         # dim instead: [B, kvh, groups, D] against the kv-sized cache.
         qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
         o = _decode_attention(qg, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5, mha.window)
+                              mha.head_dim ** -0.5, mha.window, **scales)
         o2 = o.reshape(b, e)
     else:
         o = _decode_attention(q, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5, mha.window)
+                              mha.head_dim ** -0.5, mha.window, **scales)
         o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
+    o2 = o2.astype(x2.dtype)
     y = _proj(o2, params["wo"], params.get("bo"))
-    return y.reshape(b, 1, e), {"k": k_cache, "v": v_cache}
+    return y.reshape(b, 1, e), new_cache
 
 
 def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
@@ -352,22 +413,42 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(
-        cache["k"], k.astype(cache["k"].dtype), 0, 2)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(
-        cache["v"], v.astype(cache["v"].dtype), 0, 2)
+    if "k_scale" in cache:
+        # quantized cache: the prefill attention itself still runs on
+        # the full-precision K/V from this pass; only the STORED rows
+        # are int8.  Quantization is per position, so prefill-filled and
+        # sequentially-filled caches agree to within one quantization
+        # step (not bit-exactly: the one-GEMM prefill projections and
+        # the per-step matvecs differ in the last ulp).
+        kq, k_sc = kv_quantize(k)
+        vq, v_sc = kv_quantize(v)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], kq, 0, 2),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], vq, 0, 2),
+            "k_scale": jax.lax.dynamic_update_slice_in_dim(
+                cache["k_scale"], k_sc, 0, 2),
+            "v_scale": jax.lax.dynamic_update_slice_in_dim(
+                cache["v_scale"], v_sc, 0, 2)}
+    else:
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k.astype(cache["k"].dtype), 0, 2),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v.astype(cache["v"].dtype), 0, 2)}
     if mha.kv_groups > 1:
         k = jnp.repeat(k, mha.kv_groups, axis=1)
         v = jnp.repeat(v, mha.kv_groups, axis=1)
     o = ops.attention(q, k, v, causal=True, window=mha.window)
     o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
     y = _proj(o2, params["wo"], params.get("bo"))
-    return y.reshape(b, s, e), {"k": k_cache, "v": v_cache}
+    return y.reshape(b, s, e), new_cache
 
 
 def block_init_cache(blk: TransformerBlock, batch: int, max_seq: int,
-                     dtype=jnp.float32):
-    return mha_init_cache(blk.attn, batch, max_seq, dtype)
+                     dtype=jnp.float32, quantized: bool = False):
+    return mha_init_cache(blk.attn, batch, max_seq, dtype, quantized)
 
 
 def block_apply_prefill(blk: TransformerBlock, params, x, cache):
@@ -505,43 +586,85 @@ class MoEMLP(Module):
         the unavoidable scatter-add then appears only once, in the
         gather's VJP (measured v5e, B8 S2048 dim512 n8k2: 1283 µs vs
         2175 for the row-scatter form; dense-8 3483, ideal-2 794).
-        Everything is static-shape and fully differentiable."""
-        import math as _math
+        Everything is static-shape and fully differentiable.
 
+        The routing and dispatch math lives in :func:`moe_sparse_routing`
+        / :func:`moe_sparse_dispatch`, SHARED with the expert-parallel
+        path (``parallel.expert_parallel_moe``) so the two can never
+        drift apart — EP equality depends on identical global routing."""
         b, s_len, e = x.shape
         t = b * s_len
         n, k = self.n_experts, self.top_k
-        cap = int(_math.ceil(k * t / n * self.capacity_factor))
-        cap = min(cap, t)                   # an expert can't see >T tokens
+        cap = moe_capacity(t, n, k, self.capacity_factor)
         x2 = x.reshape(t, e)
-
-        logits = jnp.einsum("te,ne->tn", x2.astype(jnp.float32),
-                            params["gate"])
-        top, idx = jax.lax.top_k(logits, k)          # [T, k]
-        w = jax.nn.softmax(top, axis=-1)             # == renorm'd gates
-
-        # position of each (token, slot) within its expert's buffer:
-        # exclusive running count of that expert over token-major order
-        onehot = jax.nn.one_hot(idx.reshape(t * k), n, dtype=jnp.int32)
-        pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
-                      axis=1)                        # [T·k]
-        expert = idx.reshape(t * k)
-        keep = pos < cap
-        dst = jnp.where(keep, expert * cap + pos, n * cap)  # trash row
-
-        # inverse permutation: which slot fills buffer position (e, c)?
-        slot = jnp.arange(t * k, dtype=jnp.int32)
-        inv = jnp.full((n * cap + 1,), t * k, jnp.int32).at[dst].set(
-            slot, unique_indices=False)
-        tok_idx = jnp.where(inv < t * k, inv // k, t)   # sentinel -> 0-row
-        x2p = jnp.concatenate([x2, jnp.zeros((1, e), x.dtype)], axis=0)
-        xe = x2p[tok_idx[:n * cap]]
-        ye = jax.vmap(lambda p, xb: self.expert.apply(p, xb[None])[0])(
-            params["experts"], xe.reshape(n, cap, e))
-        ye_flat = jnp.concatenate(
-            [ye.reshape(n * cap, e),
-             jnp.zeros((1, e), ye.dtype)], axis=0)
-        y_slot = ye_flat[dst].astype(jnp.float32)    # dropped → 0
-        y_slot = y_slot * jnp.where(keep, w.reshape(t * k), 0.0)[:, None]
-        y2 = jnp.sum(y_slot.reshape(t, k, e), axis=1)
+        w, expert, pos, keep = moe_sparse_routing(
+            params["gate"], x2, n, k, cap)
+        y2 = moe_sparse_dispatch(
+            x2, expert, pos, keep, w, cap, n, 0,
+            self.expert.apply, params["experts"])
         return y2.reshape(b, s_len, e).astype(x.dtype)
+
+
+def moe_capacity(t: int, n_experts: int, top_k: int,
+                 capacity_factor: float) -> int:
+    """Static per-expert buffer size ``C = ceil(top_k·T/n · f)``,
+    clipped at T (an expert can't see more than every token)."""
+    import math as _math
+
+    return min(int(_math.ceil(top_k * t / n_experts * capacity_factor)), t)
+
+
+def moe_sparse_routing(gate_w, x2, n_experts: int, top_k: int, cap: int):
+    """GLOBAL routing decisions for capacity-based sparse MoE dispatch —
+    the single source shared by :meth:`MoEMLP.apply_sparse` and the
+    expert-parallel path (``parallel.expert_parallel_moe``), which must
+    stay bit-identical for EP-vs-single-device equality (identical
+    routing → the same slots overflow and drop on every device).
+
+    ``x2``: [T, E] tokens.  Returns ``(w [T, k], expert [T·k],
+    pos [T·k], keep [T·k])``: renormalized top-k gate weights, each
+    slot's expert id, its position within that expert's buffer
+    (exclusive running count in token-major order), and whether it fits
+    under ``cap``."""
+    t = x2.shape[0]
+    logits = jnp.einsum("te,ne->tn", x2.astype(jnp.float32), gate_w)
+    top, idx = jax.lax.top_k(logits, top_k)          # [T, k]
+    w = jax.nn.softmax(top, axis=-1)                 # == renorm'd gates
+    onehot = jax.nn.one_hot(idx.reshape(t * top_k), n_experts,
+                            dtype=jnp.int32)
+    pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
+                  axis=1)                            # [T·k]
+    expert = idx.reshape(t * top_k)
+    keep = pos < cap
+    return w, expert, pos, keep
+
+
+def moe_sparse_dispatch(x2, expert, pos, mine, w, cap: int,
+                        n_local: int, lo: int, expert_apply,
+                        experts_params):
+    """Inverse-permutation gather dispatch for the expert range
+    ``[lo, lo + n_local)`` (the whole model: ``lo=0, n_local=n``; an EP
+    device: its local shard): returns this range's weighted
+    contributions ``y2 [T, E]`` (f32; other ranges' slots contribute 0,
+    so EP devices just psum).  ``mine`` masks the slots this range
+    processes (capacity-kept AND expert-owned)."""
+    t, e = x2.shape
+    tk = expert.shape[0]
+    k = tk // t
+    dst = jnp.where(mine, (expert - lo) * cap + pos,
+                    n_local * cap)                   # trash row
+    # inverse permutation: which slot fills buffer position (e, c)?
+    slot = jnp.arange(tk, dtype=jnp.int32)
+    inv = jnp.full((n_local * cap + 1,), tk, jnp.int32).at[dst].set(
+        slot, unique_indices=False)
+    tok_idx = jnp.where(inv < tk, inv // k, t)       # sentinel -> 0-row
+    x2p = jnp.concatenate([x2, jnp.zeros((1, e), x2.dtype)], axis=0)
+    xe = x2p[tok_idx[:n_local * cap]]
+    ye = jax.vmap(lambda p, xb: expert_apply(p, xb[None])[0])(
+        experts_params, xe.reshape(n_local, cap, e))
+    ye_flat = jnp.concatenate(
+        [ye.reshape(n_local * cap, e),
+         jnp.zeros((1, e), ye.dtype)], axis=0)
+    y_slot = ye_flat[dst].astype(jnp.float32)        # dropped → 0
+    y_slot = y_slot * jnp.where(mine, w.reshape(tk), 0.0)[:, None]
+    return jnp.sum(y_slot.reshape(t, k, e), axis=1)

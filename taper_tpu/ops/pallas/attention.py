@@ -96,8 +96,14 @@ def _blocks(sq: int, sk: int, window=None):
     if ov:
         bq, bk = (int(x) for x in ov.split(","))
         bq, bk = min(bq, sq), min(bk, sk)
-        if sq % bq == 0 and sk % bk == 0 and bk % bq == 0:
-            return bq, bk
+        if not (sq % bq == 0 and sk % bk == 0 and bk % bq == 0):
+            # loud, not a silent default fallback — a sweep row would
+            # otherwise report the wrong config's time
+            raise ValueError(
+                f"TAPER_ATTN_FWD_BLOCKS={ov!r} invalid for Sq={sq}, "
+                f"Sk={sk}: need sq%bq==0, sk%bk==0, bk%bq==0 "
+                f"(after clipping to ({bq}, {bk}))")
+        return bq, bk
     def best(s, caps):
         for c in caps:
             if s % c == 0:
@@ -132,8 +138,12 @@ def _blocks_bwd(sq, sk, window=None):
     if ov:
         bq, bk = (int(x) for x in ov.split(","))
         bq, bk = min(bq, sq), min(bk, sk)
-        if sq % bq == 0 and sk % bk == 0 and bk % bq == 0:
-            return bq, bk
+        if not (sq % bq == 0 and sk % bk == 0 and bk % bq == 0):
+            raise ValueError(
+                f"TAPER_ATTN_BWD_BLOCKS={ov!r} invalid for Sq={sq}, "
+                f"Sk={sk}: need sq%bq==0, sk%bk==0, bk%bq==0 "
+                f"(after clipping to ({bq}, {bk}))")
+        return bq, bk
     def best(s, caps):
         for c in caps:
             if s % c == 0:

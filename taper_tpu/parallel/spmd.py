@@ -191,42 +191,29 @@ def expert_parallel_moe(mesh: Mesh, moe, params, x, *, axis="model"):
         return jax.lax.psum(y, axis).astype(x.dtype)
 
     def local_sparse(gate_w, experts_local, x):
-        import math as _math
+        # routing/dispatch math is SHARED with MoEMLP.apply_sparse
+        # (nn.transformer.moe_sparse_*) — bit-identical global routing
+        # is what makes EP equal the single-device path (the same slots
+        # overflow and drop everywhere); only the expert-ownership
+        # filter differs here.
+        from taper_tpu.nn.transformer import (moe_capacity,
+                                              moe_sparse_dispatch,
+                                              moe_sparse_routing)
 
         i = jax.lax.axis_index(axis)
         b, s_len, e = x.shape
         t = b * s_len
-        ne, k = moe.n_experts, moe.top_k
-        cap = min(int(_math.ceil(k * t / ne * moe.capacity_factor)), t)
+        cap = moe_capacity(t, moe.n_experts, moe.top_k,
+                           moe.capacity_factor)
         x2 = x.reshape(t, e)
-        logits = jnp.einsum("te,ne->tn", x2.astype(jnp.float32), gate_w)
-        top, idx = jax.lax.top_k(logits, k)
-        w = jax.nn.softmax(top, axis=-1)
-        onehot = jax.nn.one_hot(idx.reshape(t * k), ne, dtype=jnp.int32)
-        pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
-                      axis=1)
-        expert = idx.reshape(t * k)
-        keep = pos < cap
+        w, expert, pos, keep = moe_sparse_routing(
+            gate_w, x2, moe.n_experts, moe.top_k, cap)
         # slots routed to THIS device's experts only
         mine = keep & (expert >= i * e_local) \
             & (expert < (i + 1) * e_local)
-        dst = jnp.where(mine, (expert - i * e_local) * cap + pos,
-                        e_local * cap)
-        slot = jnp.arange(t * k, dtype=jnp.int32)
-        inv = jnp.full((e_local * cap + 1,), t * k, jnp.int32) \
-            .at[dst].set(slot, unique_indices=False)
-        tok_idx = jnp.where(inv < t * k, inv // k, t)
-        x2p = jnp.concatenate([x2, jnp.zeros((1, e), x.dtype)], axis=0)
-        xe = x2p[tok_idx[:e_local * cap]]
-        ye = jax.vmap(lambda p, xb: moe.expert.apply(p, xb[None])[0])(
-            experts_local, xe.reshape(e_local, cap, e))
-        ye_flat = jnp.concatenate(
-            [ye.reshape(e_local * cap, e).astype(jnp.float32),
-             jnp.zeros((1, e), jnp.float32)], axis=0)
-        y_slot = ye_flat[dst]
-        y_slot = y_slot * jnp.where(mine, w.reshape(t * k),
-                                    0.0)[:, None]
-        y2 = jnp.sum(y_slot.reshape(t, k, e), axis=1)
+        y2 = moe_sparse_dispatch(
+            x2, expert, pos, mine, w, cap, e_local, i * e_local,
+            moe.expert.apply, experts_local)
         y = y2.reshape(b, s_len, e)
         return jax.lax.psum(y, axis).astype(x.dtype)
 

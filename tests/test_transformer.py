@@ -237,6 +237,110 @@ def test_one_shot_prefill_matches_sequential_generate():
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
 
 
+def test_generate_max_new_zero_returns_prompt():
+    """max_new=0 must return the prompt untouched on BOTH paths — the
+    one-shot-prefill write at position P would otherwise clamp to P-1
+    and overwrite the last prompt token."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    for one_shot in (True, False):
+        out = model.generate(p, prompt, 0, one_shot_prefill=one_shot)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(prompt))
+
+
+def test_quantized_kv_cache_prefill_matches_sequential_fill():
+    """int8 cache: prefill-filled and sequentially-filled caches must
+    agree after dequantization to within one quantization step (the
+    projections themselves differ in the last ulp between the one-GEMM
+    prefill and the per-step matvecs, which can flip an int8 rounding —
+    so bit-exact int rows are NOT guaranteed, but values are)."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=16, rope=True, num_kv_heads=1)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, 12)
+    _, pre = model.prefill(p, prompt, model.init_cache(2, quantized=True))
+    seq = model.init_cache(2, quantized=True)
+    for t in range(7):
+        _, seq = model.decode_step(p, prompt[:, t], t, seq)
+    for c1, c2 in zip(pre, seq):
+        for rows, scales in (("k", "k_scale"), ("v", "v_scale")):
+            d1 = (np.asarray(c1[rows][:, :, :7], np.float32)
+                  * np.asarray(c1[scales][:, :, :7])[..., None])
+            d2 = (np.asarray(c2[rows][:, :, :7], np.float32)
+                  * np.asarray(c2[scales][:, :, :7])[..., None])
+            step = np.asarray(c1[scales][:, :, :7]).max()
+            np.testing.assert_allclose(d1, d2, atol=1.5 * step,
+                                       err_msg=rows)
+
+
+def test_quantized_kv_cache_decode_close_to_exact():
+    """Decode logits through an int8 cache stay close to the f32-cache
+    logits (per-row symmetric int8 keeps ~0.4% rms error on K/V)."""
+    model = models.TinyGPT(vocab_size=32, dim=64, depth=2, num_heads=4,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 0, 32)
+    _, exact = model.prefill(p, prompt, model.init_cache(2))
+    _, quant = model.prefill(p, prompt,
+                             model.init_cache(2, quantized=True))
+    tok = prompt[:, -1]
+    lg_e, _ = model.decode_step(p, tok, 7, exact)
+    lg_q, _ = model.decode_step(p, tok, 7, quant)
+    err = np.abs(np.asarray(lg_q) - np.asarray(lg_e)).max()
+    spread = np.asarray(lg_e).max() - np.asarray(lg_e).min()
+    assert err < 0.05 * max(spread, 1.0), (err, spread)
+    # end-to-end greedy generation runs and preserves the prompt
+    out = model.generate(p, prompt, 5, quantized_cache=True)
+    np.testing.assert_array_equal(np.asarray(out[:, :7]),
+                                  np.asarray(prompt))
+    # ragged path accepts the quantized cache too
+    out_r = model.generate(p, prompt, 3, quantized_cache=True,
+                           prompt_lens=jnp.array([4, 7]))
+    np.testing.assert_array_equal(np.asarray(out_r[:, :4]),
+                                  np.asarray(prompt[:, :4]))
+
+
+def test_sample_top_k_top_p_filters():
+    from taper_tpu.models.transformer import _sample
+
+    logits = jnp.array([[2.0, 1.0, 0.5, -1.0, -3.0]])
+    key = jax.random.PRNGKey(0)
+    # top_k=1 and tiny top_p are argmax regardless of key
+    for kwargs in ({"top_k": 1}, {"top_p": 1e-6}):
+        for seed in range(5):
+            nxt, _ = _sample(logits, jax.random.PRNGKey(seed),
+                             temperature=1.0, **kwargs)
+            assert int(nxt[0]) == 0, kwargs
+    # permissive filters reproduce plain categorical exactly (same key)
+    plain, _ = _sample(logits, key, temperature=1.0)
+    loose, _ = _sample(logits, key, temperature=1.0, top_k=5, top_p=1.0)
+    assert int(plain[0]) == int(loose[0])
+    # top_k=3 never samples outside the top 3
+    draws = jax.vmap(lambda k: _sample(logits, k, temperature=2.0,
+                                       top_k=3)[0][0])(
+        jax.random.split(jax.random.PRNGKey(1), 200))
+    assert set(np.asarray(draws).tolist()) <= {0, 1, 2}
+    # top_p=0.8 keeps only the nucleus {0, 1} (probs ~0.59, 0.22)
+    draws = jax.vmap(lambda k: _sample(logits, k, temperature=1.0,
+                                       top_p=0.8)[0][0])(
+        jax.random.split(jax.random.PRNGKey(2), 200))
+    assert set(np.asarray(draws).tolist()) <= {0, 1}
+
+
+def test_ragged_generate_rejects_sequential_oracle_flag():
+    """prompt_lens always uses one-shot prefill; asking for the
+    sequential path must be a loud error, not a silent ignore."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    with pytest.raises(ValueError, match="one-shot prefill"):
+        model.generate(p, prompt, 4, one_shot_prefill=False,
+                       prompt_lens=jnp.array([3, 6]))
+
+
 def test_tinygpt_ptq_int8_serving():
     from taper_tpu.quantization import ptq
     from taper_tpu.quantization.config import QuantizationConfig
