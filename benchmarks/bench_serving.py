@@ -154,10 +154,129 @@ def bench_kvcache(smax=4096, batch=8):
     race(cs, rounds=3, scale=batch, unit="tokens/s")
 
 
+def bench_speculative(hi=192, lo=48, plen=64):
+    """Speculative greedy decoding vs plain decode on a TRAINED
+    target/draft byte-LM pair (training both on the repo's checked-in
+    markdown makes the acceptance rate a real property of two models
+    that genuinely agree, not a self-draft ceiling).
+
+    Timing: whole-generation difference — t(max_new=hi) − t(max_new=lo)
+    over (hi − lo) tokens cancels prefill, compile and tunnel constants
+    (see timing.py).  Reports tokens/s per variant plus the measured
+    mean accepted length per verify round."""
+    import pathlib
+    import time
+
+    import numpy as np
+
+    ops.set_backend("xla")
+    parts = [pathlib.Path(n).read_bytes()
+             for n in ("README.md", "PARITY.md", "SURVEY.md", "ROUND2.md")
+             if pathlib.Path(n).exists()]
+    corpus = np.frombuffer(b"\n\n".join(parts), np.uint8).astype(np.int32)
+    assert len(corpus) > 20_000, "run from the repo root"
+    c = jnp.asarray(corpus)
+
+    smax = plen + hi + 16
+    target = models.TinyGPT(vocab_size=256, dim=512, depth=6,
+                            num_heads=8, max_seq=smax, rope=True)
+    draft = models.TinyGPT(vocab_size=256, dim=128, depth=2,
+                           num_heads=4, max_seq=smax, rope=True)
+
+    from taper_tpu import optim
+
+    def train(model, steps, lr=1e-3, batch=32, seq=128):
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optim.Adam(lr)
+        state = opt.init(params)
+
+        def loss_fn(p, key):
+            starts = jax.random.randint(key, (batch,), 0,
+                                        c.shape[0] - seq - 1)
+            w = jnp.take(c, starts[:, None] + jnp.arange(seq + 1), axis=0)
+            logits = model.apply(p, w[:, :-1])
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(logp, w[:, 1:, None],
+                                                 axis=-1))
+
+        def body(carry, _):
+            p, s, key = carry
+            key, k = jax.random.split(key)
+            l, g = jax.value_and_grad(loss_fn)(p, k)
+            p, s = opt.update(g, s, p)
+            return (p, s, key), l
+
+        (params, _, _), losses = jax.jit(
+            lambda p, s, k: jax.lax.scan(body, (p, s, k), None,
+                                         length=steps))(
+            params, state, jax.random.PRNGKey(1))
+        print(f"  trained {model.param_count(params)/1e6:.1f}M params, "
+              f"final loss {float(losses[-1]):.3f} nats/byte", flush=True)
+        return params
+
+    print("training target (512x6) and draft (128x2) byte LMs ...",
+          flush=True)
+    pt = train(target, 1200)
+    pd = train(draft, 1200)
+
+    for batch in (1, 4):
+        start = int(len(corpus) * 0.92)
+        prompts = np.stack([corpus[start + i * 97:
+                                   start + i * 97 + plen]
+                            for i in range(batch)])
+        pr = jnp.asarray(prompts)
+
+        jgen = jax.jit(lambda p, q, n: target.generate(p, q, n),
+                       static_argnums=2)
+        jspec = jax.jit(
+            lambda p, d, q, n, g: target.speculative_generate(
+                p, draft, d, q, n, gamma=g),
+            static_argnums=(3, 4))
+
+        def t_run(fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            float(jnp.sum(out[0][:1]))
+            return time.perf_counter() - t0
+
+        variants = [("plain greedy decode",
+                     lambda n: t_run(jgen, pt, pr, n))]
+        for g in (2, 4, 6):
+            variants.append((f"speculative γ={g}",
+                             (lambda gg: lambda n: t_run(
+                                 jspec, pt, pd, pr, n, gg))(g)))
+            _, st = target.speculative_generate(
+                pt, draft, pd, pr, hi, gamma=g, return_stats=True)
+            print(f"  B={batch} γ={g}: {float(st['tokens_per_round']):.2f}"
+                  f" tokens accepted/round "
+                  f"({int(st['rounds'])} rounds for {hi} tokens)",
+                  flush=True)
+
+        for _, f in variants:          # compile both lengths
+            f(lo), f(hi)
+        times = {name: [1e9, 1e9] for name, _ in variants}
+        for _ in range(3):             # interleaved (device drift)
+            for name, f in variants:
+                times[name][0] = min(times[name][0], f(lo))
+                times[name][1] = min(times[name][1], f(hi))
+        base = None
+        for name, _ in variants:
+            t_lo, t_hi = times[name]
+            per_tok = max(t_hi - t_lo, 1e-9) / (hi - lo)
+            tps = batch / per_tok
+            if base is None:
+                base = tps
+            print(f"  B={batch} {name:24s} {tps:9.1f} tokens/s "
+                  f"({per_tok*1e3:.2f} ms/tok, {tps/base:.2f}x)",
+                  flush=True)
+
+
 if __name__ == "__main__":
     if "prefill" in sys.argv[1:]:
         bench_prefill()
     elif "kvcache" in sys.argv[1:]:
         bench_kvcache()
+    elif "speculative" in sys.argv[1:]:
+        bench_speculative()
     else:
         main()

@@ -157,6 +157,27 @@ class TinyGPT(Module):
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         return self._logits(params, x)[:, 0], new_caches
 
+    def decode_chunk(self, params, toks, pos, caches):
+        """Multi-token cache-backed step: ``toks`` [B, C] at positions
+        [pos, pos+C) (traced scalar ``pos``).  Returns
+        ``(logits [B, C, vocab], new_caches)``.  The speculative-decoding
+        verifier: the target model scores a γ-token draft in one
+        dispatch instead of γ sequential decode steps."""
+        from taper_tpu.nn.transformer import block_apply_chunk
+        b, c = toks.shape
+        x = self.tok.apply(params["tok"], toks)
+        if not self.rope:
+            x = x + self.pos.apply(params["pos"],
+                                   pos + jnp.arange(c))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        new_caches = []
+        for blk, bp, ca in zip(self.blocks, params["blocks"], caches):
+            x, ca = block_apply_chunk(blk, bp, x, ca, pos)
+            new_caches.append(ca)
+        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
+        return self._logits(params, x), new_caches
+
     def prefill(self, params, prompt, caches):
         """Process the whole prompt ``[B, P]`` in ONE forward (full flash
         attention) and fill cache positions [0, P) of every layer in a
@@ -252,6 +273,100 @@ class TinyGPT(Module):
             step, (tokens, caches, key),
             jnp.arange(start, total - 1))
         return tokens
+
+    def speculative_generate(self, params, draft_model, draft_params,
+                             prompt, max_new: int, gamma: int = 4,
+                             quantized_cache: bool = False,
+                             return_stats: bool = False):
+        """Speculative (draft-verify) greedy decoding: a small draft
+        model proposes ``gamma`` tokens autoregressively, then THIS
+        (target) model scores all of them in one :meth:`decode_chunk`
+        dispatch; the longest prefix agreeing with the target's greedy
+        choice is accepted, plus one target token (the correction where
+        the draft diverged, or a bonus token when all γ match).
+
+        Output is EXACTLY the target model's own greedy decode — the
+        draft only changes how many sequential target dispatches it
+        takes.  Decode is HBM-bound (one full weight + cache read per
+        step), so scoring γ+1 positions per target pass costs barely
+        more than one and the wall-clock win ≈ mean accepted length.
+
+        Batched: rows advance in lockstep at the MINIMUM acceptance
+        across the batch (never wrong, only conservative — a row whose
+        draft matched further simply re-derives the same tokens next
+        round).  Greedy only (temperature-0); sampled speculative
+        decoding needs the rejection-sampling scheme, not implemented.
+
+        Returns ``[B, P + max_new]`` tokens (``return_stats=True``: also
+        a dict with the target-dispatch count ``rounds`` — sequential
+        decode would use ``max_new`` — and mean tokens per round).
+        """
+        b, plen = prompt.shape
+        total = plen + max_new
+        assert total + gamma <= self.max_seq, (total, gamma, self.max_seq)
+        assert total + gamma <= draft_model.max_seq
+        assert self.vocab_size == draft_model.vocab_size
+        if max_new <= 0:
+            return (prompt, {"rounds": 0}) if return_stats else prompt
+
+        buf = total + gamma           # chunk writes may overshoot total
+        tokens = jnp.concatenate(
+            [prompt, jnp.zeros((b, buf - plen), jnp.int32)], axis=1)
+        caches_t = self.init_cache(b, quantized=quantized_cache)
+        caches_d = draft_model.init_cache(b, quantized=quantized_cache)
+
+        # prefill both models; sample token at position P from the target
+        logits_all, caches_t = self.prefill(params, prompt, caches_t)
+        _, caches_d = draft_model.prefill(draft_params, prompt, caches_d)
+        first = jnp.argmax(logits_all[:, -1], axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, first, plen, 1)
+        cur0 = jnp.int32(plen + 1)    # tokens[:, :cur] are final
+
+        def draft_round(tokens, cur, cd):
+            def step(carry, j):
+                tokens, cd = carry
+                p = cur - 1 + j
+                tok = jax.lax.dynamic_index_in_dim(tokens, p, 1,
+                                                   keepdims=False)
+                logits, cd = draft_model.decode_step(
+                    draft_params, tok, p, cd)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tokens = jax.lax.dynamic_update_index_in_dim(
+                    tokens, nxt, p + 1, 1)
+                return (tokens, cd), None
+            (tokens, cd), _ = jax.lax.scan(
+                step, (tokens, cd), jnp.arange(gamma))
+            return tokens, cd
+
+        def body(carry):
+            tokens, cur, ct, cd, rounds = carry
+            tokens, cd = draft_round(tokens, cur, cd)
+            chunk = jax.lax.dynamic_slice_in_dim(
+                tokens, cur - 1, gamma + 1, 1)          # [B, γ+1]
+            logits, ct = self.decode_chunk(params, chunk, cur - 1, ct)
+            tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            drafts = jax.lax.dynamic_slice_in_dim(tokens, cur, gamma, 1)
+            match = (tgt[:, :gamma] == drafts)          # [B, γ]
+            n_acc = jnp.min(jnp.sum(jnp.cumprod(
+                match.astype(jnp.int32), axis=1), axis=1))
+            nxt = jnp.take_along_axis(
+                tgt, jnp.full((b, 1), n_acc), axis=1)[:, 0]
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, nxt, cur + n_acc, 1)
+            return tokens, cur + n_acc + 1, ct, cd, rounds + 1
+
+        def cond(carry):
+            return carry[1] < total
+
+        tokens, cur, _, _, rounds = jax.lax.while_loop(
+            cond, body, (tokens, cur0, caches_t, caches_d, jnp.int32(0)))
+        out = tokens[:, :total]
+        if return_stats:
+            return out, {"rounds": rounds,
+                         "tokens_per_round": (cur - cur0) / jnp.maximum(
+                             rounds, 1)}
+        return out
 
     def _generate_ragged(self, params, prompt, max_new: int,
                          temperature, key, prompt_lens,

@@ -254,15 +254,18 @@ class TransformerBlock(Module):
 # ---------------------------------------------------------------------------
 
 def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
-                      k_scale=None, v_scale=None):
-    """Single-position attention against a static-shape KV cache.
+                      k_scale=None, v_scale=None, q_offsets=None):
+    """Single- or few-position attention against a static-shape KV cache.
 
-    ``q``: [B, H, 1, D]; caches: [B, H, Smax, D]; ``pos``: the index of
+    ``q``: [B, H, Q, D]; caches: [B, H, Smax, D]; ``pos``: the index of
     the current token — entries past ``pos`` are masked out.  ``pos``
     may be a [B] vector (ragged serving: each row at its own position).
-    A matvec, not a matmul: XLA handles it at HBM roofline, so no
-    Pallas here (the flash kernel earns its keep on the S×S training
-    path).
+    ``q_offsets`` [Q] (chunked decode — speculative verification): query
+    row r sits at absolute position ``pos + q_offsets[r]`` and attends
+    cache entries up to there; omitted = all rows at ``pos``.
+    A matvec/skinny matmul, not a square matmul: XLA handles it at HBM
+    roofline, so no Pallas here (the flash kernel earns its keep on the
+    S×S training path).
 
     **Quantized caches** (``k_scale``/``v_scale`` [B, H, Smax] given):
     caches hold int8 rows with one symmetric scale per (batch, head,
@@ -279,16 +282,20 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
     if k_scale is not None:
         s = s * k_scale[:, :, None, :]
     idx = jnp.arange(k_cache.shape[2])
+    off = (jnp.zeros((q.shape[2],), jnp.int32) if q_offsets is None
+           else jnp.asarray(q_offsets, jnp.int32))
     if jnp.ndim(pos) == 1:
-        mask = idx[None, :] <= pos[:, None]            # [B, S]
+        qpos = pos[:, None] + off[None, :]             # [B, Q]
+        mask = idx[None, None, :] <= qpos[:, :, None]  # [B, Q, S]
         if window is not None:
-            mask &= idx[None, :] > pos[:, None] - window
-        mask = mask[:, None, None, :]
+            mask &= idx[None, None, :] > qpos[:, :, None] - window
+        mask = mask[:, None, :, :]
     else:
-        mask = idx <= pos
+        qpos = pos + off                               # [Q]
+        mask = idx[None, :] <= qpos[:, None]           # [Q, S]
         if window is not None:
-            mask &= idx > pos - window
-        mask = mask[None, None, None, :]
+            mask &= idx[None, :] > qpos[:, None] - window
+        mask = mask[None, None, :, :]
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     if v_scale is not None:
@@ -309,6 +316,40 @@ def kv_quantize(x):
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.round(xf / scale[..., None])
     return q.astype(jnp.int8), scale
+
+
+def _cache_write(cache, k, v, pos):
+    """Write new K/V rows ``[B, kvh, C, D]`` into the cache at positions
+    ``[pos, pos+C)`` (scalar ``pos``) or at per-row positions (``pos``
+    a [B] vector, requires C == 1 — ragged serving).  Quantizes the
+    rows when the cache is int8 (``k_scale`` present).  The single
+    write path shared by decode, prefill and chunked-decode."""
+    quantized = "k_scale" in cache
+    if quantized:
+        k, k_sc = kv_quantize(k)
+        v, v_sc = kv_quantize(v)
+    if jnp.ndim(pos) == 1:
+        assert k.shape[2] == 1, "per-row cache writes are single-token"
+        upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (0, p, 0)))
+        new = {"k": upd(cache["k"], k.astype(cache["k"].dtype), pos),
+               "v": upd(cache["v"], v.astype(cache["v"].dtype), pos)}
+        if quantized:
+            upd2 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                c, u, (0, p)))
+            new["k_scale"] = upd2(cache["k_scale"], k_sc, pos)
+            new["v_scale"] = upd2(cache["v_scale"], v_sc, pos)
+        return new
+    new = {"k": jax.lax.dynamic_update_slice_in_dim(
+               cache["k"], k.astype(cache["k"].dtype), pos, 2),
+           "v": jax.lax.dynamic_update_slice_in_dim(
+               cache["v"], v.astype(cache["v"].dtype), pos, 2)}
+    if quantized:
+        new["k_scale"] = jax.lax.dynamic_update_slice_in_dim(
+            cache["k_scale"], k_sc, pos, 2)
+        new["v_scale"] = jax.lax.dynamic_update_slice_in_dim(
+            cache["v_scale"], v_sc, pos, 2)
+    return new
 
 
 def mha_init_cache(mha: MultiHeadAttention, batch: int, max_seq: int,
@@ -343,38 +384,11 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
-    quantized = "k_scale" in cache
-    if quantized:
-        k, k_sc = kv_quantize(k)                     # [B,kvh,1,D],[B,kvh,1]
-        v, v_sc = kv_quantize(v)
-    if jnp.ndim(pos) == 1:
-        # ragged: each row writes its cache slot at its own position
-        upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
-            c, u, (0, p, 0)))
-        k_cache = upd(cache["k"], k.astype(cache["k"].dtype), pos)
-        v_cache = upd(cache["v"], v.astype(cache["v"].dtype), pos)
-        if quantized:
-            upd2 = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
-                c, u, (0, p)))
-            new_cache = {"k": k_cache, "v": v_cache,
-                         "k_scale": upd2(cache["k_scale"], k_sc, pos),
-                         "v_scale": upd2(cache["v_scale"], v_sc, pos)}
-    else:
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            cache["k"], k.astype(cache["k"].dtype), pos, 2)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            cache["v"], v.astype(cache["v"].dtype), pos, 2)
-        if quantized:
-            new_cache = {
-                "k": k_cache, "v": v_cache,
-                "k_scale": jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_scale"], k_sc, pos, 2),
-                "v_scale": jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_scale"], v_sc, pos, 2)}
-    if not quantized:
-        new_cache = {"k": k_cache, "v": v_cache}
+    new_cache = _cache_write(cache, k, v, pos)
+    k_cache, v_cache = new_cache["k"], new_cache["v"]
     scales = ({"k_scale": new_cache["k_scale"],
-               "v_scale": new_cache["v_scale"]} if quantized else {})
+               "v_scale": new_cache["v_scale"]}
+              if "k_scale" in new_cache else {})
     if mha.kv_groups > 1:
         # GQA: never repeat the cache (that would re-spend the HBM
         # bandwidth GQA saves) — fold the query groups into the query
@@ -413,30 +427,13 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    if "k_scale" in cache:
-        # quantized cache: the prefill attention itself still runs on
-        # the full-precision K/V from this pass; only the STORED rows
-        # are int8.  Quantization is per position, so prefill-filled and
-        # sequentially-filled caches agree to within one quantization
-        # step (not bit-exactly: the one-GEMM prefill projections and
-        # the per-step matvecs differ in the last ulp).
-        kq, k_sc = kv_quantize(k)
-        vq, v_sc = kv_quantize(v)
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], kq, 0, 2),
-            "v": jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], vq, 0, 2),
-            "k_scale": jax.lax.dynamic_update_slice_in_dim(
-                cache["k_scale"], k_sc, 0, 2),
-            "v_scale": jax.lax.dynamic_update_slice_in_dim(
-                cache["v_scale"], v_sc, 0, 2)}
-    else:
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], k.astype(cache["k"].dtype), 0, 2),
-            "v": jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], v.astype(cache["v"].dtype), 0, 2)}
+    # quantized cache: the prefill attention itself still runs on the
+    # full-precision K/V from this pass; only the STORED rows are int8.
+    # Quantization is per position, so prefill-filled and sequentially-
+    # filled caches agree to within one quantization step (not
+    # bit-exactly: the one-GEMM prefill projections and the per-step
+    # matvecs differ in the last ulp).
+    new_cache = _cache_write(cache, k, v, 0)
     if mha.kv_groups > 1:
         k = jnp.repeat(k, mha.kv_groups, axis=1)
         v = jnp.repeat(v, mha.kv_groups, axis=1)
@@ -444,6 +441,61 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
     o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
     y = _proj(o2, params["wo"], params.get("bo"))
     return y.reshape(b, s, e), new_cache
+
+
+def mha_apply_chunk(mha: MultiHeadAttention, params, x_c, cache, pos):
+    """Chunked decode: ``x_c`` [B, C, E] at positions [pos, pos+C)
+    (``pos`` a traced scalar), attending the cache through each query's
+    own position.  Writes cache entries [pos, pos+C) and returns
+    ``(y [B, C, E], new_cache)``.
+
+    The multi-token cache-backed step speculative decoding's verifier
+    needs: the target model scores a γ-token draft in ONE dispatch — a
+    skinny [C × S] matmul at prefill-like arithmetic intensity — instead
+    of γ sequential matvec decode steps."""
+    b, c, e = x_c.shape
+    x2 = x_c.reshape(b * c, e)
+
+    def heads(w_name, b_name, n_heads):
+        y = _proj(x2, params[w_name], params.get(b_name))
+        return y.reshape(b, c, n_heads,
+                         mha.head_dim).transpose(0, 2, 1, 3)
+
+    q = heads("wq", "bq", mha.num_heads)
+    k = heads("wk", "bk", mha.num_kv_heads)
+    v = heads("wv", "bv", mha.num_kv_heads)
+    if mha.rope:
+        cos, sin = mha._rope
+        q = apply_rope(q, cos, sin, offset=pos)
+        k = apply_rope(k, cos, sin, offset=pos)
+    new_cache = _cache_write(cache, k, v, pos)
+    k_cache, v_cache = new_cache["k"], new_cache["v"]
+    scales = ({"k_scale": new_cache["k_scale"],
+               "v_scale": new_cache["v_scale"]}
+              if "k_scale" in new_cache else {})
+    offs = jnp.arange(c, dtype=jnp.int32)
+    if mha.kv_groups > 1:
+        # GQA: fold query groups into the query dim against the kv-sized
+        # cache (row r = g*C + c sits at offset c — see tile below).
+        qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, c,
+                       mha.head_dim)
+        qg = qg.reshape(b, mha.num_kv_heads, mha.kv_groups * c,
+                        mha.head_dim)
+        o = _decode_attention(qg, k_cache, v_cache, pos,
+                              mha.head_dim ** -0.5, mha.window,
+                              q_offsets=jnp.tile(offs, mha.kv_groups),
+                              **scales)
+        o = o.reshape(b, mha.num_kv_heads, mha.kv_groups, c,
+                      mha.head_dim)
+        o2 = o.transpose(0, 3, 1, 2, 4).reshape(b * c, e)
+    else:
+        o = _decode_attention(q, k_cache, v_cache, pos,
+                              mha.head_dim ** -0.5, mha.window,
+                              q_offsets=offs, **scales)
+        o2 = o.transpose(0, 2, 1, 3).reshape(b * c, e)
+    o2 = o2.astype(x2.dtype)
+    y = _proj(o2, params["wo"], params.get("bo"))
+    return y.reshape(b, c, e), new_cache
 
 
 def block_init_cache(blk: TransformerBlock, batch: int, max_seq: int,
@@ -457,6 +509,15 @@ def block_apply_prefill(blk: TransformerBlock, params, x, cache):
     x = x + a
     m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x))
     return x + m, cache
+
+
+def block_apply_chunk(blk: TransformerBlock, params, x_c, cache, pos):
+    a, cache = mha_apply_chunk(
+        blk.attn, params["attn"], blk.ln1.apply(params["ln1"], x_c),
+        cache, pos)
+    x_c = x_c + a
+    m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x_c))
+    return x_c + m, cache
 
 
 def block_apply_decode(blk: TransformerBlock, params, x_t, cache, pos):

@@ -302,6 +302,87 @@ def test_quantized_kv_cache_decode_close_to_exact():
                                   np.asarray(prompt[:, :4]))
 
 
+def test_decode_chunk_matches_full_forward():
+    """Multi-token cache-backed decode (the speculative-decoding
+    verifier) must produce the SAME logits as the plain full forward at
+    every chunk position, across plain/RoPE+GQA/windowed configs, and
+    leave the cache exactly as sequential decoding would."""
+    for kwargs in ({}, {"rope": True, "num_kv_heads": 1},
+                   {"window": 5}):
+        model = models.TinyGPT(vocab_size=12, dim=32, depth=2,
+                               num_heads=2, max_seq=32, **kwargs)
+        p = model.init(jax.random.PRNGKey(0))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 12)
+        full = model.apply(p, toks)
+
+        _, caches = model.prefill(p, toks[:, :4], model.init_cache(2))
+        chunk_logits, caches = model.decode_chunk(p, toks[:, 4:], 4,
+                                                  caches)
+        np.testing.assert_allclose(np.asarray(chunk_logits),
+                                   np.asarray(full[:, 4:]), atol=2e-5)
+        seq = model.init_cache(2)
+        for t in range(12):
+            _, seq = model.decode_step(p, toks[:, t], t, seq)
+        for c1, c2 in zip(caches, seq):
+            np.testing.assert_allclose(np.asarray(c1["k"][:, :, :12]),
+                                       np.asarray(c2["k"][:, :, :12]),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(c1["v"][:, :, :12]),
+                                       np.asarray(c2["v"][:, :, :12]),
+                                       atol=2e-5)
+
+
+def test_decode_chunk_quantized_cache():
+    """decode_chunk through an int8 cache: logits stay close to the
+    exact-cache chunk logits."""
+    model = models.TinyGPT(vocab_size=32, dim=64, depth=2, num_heads=4,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 32)
+    _, exact = model.prefill(p, toks[:, :4], model.init_cache(2))
+    _, quant = model.prefill(p, toks[:, :4],
+                             model.init_cache(2, quantized=True))
+    lg_e, _ = model.decode_chunk(p, toks[:, 4:], 4, exact)
+    lg_q, _ = model.decode_chunk(p, toks[:, 4:], 4, quant)
+    err = np.abs(np.asarray(lg_q) - np.asarray(lg_e)).max()
+    spread = np.asarray(lg_e).max() - np.asarray(lg_e).min()
+    assert err < 0.05 * max(spread, 1.0), (err, spread)
+
+
+def test_speculative_generate_exactly_matches_greedy():
+    """Speculative decoding with an INDEPENDENT draft model must emit
+    exactly the target model's own greedy tokens at every gamma — the
+    draft can only change the dispatch count, never the output."""
+    target = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                            max_seq=64)
+    draft = models.TinyGPT(vocab_size=12, dim=16, depth=1, num_heads=2,
+                           max_seq=64)
+    pt = target.init(jax.random.PRNGKey(0))
+    pd = draft.init(jax.random.PRNGKey(7))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    ref = target.generate(pt, prompt, 12)
+    for gamma in (1, 3, 4):
+        out = target.speculative_generate(pt, draft, pd, prompt, 12,
+                                          gamma=gamma)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_self_draft_accepts_every_round():
+    """With the target as its own draft every proposal is accepted:
+    each verify round finalizes gamma+1 tokens, so rounds ==
+    ceil((max_new-1)/(gamma+1)) — the mechanism's upper bound."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=64)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    ref = model.generate(p, prompt, 12)
+    out, stats = model.speculative_generate(p, model, p, prompt, 12,
+                                            gamma=3, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert int(stats["rounds"]) == 3           # ceil(11 / 4)
+    assert float(stats["tokens_per_round"]) == 4.0
+
+
 def test_sample_top_k_top_p_filters():
     from taper_tpu.models.transformer import _sample
 
