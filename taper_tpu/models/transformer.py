@@ -24,15 +24,14 @@ from taper_tpu.nn.module import Module
 from taper_tpu.nn.transformer import Embedding, LayerNorm, TransformerBlock
 
 
-def _sample(logits, key, *, temperature=0.0, top_k=None, top_p=None):
-    """Next-token sampling shared by every generate path (greedy at
-    ``temperature == 0``).  ``top_k`` keeps the k highest-logit tokens;
-    ``top_p`` keeps the smallest set whose probability mass reaches p
-    (nucleus sampling; the argmax token is always kept).  Both filters
-    are static-shape mask-to-−inf transforms, jit/scan-safe.  Returns
-    ``(next_tokens int32, key)``."""
-    if temperature <= 0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+def _filter_logits(logits, temperature, top_k=None, top_p=None):
+    """Temperature-scaled, top-k/top-p-masked logits (the distribution
+    every sampling path — plain and speculative — draws from; both
+    sides of speculative verification must apply the IDENTICAL
+    transform).  ``top_k`` keeps the k highest-logit tokens; ``top_p``
+    keeps the smallest set whose probability mass reaches p (nucleus
+    sampling; the argmax token is always kept).  Both filters are
+    static-shape mask-to-−inf transforms, jit/scan-safe."""
     logits = logits / temperature
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
@@ -46,8 +45,59 @@ def _sample(logits, key, *, temperature=0.0, top_k=None, top_p=None):
         keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
         sl = jnp.where(keep, sl, -jnp.inf)
         logits = jnp.take_along_axis(sl, jnp.argsort(idx, axis=-1), -1)
+    return logits
+
+
+def _sample(logits, key, *, temperature=0.0, top_k=None, top_p=None):
+    """Next-token sampling shared by every generate path (greedy at
+    ``temperature == 0``).  Returns ``(next_tokens int32, key)``."""
+    if temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+    logits = _filter_logits(logits, temperature, top_k, top_p)
     key, sk = jax.random.split(key)
     return jax.random.categorical(sk, logits).astype(jnp.int32), key
+
+
+def _spec_accept(key, drafts, q, p):
+    """One round of speculative SAMPLING verification (the
+    rejection-sampling scheme of speculative decoding: accept draft
+    token x with probability min(1, p(x)/q(x)); on rejection, resample
+    from the residual ``norm(max(p − q, 0))`` — the emitted token is
+    then EXACTLY distributed as p, the target distribution).
+
+    ``drafts`` [B, γ] tokens sampled from ``q`` [B, γ, V]; ``p``
+    [B, γ+1, V] target distributions at the same positions plus the
+    bonus position.  Rows advance in lockstep at the minimum acceptance
+    count (truncating an accepted prefix keeps it target-distributed —
+    acceptance at position i depends only on randomness at ≤ i).
+
+    Returns ``(n_acc scalar int32, nxt [B] int32, key)``: the globally
+    accepted draft count and, per row, the token for position
+    ``cur + n_acc`` — its accepted draft if it accepted further, else a
+    residual sample (== a bonus sample from p[γ] when everything was
+    accepted, since the residual of q=0 is p itself)."""
+    b, g, v = q.shape
+    key, ku, kr = jax.random.split(key, 3)
+    qx = jnp.take_along_axis(q, drafts[..., None], -1)[..., 0]   # [B, γ]
+    px = jnp.take_along_axis(p[:, :g], drafts[..., None], -1)[..., 0]
+    u = jax.random.uniform(ku, (b, g))
+    acc = u * qx < px            # u < p/q without the division (q>0 a.s.)
+    n_acc_row = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1),
+                        axis=1)                                  # [B]
+    n_acc = jnp.min(n_acc_row)
+    # residual at the first non-accepted position; q beyond γ-1 is 0
+    # (no draft there), so n_acc == γ degrades to a plain p[γ] sample
+    p_at = jnp.take(p, n_acc, axis=1)                            # [B, V]
+    q_at = jnp.where(n_acc >= g, jnp.zeros_like(p_at),
+                     jnp.take(q, jnp.minimum(n_acc, g - 1), axis=1))
+    r = jnp.maximum(p_at - q_at, 0.0)
+    rsum = jnp.sum(r, axis=-1, keepdims=True)
+    r = jnp.where(rsum > 0, r / rsum, p_at)      # p==q ⇒ accept-prob 1,
+    res = jax.random.categorical(                # fallback never biased
+        kr, jnp.log(jnp.maximum(r, 1e-38))).astype(jnp.int32)
+    kept_draft = jnp.take(drafts, jnp.minimum(n_acc, g - 1), axis=1)
+    nxt = jnp.where(n_acc_row > n_acc, kept_draft, res)
+    return n_acc, nxt, key
 
 
 class TinyGPT(Module):
@@ -276,26 +326,35 @@ class TinyGPT(Module):
 
     def speculative_generate(self, params, draft_model, draft_params,
                              prompt, max_new: int, gamma: int = 4,
+                             temperature: float = 0.0, key=None,
+                             top_k=None, top_p=None,
                              quantized_cache: bool = False,
                              return_stats: bool = False):
-        """Speculative (draft-verify) greedy decoding: a small draft
-        model proposes ``gamma`` tokens autoregressively, then THIS
-        (target) model scores all of them in one :meth:`decode_chunk`
-        dispatch; the longest prefix agreeing with the target's greedy
-        choice is accepted, plus one target token (the correction where
-        the draft diverged, or a bonus token when all γ match).
+        """Speculative (draft-verify) decoding: a small draft model
+        proposes ``gamma`` tokens autoregressively, then THIS (target)
+        model scores all of them in one :meth:`decode_chunk` dispatch
+        and a verified prefix is accepted plus one target token.
 
-        Output is EXACTLY the target model's own greedy decode — the
-        draft only changes how many sequential target dispatches it
-        takes.  Decode is HBM-bound (one full weight + cache read per
-        step), so scoring γ+1 positions per target pass costs barely
-        more than one and the wall-clock win ≈ mean accepted length.
+        * ``temperature == 0`` (greedy): the accepted prefix is the
+          longest run agreeing with the target's argmax; output is
+          EXACTLY the target model's own greedy decode.
+        * ``temperature > 0`` (sampled): the rejection-sampling scheme —
+          draft token x accepted with probability min(1, p(x)/q(x)),
+          rejection resampled from ``norm(max(p − q, 0))`` (see
+          :func:`_spec_accept`) — the emitted tokens are EXACTLY
+          distributed as the target's (filtered) sampling distribution;
+          ``top_k``/``top_p`` apply identically to both models' dists.
+
+        Either way the draft only changes how many sequential target
+        dispatches it takes.  Decode is HBM-bound (one full weight +
+        cache read per step), so scoring γ+1 positions per target pass
+        costs barely more than one and the wall-clock win ≈ mean
+        accepted length.
 
         Batched: rows advance in lockstep at the MINIMUM acceptance
-        across the batch (never wrong, only conservative — a row whose
-        draft matched further simply re-derives the same tokens next
-        round).  Greedy only (temperature-0); sampled speculative
-        decoding needs the rejection-sampling scheme, not implemented.
+        across the batch (never wrong, only conservative — an accepted
+        prefix stays target-distributed under truncation, and greedy
+        rows simply re-derive the same tokens next round).
 
         Returns ``[B, P + max_new]`` tokens (``return_stats=True``: also
         a dict with the target-dispatch count ``rounds`` — sequential
@@ -308,6 +367,15 @@ class TinyGPT(Module):
         assert self.vocab_size == draft_model.vocab_size
         if max_new <= 0:
             return (prompt, {"rounds": 0}) if return_stats else prompt
+        sampled = temperature > 0
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def dist(logits):
+            """Filtered target/draft sampling distribution (f32)."""
+            return jax.nn.softmax(_filter_logits(
+                logits.astype(jnp.float32), temperature, top_k, top_p),
+                axis=-1)
 
         buf = total + gamma           # chunk writes may overshoot total
         tokens = jnp.concatenate(
@@ -318,49 +386,64 @@ class TinyGPT(Module):
         # prefill both models; sample token at position P from the target
         logits_all, caches_t = self.prefill(params, prompt, caches_t)
         _, caches_d = draft_model.prefill(draft_params, prompt, caches_d)
-        first = jnp.argmax(logits_all[:, -1], axis=-1).astype(jnp.int32)
+        first, key = _sample(logits_all[:, -1], key,
+                             temperature=temperature, top_k=top_k,
+                             top_p=top_p)
         tokens = jax.lax.dynamic_update_index_in_dim(
             tokens, first, plen, 1)
         cur0 = jnp.int32(plen + 1)    # tokens[:, :cur] are final
 
-        def draft_round(tokens, cur, cd):
+        def draft_round(tokens, cur, cd, key):
             def step(carry, j):
-                tokens, cd = carry
+                tokens, cd, key = carry
                 p = cur - 1 + j
                 tok = jax.lax.dynamic_index_in_dim(tokens, p, 1,
                                                    keepdims=False)
                 logits, cd = draft_model.decode_step(
                     draft_params, tok, p, cd)
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if sampled:
+                    q = dist(logits)
+                    key, sk = jax.random.split(key)
+                    nxt = jax.random.categorical(
+                        sk, jnp.log(jnp.maximum(q, 1e-38))
+                    ).astype(jnp.int32)
+                else:
+                    q = jnp.zeros((b, 1), jnp.float32)   # unused
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 tokens = jax.lax.dynamic_update_index_in_dim(
                     tokens, nxt, p + 1, 1)
-                return (tokens, cd), None
-            (tokens, cd), _ = jax.lax.scan(
-                step, (tokens, cd), jnp.arange(gamma))
-            return tokens, cd
+                return (tokens, cd, key), q
+            (tokens, cd, key), qs = jax.lax.scan(
+                step, (tokens, cd, key), jnp.arange(gamma))
+            return tokens, cd, key, qs.transpose(1, 0, 2)  # [B, γ, V]
 
         def body(carry):
-            tokens, cur, ct, cd, rounds = carry
-            tokens, cd = draft_round(tokens, cur, cd)
+            tokens, cur, ct, cd, rounds, key = carry
+            tokens, cd, key, q = draft_round(tokens, cur, cd, key)
             chunk = jax.lax.dynamic_slice_in_dim(
                 tokens, cur - 1, gamma + 1, 1)          # [B, γ+1]
             logits, ct = self.decode_chunk(params, chunk, cur - 1, ct)
-            tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             drafts = jax.lax.dynamic_slice_in_dim(tokens, cur, gamma, 1)
-            match = (tgt[:, :gamma] == drafts)          # [B, γ]
-            n_acc = jnp.min(jnp.sum(jnp.cumprod(
-                match.astype(jnp.int32), axis=1), axis=1))
-            nxt = jnp.take_along_axis(
-                tgt, jnp.full((b, 1), n_acc), axis=1)[:, 0]
+            if sampled:
+                n_acc, nxt, key = _spec_accept(key, drafts, q,
+                                               dist(logits))
+            else:
+                tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (tgt[:, :gamma] == drafts)      # [B, γ]
+                n_acc = jnp.min(jnp.sum(jnp.cumprod(
+                    match.astype(jnp.int32), axis=1), axis=1))
+                nxt = jnp.take_along_axis(
+                    tgt, jnp.full((b, 1), n_acc), axis=1)[:, 0]
             tokens = jax.lax.dynamic_update_index_in_dim(
                 tokens, nxt, cur + n_acc, 1)
-            return tokens, cur + n_acc + 1, ct, cd, rounds + 1
+            return tokens, cur + n_acc + 1, ct, cd, rounds + 1, key
 
         def cond(carry):
             return carry[1] < total
 
-        tokens, cur, _, _, rounds = jax.lax.while_loop(
-            cond, body, (tokens, cur0, caches_t, caches_d, jnp.int32(0)))
+        tokens, cur, _, _, rounds, _ = jax.lax.while_loop(
+            cond, body, (tokens, cur0, caches_t, caches_d,
+                         jnp.int32(0), key))
         out = tokens[:, :total]
         if return_stats:
             return out, {"rounds": rounds,

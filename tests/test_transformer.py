@@ -383,6 +383,76 @@ def test_speculative_self_draft_accepts_every_round():
     assert float(stats["tokens_per_round"]) == 4.0
 
 
+def test_spec_accept_rejection_sampling_lemma():
+    """The speculative-sampling primitive must emit tokens distributed
+    EXACTLY as the target distribution p: draft x~q accepted w.p.
+    min(1, p(x)/q(x)), else a residual norm(max(p−q,0)) sample.  Checked
+    empirically at γ=1 over 20k keys against a deliberately mismatched
+    (q, p) pair."""
+    from taper_tpu.models.transformer import _spec_accept
+    v = 8
+    q = jax.nn.softmax(jnp.arange(v, dtype=jnp.float32) * 0.4)
+    p = jax.nn.softmax(-jnp.arange(v, dtype=jnp.float32) * 0.3)
+    bonus = jnp.full((v,), 1.0 / v)
+    pfull = jnp.stack([p, bonus])[None]          # [1, 2, V]
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        d = jax.random.categorical(kd, jnp.log(q))[None, None]
+        n_acc, nxt, _ = _spec_accept(ka, d, q[None, None], pfull)
+        return jnp.where(n_acc == 1, d[0, 0], nxt[0])
+
+    toks = jax.jit(jax.vmap(one))(
+        jax.random.split(jax.random.PRNGKey(0), 20000))
+    freq = np.bincount(np.asarray(toks), minlength=v) / 20000.0
+    np.testing.assert_allclose(freq, np.asarray(p), atol=0.02)
+
+
+def test_speculative_sampled_self_draft_accepts_every_round():
+    """temperature>0 with the target as its own draft: q == p so the
+    acceptance probability is 1 and every round finalizes γ+1 tokens."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=64)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    out, stats = model.speculative_generate(
+        p, model, p, prompt, 12, gamma=3, temperature=1.0,
+        key=jax.random.PRNGKey(3), return_stats=True)
+    assert out.shape == (2, 18)
+    assert int(stats["rounds"]) == 3           # ceil(11 / 4)
+    np.testing.assert_array_equal(np.asarray(out[:, :6]),
+                                  np.asarray(prompt))
+
+
+def test_speculative_sampled_matches_target_distribution():
+    """End-to-end: the joint distribution of the two tokens after the
+    prompt under sampled speculative decoding (independent draft) must
+    match plain target-only sampling — compared empirically over 2000
+    keys on a tiny vocab."""
+    v = 8
+    target = models.TinyGPT(vocab_size=v, dim=16, depth=1, num_heads=2,
+                            max_seq=16)
+    draft = models.TinyGPT(vocab_size=v, dim=8, depth=1, num_heads=1,
+                           max_seq=16)
+    pt = target.init(jax.random.PRNGKey(0))
+    pd = draft.init(jax.random.PRNGKey(9))
+    prompt = jnp.array([[1, 5, 2]])
+    n = 2000
+
+    plain = jax.jit(jax.vmap(lambda k: target.generate(
+        pt, prompt, 2, temperature=1.0, key=k)[0, 3:]))(
+        jax.random.split(jax.random.PRNGKey(1), n))
+    spec = jax.jit(jax.vmap(lambda k: target.speculative_generate(
+        pt, draft, pd, prompt, 2, gamma=2, temperature=1.0, key=k)[0, 3:]
+    ))(jax.random.split(jax.random.PRNGKey(2), n))
+
+    def joint(x):
+        return np.bincount(np.asarray(x[:, 0] * v + x[:, 1]),
+                           minlength=v * v) / x.shape[0]
+
+    np.testing.assert_allclose(joint(plain), joint(spec), atol=0.045)
+
+
 def test_sample_top_k_top_p_filters():
     from taper_tpu.models.transformer import _sample
 
