@@ -58,6 +58,20 @@ def _sample(logits, key, *, temperature=0.0, top_k=None, top_p=None):
     return jax.random.categorical(sk, logits).astype(jnp.int32), key
 
 
+def _mask_after_eos(tokens, starts, eos, pad):
+    """Replace every token strictly after each row's first ``eos`` (in
+    its generated region, positions >= ``starts``; [B] vector or
+    scalar) with ``pad``.  Static-shape post-pass shared by all
+    generate paths."""
+    b, s = tokens.shape
+    idx = jnp.arange(s)[None, :]
+    starts = jnp.broadcast_to(jnp.asarray(starts), (b,))[:, None]
+    hit = (tokens == eos) & (idx >= starts)
+    after = (jnp.cumsum(hit.astype(jnp.int32), axis=1)
+             - hit.astype(jnp.int32)) > 0
+    return jnp.where(after & (idx >= starts), pad, tokens)
+
+
 def _spec_accept(key, drafts, q, p):
     """One round of speculative SAMPLING verification (the
     rejection-sampling scheme of speculative decoding: accept draft
@@ -252,7 +266,8 @@ class TinyGPT(Module):
     def generate(self, params, prompt, max_new: int,
                  temperature: float = 0.0, key=None,
                  one_shot_prefill: bool = True, prompt_lens=None,
-                 top_k=None, top_p=None, quantized_cache: bool = False):
+                 top_k=None, top_p=None, quantized_cache: bool = False,
+                 eos_token=None, pad_token=None):
         """Autoregressive generation with a static-shape KV cache.
         ``prompt``: [B, P] int32 (same length per batch row, unless
         ``prompt_lens`` makes it ragged).  Greedy when
@@ -272,7 +287,13 @@ class TinyGPT(Module):
         attend them, since row r's mask stops at its own position).
         Ragged batches always use one-shot prefill; the sequential
         oracle for them is running each row alone through the non-ragged
-        ``one_shot_prefill=False`` path (what the tests do)."""
+        ``one_shot_prefill=False`` path (what the tests do).
+
+        **Early stopping**: ``eos_token`` set makes the decode loop a
+        ``while_loop`` that EXITS as soon as every row has emitted eos
+        (serving latency: a batch of short answers doesn't pay for
+        ``max_new`` steps), and every token after a row's first eos is
+        replaced by ``pad_token`` (default: the eos token itself)."""
         if max_new <= 0:
             return prompt
         if prompt_lens is not None:
@@ -283,7 +304,8 @@ class TinyGPT(Module):
                     "row separately with one_shot_prefill=False")
             return self._generate_ragged(params, prompt, max_new,
                                          temperature, key, prompt_lens,
-                                         top_k, top_p, quantized_cache)
+                                         top_k, top_p, quantized_cache,
+                                         eos_token, pad_token)
         b, plen = prompt.shape
         total = plen + max_new
         assert total <= self.max_seq, (total, self.max_seq)
@@ -319,16 +341,128 @@ class TinyGPT(Module):
                 tokens, nxt, pos + 1, 1)
             return (tokens, caches, key), None
 
-        (tokens, _, _), _ = jax.lax.scan(
-            step, (tokens, caches, key),
-            jnp.arange(start, total - 1))
-        return tokens
+        if eos_token is None:
+            (tokens, _, _), _ = jax.lax.scan(
+                step, (tokens, caches, key),
+                jnp.arange(start, total - 1))
+            return tokens
+
+        def cond(carry):
+            tokens, pos = carry[0], carry[3]
+            idx = jnp.arange(total)
+            gen = (idx[None, :] >= plen) & (idx[None, :] <= pos)
+            done = jnp.any((tokens == eos_token) & gen, axis=1)
+            return (pos < total - 1) & ~jnp.all(done)
+
+        def body(carry):
+            new, _ = step(carry[:3], carry[3])
+            return (*new, carry[3] + 1)
+
+        tokens, _, _, _ = jax.lax.while_loop(
+            cond, body, (tokens, caches, key, jnp.int32(start)))
+        return _mask_after_eos(
+            tokens, plen, eos_token,
+            eos_token if pad_token is None else pad_token)
+
+    def beam_search(self, params, prompt, max_new: int, beams: int = 4,
+                    eos_token=None, pad_token=None,
+                    length_penalty: float = 1.0,
+                    quantized_cache: bool = False, return_all=False):
+        """Beam-search decoding with a KV cache: ``beams`` hypotheses
+        per prompt advance together as a [B·W] decode batch; each step
+        takes the top-W of the W·V joint (score + logp) candidates and
+        REORDERS the cache rows by each survivor's parent beam (a
+        gather along the batch axis — the classic beam-search cache
+        shuffle).
+
+        Beams that emit ``eos_token`` freeze: their single candidate
+        keeps the score unchanged, so finished hypotheses compete with
+        live ones.  Final ranking divides by ``len(generated) **
+        length_penalty`` (1.0 = pure average-free sum; < 1 favors
+        longer sequences).
+
+        Returns the best sequence per prompt ``[B, P + max_new]``
+        (``return_all=True``: ``(tokens [B, W, P+max_new],
+        scores [B, W])`` sorted best-first)."""
+        b, plen = prompt.shape
+        total = plen + max_new
+        w, v = beams, self.vocab_size
+        assert total <= self.max_seq, (total, self.max_seq)
+        assert 1 <= w <= v, (w, v)
+        assert max_new >= 1
+        pad = eos_token if pad_token is None else pad_token
+
+        logits_all, caches = self.prefill(
+            params, prompt, self.init_cache(b, quantized=quantized_cache))
+        logp0 = jax.nn.log_softmax(
+            logits_all[:, -1].astype(jnp.float32), axis=-1)
+        scores, tok0 = jax.lax.top_k(logp0, w)            # [B, W]
+        caches = jax.tree.map(lambda c: jnp.repeat(c, w, axis=0), caches)
+        tokens = jnp.concatenate(
+            [jnp.tile(prompt[:, None, :], (1, w, 1)),
+             jnp.zeros((b, w, max_new), jnp.int32)], axis=2)
+        tokens = tokens.at[:, :, plen].set(tok0)
+        finished = (tok0 == eos_token if eos_token is not None
+                    else jnp.zeros((b, w), bool))
+
+        def step(carry, pos):
+            tokens, scores, caches, finished = carry
+            tok_t = jax.lax.dynamic_index_in_dim(
+                tokens, pos, 2, keepdims=False).reshape(b * w)
+            logits, caches = self.decode_step(params, tok_t, pos, caches)
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32), -1).reshape(b, w, v)
+            if eos_token is not None:
+                # a finished beam contributes exactly one candidate:
+                # itself, extended by pad, score unchanged
+                frozen = jnp.full((v,), -jnp.inf).at[pad].set(0.0)
+                logp = jnp.where(finished[..., None], frozen, logp)
+            cand = (scores[..., None] + logp).reshape(b, w * v)
+            scores, idx = jax.lax.top_k(cand, w)           # [B, W]
+            parent, tok = idx // v, idx % v
+            tokens = jnp.take_along_axis(tokens, parent[..., None],
+                                         axis=1)
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, tok, pos + 1, 2)
+            flat = (jnp.arange(b)[:, None] * w + parent).reshape(-1)
+            caches = jax.tree.map(lambda c: jnp.take(c, flat, axis=0),
+                                  caches)
+            if eos_token is not None:
+                finished = jnp.take_along_axis(finished, parent, axis=1)
+                finished |= tok == eos_token
+            return (tokens, scores, caches, finished), None
+
+        (tokens, scores, _, _), _ = jax.lax.scan(
+            step, (tokens, scores, caches, finished),
+            jnp.arange(plen, total - 1))
+
+        # generated length per beam (up to and incl. the first eos)
+        if eos_token is not None:
+            gen = tokens[:, :, plen:]
+            hit = gen == eos_token
+            any_eos = jnp.any(hit, axis=2)
+            first = jnp.argmax(hit, axis=2)                # [B, W]
+            lens = jnp.where(any_eos, first + 1, max_new)
+            after = (jnp.cumsum(hit.astype(jnp.int32), axis=2)
+                     - hit.astype(jnp.int32)) > 0
+            tokens = jnp.concatenate(
+                [tokens[:, :, :plen], jnp.where(after, pad, gen)], axis=2)
+        else:
+            lens = jnp.full((b, w), max_new)
+        norm = scores / (lens.astype(jnp.float32) ** length_penalty)
+        order = jnp.argsort(-norm, axis=1)
+        tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+        norm = jnp.take_along_axis(norm, order, axis=1)
+        if return_all:
+            return tokens, norm
+        return tokens[:, 0]
 
     def speculative_generate(self, params, draft_model, draft_params,
                              prompt, max_new: int, gamma: int = 4,
                              temperature: float = 0.0, key=None,
                              top_k=None, top_p=None,
                              quantized_cache: bool = False,
+                             eos_token=None, pad_token=None,
                              return_stats: bool = False):
         """Speculative (draft-verify) decoding: a small draft model
         proposes ``gamma`` tokens autoregressively, then THIS (target)
@@ -439,12 +573,23 @@ class TinyGPT(Module):
             return tokens, cur + n_acc + 1, ct, cd, rounds + 1, key
 
         def cond(carry):
-            return carry[1] < total
+            tokens, cur = carry[0], carry[1]
+            go = cur < total
+            if eos_token is not None:
+                idx = jnp.arange(buf)[None, :]
+                gen = (idx >= plen) & (idx < cur)
+                done = jnp.any((tokens == eos_token) & gen, axis=1)
+                go &= ~jnp.all(done)
+            return go
 
         tokens, cur, _, _, rounds, _ = jax.lax.while_loop(
             cond, body, (tokens, cur0, caches_t, caches_d,
                          jnp.int32(0), key))
         out = tokens[:, :total]
+        if eos_token is not None:
+            out = _mask_after_eos(
+                out, plen, eos_token,
+                eos_token if pad_token is None else pad_token)
         if return_stats:
             return out, {"rounds": rounds,
                          "tokens_per_round": (cur - cur0) / jnp.maximum(
@@ -454,7 +599,8 @@ class TinyGPT(Module):
     def _generate_ragged(self, params, prompt, max_new: int,
                          temperature, key, prompt_lens,
                          top_k=None, top_p=None,
-                         quantized_cache: bool = False):
+                         quantized_cache: bool = False,
+                         eos_token=None, pad_token=None):
         """Ragged-batch generation (see :meth:`generate`): shared
         prefill, then per-row positions through the decode scan."""
         b, plen = prompt.shape
@@ -487,6 +633,24 @@ class TinyGPT(Module):
             tokens = tokens.at[rows, pos + 1].set(nxt)
             return (tokens, caches, key), None
 
-        (tokens, _, _), _ = jax.lax.scan(
-            step, (tokens, caches, key), jnp.arange(max_new - 1))
-        return tokens
+        if eos_token is None:
+            (tokens, _, _), _ = jax.lax.scan(
+                step, (tokens, caches, key), jnp.arange(max_new - 1))
+            return tokens
+
+        def cond(carry):
+            tokens, t = carry[0], carry[3]
+            idx = jnp.arange(tokens.shape[1])[None, :]
+            gen = (idx >= lens[:, None]) & (idx <= (lens + t)[:, None])
+            done = jnp.any((tokens == eos_token) & gen, axis=1)
+            return (t < max_new - 1) & ~jnp.all(done)
+
+        def body(carry):
+            new, _ = step(carry[:3], carry[3])
+            return (*new, carry[3] + 1)
+
+        tokens, _, _, _ = jax.lax.while_loop(
+            cond, body, (tokens, caches, key, jnp.int32(0)))
+        return _mask_after_eos(
+            tokens, lens, eos_token,
+            eos_token if pad_token is None else pad_token)

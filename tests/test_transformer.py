@@ -383,6 +383,146 @@ def test_speculative_self_draft_accepts_every_round():
     assert float(stats["tokens_per_round"]) == 4.0
 
 
+def _np_mask_after_eos(row, start, eos, pad):
+    row = np.array(row)
+    hit = np.where(row[start:] == eos)[0]
+    if hit.size:
+        row[start + hit[0] + 1:] = pad
+    return row
+
+
+def test_generate_eos_early_stop_and_padding():
+    """eos_token: generation before (and including) each row's first
+    eos is unchanged vs the no-eos run; everything after is pad; the
+    loop's early exit can't alter emitted tokens."""
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (3, 6), 0, 12)
+    ref = np.asarray(model.generate(p, prompt, 12))
+    eos = int(ref[0, 8])                   # row 0 emits it early
+    out = np.asarray(model.generate(p, prompt, 12, eos_token=eos,
+                                    pad_token=0))
+    for r in range(3):
+        np.testing.assert_array_equal(
+            out[r], _np_mask_after_eos(ref[r], 6, eos, 0))
+    # sequential oracle path agrees
+    out_seq = np.asarray(model.generate(p, prompt, 12, eos_token=eos,
+                                        pad_token=0,
+                                        one_shot_prefill=False))
+    np.testing.assert_array_equal(out, out_seq)
+
+
+def test_generate_eos_ragged():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    lens = jnp.array([4, 6])
+    ref = np.asarray(model.generate(p, prompt, 10, prompt_lens=lens))
+    eos = int(ref[0, 5])                   # row 0's 2nd generated token
+    out = np.asarray(model.generate(p, prompt, 10, prompt_lens=lens,
+                                    eos_token=eos, pad_token=0))
+    for r, start in enumerate([4, 6]):
+        np.testing.assert_array_equal(
+            out[r], _np_mask_after_eos(ref[r], start, eos, 0))
+
+
+def test_speculative_generate_eos():
+    target = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                            max_seq=64)
+    draft = models.TinyGPT(vocab_size=12, dim=16, depth=1, num_heads=2,
+                           max_seq=64)
+    pt = target.init(jax.random.PRNGKey(0))
+    pd = draft.init(jax.random.PRNGKey(7))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    ref = np.asarray(target.generate(pt, prompt, 12))
+    eos = int(ref[0, 8])
+    out = np.asarray(target.speculative_generate(
+        pt, draft, pd, prompt, 12, gamma=3, eos_token=eos, pad_token=0))
+    for r in range(2):
+        np.testing.assert_array_equal(
+            out[r], _np_mask_after_eos(ref[r], 6, eos, 0))
+
+
+def test_beam_search_beam1_equals_greedy():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, 12)
+    np.testing.assert_array_equal(
+        np.asarray(model.beam_search(p, prompt, 8, beams=1)),
+        np.asarray(model.generate(p, prompt, 8)))
+
+
+def test_beam_search_exhaustive_oracle():
+    """W = V with max_new = 2 keeps every first token alive, so beam
+    search must find the EXACT argmax 2-token continuation (verified by
+    brute force over all V^2 sequences)."""
+    v = 5
+    model = models.TinyGPT(vocab_size=v, dim=16, depth=1, num_heads=2,
+                           max_seq=16)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jnp.array([[2, 0, 3]])
+
+    lp0 = jax.nn.log_softmax(model.apply(p, prompt)[0, -1])
+    best_score, best_seq = -np.inf, None
+    for a in range(v):
+        ext = jnp.concatenate([prompt, jnp.array([[a]])], axis=1)
+        lp1 = jax.nn.log_softmax(model.apply(p, ext)[0, -1])
+        for bb in range(v):
+            sc = float(lp0[a]) + float(lp1[bb])
+            if sc > best_score:
+                best_score, best_seq = sc, [a, bb]
+
+    out, scores = model.beam_search(p, prompt, 2, beams=v,
+                                    return_all=True)
+    assert list(np.asarray(out[0, 0, 3:])) == best_seq
+    # scores come back sorted and the top one matches brute force
+    # (length_penalty=1, len=2 → normalized = total/2)
+    assert np.all(np.diff(np.asarray(scores[0])) <= 1e-6)
+    np.testing.assert_allclose(float(scores[0, 0]), best_score / 2,
+                               rtol=1e-5)
+
+
+def test_beam_search_beats_or_matches_greedy_likelihood():
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=2, num_heads=2,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, 16)
+
+    def seq_logp(tokens):
+        lg = jax.nn.log_softmax(
+            model.apply(p, tokens)[:, :-1].astype(jnp.float32), -1)
+        pick = jnp.take_along_axis(lg, tokens[:, 1:, None], -1)[..., 0]
+        return np.asarray(jnp.sum(pick[:, 4:], axis=1))   # generated part
+
+    greedy = model.generate(p, prompt, 8)
+    beam = model.beam_search(p, prompt, 8, beams=4)
+    assert np.all(seq_logp(beam) >= seq_logp(greedy) - 1e-4)
+
+
+def test_beam_search_eos_freezes_beams():
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=32)
+    p = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, 12)
+    ref = np.asarray(model.beam_search(p, prompt, 10, beams=3))
+    eos = int(ref[0, 7])
+    out, scores = model.beam_search(p, prompt, 10, beams=3,
+                                    eos_token=eos, pad_token=0,
+                                    return_all=True)
+    out = np.asarray(out)
+    # after any row's first eos (generated region) everything is pad
+    for bi in range(2):
+        for w in range(3):
+            row = out[bi, w]
+            hit = np.where(row[5:] == eos)[0]
+            if hit.size:
+                assert np.all(row[5 + hit[0] + 1:] == 0), row
+    assert out.shape == (2, 3, 15) and scores.shape == (2, 3)
+
+
 def test_spec_accept_rejection_sampling_lemma():
     """The speculative-sampling primitive must emit tokens distributed
     EXACTLY as the target distribution p: draft x~q accepted w.p.
