@@ -177,17 +177,27 @@ def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
                 l_sc, acc_sc, *, scale, causal, window, bq, bk, nk, lowp,
-                grid_banded=False):
-    iq, ik = pl.program_id(1), pl.program_id(2)
+                grid_banded=False, tri=None):
     nsteps = pl.num_programs(2)
-    if grid_banded:
-        # grid covers only the band: step j maps to kv block start+j
-        ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
-                            steps=nsteps) + ik
+    if tri is not None:
+        # TRIANGULAR grid: the inner dim enumerates ONLY the causal
+        # band's (q block, kv block) pairs — zero idle grid steps, and
+        # per-tile overcompute shrinks to the diagonal half-tiles.
+        iq, ik = _tri_unrank(pl.program_id(2), tri)
+        first = ik == 0
+        last = ik == iq // (bk // bq)
+    else:
+        iq, ik = pl.program_id(1), pl.program_id(2)
+        first = pl.program_id(2) == 0
+        last = pl.program_id(2) == nsteps - 1
+        if grid_banded:
+            # grid covers only the band: step j maps to kv block start+j
+            ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
+                                steps=nsteps) + ik
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(first)
     def _init():
         m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
         l_sc[:] = jnp.zeros_like(l_sc)
@@ -219,19 +229,20 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
         acc_sc[:] = acc_sc[:] * corr + pv
 
     run = True
-    if causal:
-        run = off + iq * bq + bq - 1 >= koff + ik * bk
-    if window is not None:
-        # newest window col for the OLDEST row in this q block
-        in_win = (koff + ik * bk + bk - 1
-                  > off + iq * bq - window)
-        run = in_win if run is True else run & in_win
+    if tri is None:
+        if causal:
+            run = off + iq * bq + bq - 1 >= koff + ik * bk
+        if window is not None:
+            # newest window col for the OLDEST row in this q block
+            in_win = (koff + ik * bk + bk - 1
+                      > off + iq * bq - window)
+            run = in_win if run is True else run & in_win
     if run is True:
         body()
     else:
         pl.when(run)(body)
 
-    @pl.when(pl.program_id(2) == nsteps - 1)
+    @pl.when(last)
     def _fin():
         l = l_sc[:, :1]
         safe = jnp.maximum(l, 1e-30)
@@ -246,16 +257,24 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                dl_ref, dq_ref, delta_ref, dq_sc, dl_sc, *, scale, causal,
-               window, bq, bk, nk, lowp, grid_banded=False):
-    iq, ik = pl.program_id(1), pl.program_id(2)
+               window, bq, bk, nk, lowp, grid_banded=False, tri=None):
     nsteps = pl.num_programs(2)
-    if grid_banded:
-        ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
-                            steps=nsteps) + ik
+    if tri is not None:
+        # triangular grid (see _fwd_kernel): q-major band enumeration
+        iq, ik = _tri_unrank(pl.program_id(2), tri)
+        first = ik == 0
+        last = ik == iq // (bk // bq)
+    else:
+        iq, ik = pl.program_id(1), pl.program_id(2)
+        first = pl.program_id(2) == 0
+        last = pl.program_id(2) == nsteps - 1
+        if grid_banded:
+            ik = _kv_band_start(iq, bq=bq, bk=bk, nk=nk, window=window,
+                                steps=nsteps) + ik
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(first)
     def _init():
         dq_sc[:] = jnp.zeros_like(dq_sc)
         # δ = rowsum(dO∘O) − dlse, computed ONCE per q block in-kernel
@@ -293,19 +312,20 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32)
 
     run = True
-    if causal:
-        run = off + iq * bq + bq - 1 >= koff + ik * bk
-    if window is not None:
-        # newest window col for the OLDEST row in this q block
-        in_win = (koff + ik * bk + bk - 1
-                  > off + iq * bq - window)
-        run = in_win if run is True else run & in_win
+    if tri is None:
+        if causal:
+            run = off + iq * bq + bq - 1 >= koff + ik * bk
+        if window is not None:
+            # newest window col for the OLDEST row in this q block
+            in_win = (koff + ik * bk + bk - 1
+                      > off + iq * bq - window)
+            run = in_win if run is True else run & in_win
     if run is True:
         body()
     else:
         pl.when(run)(body)
 
-    @pl.when(pl.program_id(2) == nsteps - 1)
+    @pl.when(last)
     def _fin():
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
@@ -387,18 +407,28 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
 def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window, bq, bk,
-                nq, lowp, grid_banded=False):
-    ik, iq = pl.program_id(1), pl.program_id(2)
+                nq, lowp, grid_banded=False, tri=None):
     nsteps = pl.num_programs(2)
-    if grid_banded:
-        # band over q blocks for this k block (causal: start at the
-        # diagonal; window bounds the height)
-        iq = _q_band_start(ik, bq=bq, bk=bk, nq=nq,
-                           steps=nsteps) + iq
+    if tri is not None:
+        # triangular grid, k-major: k block j is attended by q blocks
+        # j·r..nq−1 (r = bk/bq); local step ``loc`` walks that span.
+        ik, loc = _tri_unrank(pl.program_id(2), tri)
+        iq = ik * (bk // bq) + loc
+        first = loc == 0
+        last = loc == nq - 1 - ik * (bk // bq)
+    else:
+        ik, iq = pl.program_id(1), pl.program_id(2)
+        first = pl.program_id(2) == 0
+        last = pl.program_id(2) == nsteps - 1
+        if grid_banded:
+            # band over q blocks for this k block (causal: start at the
+            # diagonal; window bounds the height)
+            iq = _q_band_start(ik, bq=bq, bk=bk, nq=nq,
+                               steps=nsteps) + iq
     off = off_ref[0].astype(jnp.int32)
     koff = off_ref[1].astype(jnp.int32)
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(first)
     def _init():
         dk_sc[:] = jnp.zeros_like(dk_sc)
         dv_sc[:] = jnp.zeros_like(dv_sc)
@@ -429,19 +459,20 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32)
 
     run = True
-    if causal:
-        run = off + iq * bq + bq - 1 >= koff + ik * bk
-    if window is not None:
-        # newest window col for the OLDEST row in this q block
-        in_win = (koff + ik * bk + bk - 1
-                  > off + iq * bq - window)
-        run = in_win if run is True else run & in_win
+    if tri is None:
+        if causal:
+            run = off + iq * bq + bq - 1 >= koff + ik * bk
+        if window is not None:
+            # newest window col for the OLDEST row in this q block
+            in_win = (koff + ik * bk + bk - 1
+                      > off + iq * bq - window)
+            run = in_win if run is True else run & in_win
     if run is True:
         body()
     else:
         pl.when(run)(body)
 
-    @pl.when(pl.program_id(2) == nsteps - 1)
+    @pl.when(last)
     def _fin():
         dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
@@ -471,6 +502,37 @@ def _q_band_start(j, *, bq, bk, nq, steps):
     (causal: the diagonal row block)."""
     lo = (j * bk) // bq
     return jnp.clip(lo, 0, nq - steps)
+
+
+def _tri_counts_fwd(nq, r):
+    """Inner-steps per q block for the causal TRIANGULAR grid: q block
+    ``i`` (rows [i·bq, i·bq+bq)) needs kv blocks 0..i//r where
+    ``r = bk/bq`` — count i//r + 1.  Σ over i is the grid length."""
+    return tuple(i // r + 1 for i in range(nq))
+
+
+def _tri_counts_dkv(nq, nk, r):
+    """Inner-steps per k block for the causal dK/dV triangular grid:
+    k block ``j`` (cols [j·bk, j·bk+bk)) is attended by q blocks
+    j·r..nq−1 — count nq − j·r."""
+    return tuple(nq - j * r for j in range(nk))
+
+
+def _tri_unrank(t, counts):
+    """Invert the linearized triangular grid: step ``t`` → (row, local
+    step within the row).  Static-unrolled integer compares (no sqrt);
+    runs on the scalar core in both the BlockSpec index maps and the
+    kernels — they must agree exactly, so this is the single source."""
+    offs = [0]
+    for c in counts[:-1]:
+        offs.append(offs[-1] + c)
+    row = jnp.int32(0)
+    for o in offs[1:]:
+        row = row + (t >= o).astype(jnp.int32)
+    off = jnp.int32(0)
+    for i, c in enumerate(counts[:-1]):
+        off = off + c * (row > i).astype(jnp.int32)
+    return row, t - off
 
 
 def _kv_band(i, j, *, bq, bk, nk, causal, window):
@@ -521,8 +583,18 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
 
     # banded GRIDS assume causal geometry (no future blocks); a
     # non-causal window keeps the full sweep with clipped fetches.
-    grid_banded = banded and window is not None and causal
-    if grid_banded:
+    grid_banded = banded == "band" and window is not None and causal
+    tri = None
+    if banded == "tri" and causal and window is None:
+        # triangular grid: 1D inner dim over exactly the band's block
+        # pairs; (qi, ki) recovered by _tri_unrank in kernel AND maps.
+        tri = _tri_counts_fwd(nq, bk // bq)
+        steps = sum(tri)
+        q_idx = lambda g, i, t: (g, _tri_unrank(t, tri)[0], 0)
+        kv_idx = lambda g, i, t: (g, _tri_unrank(t, tri)[1], 0)
+        lse_idx = lambda g, i, t: (g, 0, _tri_unrank(t, tri)[0])
+        grid = (bh, 1, steps)
+    elif grid_banded:
         # the grid only covers the diagonal band of KV blocks
         steps = min(_nkb(bq, bk, window), nk)
         start = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
@@ -536,22 +608,26 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
     else:
         kv_idx = lambda g, i, j: (g, j, 0)
         steps = nk
+    if tri is None:
+        q_idx = lambda g, i, j: (g, i, 0)
+        lse_idx = lambda g, i, j: (g, 0, i)
+        grid = (bh, nq, steps)
 
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded),
-        grid=(bh, nq, steps),
+                          grid_banded=grid_banded, tri=tri),
+        grid=grid,
         in_specs=[
             _SMEM_SPEC,
-            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bq, d), q_idx),
             pl.BlockSpec((1, bk, d), kv_idx),
             pl.BlockSpec((1, bk, d), kv_idx),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
+            pl.BlockSpec((1, bq, d), q_idx),
+            pl.BlockSpec((1, 8, bq), lse_idx),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -594,9 +670,22 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     do3 = do.reshape(bh, sq, d)
     o3 = o.reshape(bh, sq, d)
 
-    grid_banded = banded and window is not None and causal
+    grid_banded = banded == "band" and window is not None and causal
+    tri_q = tri_k = None
+    if banded == "tri" and causal and window is None:
+        # triangular grids (see _flash_fwd), one per kernel: q-major
+        # for dQ, k-major for dK/dV — zero idle grid steps each.
+        r = bk // bq
+        tri_q = _tri_counts_fwd(nq, r)
+        tri_k = _tri_counts_dkv(nq, nk, r)
     spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
-    if grid_banded:
+    if tri_q is not None:
+        row = lambda t: _tri_unrank(t, tri_q)[0]
+        loc = lambda t: _tri_unrank(t, tri_q)[1]
+        spec_q = pl.BlockSpec((1, bq, d), lambda g, i, t: (g, row(t), 0))
+        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, t: (g, loc(t), 0))
+        kv_steps = sum(tri_q)
+    elif grid_banded:
         kv_steps = min(_nkb(bq, bk, window), nk)
         kstart = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
                                    window=window, steps=kv_steps)
@@ -611,20 +700,27 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     else:
         spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0))
         kv_steps = nk
-    spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
+    if tri_q is not None:
+        spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, t: (g, 0, row(t)))
+        dq_grid = (bh, 1, kv_steps)
+        dq_out = [spec_q, spec_r]
+    else:
+        spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
+        dq_grid = (bh, nq, kv_steps)
+        dq_out = [
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
+        ]
 
     dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded),
-        grid=(bh, nq, kv_steps),
+                          grid_banded=grid_banded, tri=tri_q),
+        grid=dq_grid,
         in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_q,
                   spec_r, spec_r],
-        out_specs=[
-            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
-        ],
+        out_specs=dq_out,
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
@@ -641,7 +737,14 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     )(off, q3, k3, v3, o3, do3, lse, dl_in)
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
-    if grid_banded:
+    if tri_k is not None:
+        krow = lambda t: _tri_unrank(t, tri_k)[0]
+        qblk = lambda t: (_tri_unrank(t, tri_k)[0] * (bk // bq)
+                          + _tri_unrank(t, tri_k)[1])
+        spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, t: (g, qblk(t), 0))
+        spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, t: (g, 0, qblk(t)))
+        q_steps = sum(tri_k)
+    elif grid_banded:
         q_steps = min((bk + window - 2) // bq + 2, nq)
         qstart = functools.partial(_q_band_start, bq=bq, bk=bk, nq=nq,
                                    steps=q_steps)
@@ -661,22 +764,26 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
         spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
         q_steps = nq
-    spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+    if tri_k is not None:
+        spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, t: (g, krow(t), 0))
+        dkv_grid = (bh, 1, q_steps)
+    else:
+        spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+        dkv_grid = (bh, nk, q_steps)
     import os as _os
+    # the transposed experiment kernel has no triangular-grid support
     dkv = (_dkv_kernel_t if _os.environ.get("TAPER_ATTN_DKV_T") == "1"
-           else _dkv_kernel)
+           and tri_k is None else _dkv_kernel)
+    dkv_kwargs = {} if dkv is _dkv_kernel_t else {"tri": tri_k}
     dk, dv = pl.pallas_call(
         functools.partial(dkv, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nq=nq,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded),
-        grid=(bh, nk, q_steps),
+                          grid_banded=grid_banded, **dkv_kwargs),
+        grid=dkv_grid,
         in_specs=[_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
                   spec_r_t, spec_r_t],
-        out_specs=[
-            pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0)),
-        ],
+        out_specs=[spec_k_t, spec_k_t],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
             jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
@@ -755,12 +862,29 @@ def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
     used by sequence parallelism (all-gather: q_offset only) and ring
     attention (both).  Offsets must be multiples of 128 so causal block
     boundaries stay aligned."""
+    import os
+
     if scale is None:
         scale = q.shape[-1] ** -0.5
     # banded fetch schedules need statically-zero offsets (the band is
-    # computed in index maps, which cannot see the runtime offsets)
-    banded = (causal or window is not None) and \
-        q_offset is None and k_offset is None
+    # computed in index maps, which cannot see the runtime offsets).
+    # Grid modes for the masked cases:
+    #   "tri"  — triangular grid (causal, no window): the inner grid dim
+    #            enumerates exactly the causal band's block pairs; zero
+    #            idle steps.  Default for plain causal.
+    #   "band" — fixed-width banded grid (causal + window).
+    #   True   — full sweep with clipped fetches (non-causal window).
+    #   ``TAPER_ATTN_GRID=full`` forces the clipped-fetch sweep (the
+    #   pre-triangular causal schedule) for A/B racing.
+    banded = False
+    if q_offset is None and k_offset is None:
+        if causal and window is None:
+            banded = ("tri" if os.environ.get("TAPER_ATTN_GRID", "tri")
+                      == "tri" else True)
+        elif causal and window is not None:
+            banded = "band"
+        elif window is not None:
+            banded = True
     return _flash(q, k, v, _off_pair(q_offset, k_offset), causal, scale,
                   window, banded)
 
