@@ -177,7 +177,7 @@ def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
                 l_sc, acc_sc, *, scale, causal, window, bq, bk, nk, lowp,
-                grid_banded=False, tri=None):
+                grid_banded=False, tri=None, chunk=None):
     nsteps = pl.num_programs(2)
     if tri is not None:
         # TRIANGULAR grid: the inner dim enumerates ONLY the causal
@@ -228,6 +228,41 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
             preferred_element_type=jnp.float32)
         acc_sc[:] = acc_sc[:] * corr + pv
 
+    def body_chunked():
+        # DIAGONAL tile: split the KV block into ``chunk``-wide column
+        # chunks and skip the ones fully above the causal bound — the
+        # masked region of the diagonal tile costs neither MXU passes
+        # nor exp (at (512, 2048) tiles the full-tile diagonal wastes
+        # ~44% of its units; chunks of width bq align exactly with the
+        # bound, so only the last running chunk is triangle-masked).
+        q = _dot_in(q_ref[0], lowp)
+        row_max = off + iq * bq + bq - 1
+        for c in range(bk // chunk):
+            @pl.when(koff + ik * bk + c * chunk <= row_max)
+            def _(c=c):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                s = jax.lax.dot_general(
+                    q, _dot_in(k_ref[0, sl, :], lowp),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
+                          causal, window)
+                m_prev = m_sc[:, :1]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=1, keepdims=True))
+                m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+                p = jnp.exp(s - m_safe)
+                corr = jnp.exp(m_prev - m_safe)
+                l_sc[:] = jnp.broadcast_to(
+                    l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
+                    l_sc.shape)
+                m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+                v = _dot_in(v_ref[0, sl, :], lowp)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_sc[:] = acc_sc[:] * corr + pv
+
     run = True
     if tri is None:
         if causal:
@@ -237,7 +272,11 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
             in_win = (koff + ik * bk + bk - 1
                       > off + iq * bq - window)
             run = in_win if run is True else run & in_win
-    if run is True:
+    if tri is not None and chunk is not None and chunk < bk:
+        # only the last (diagonal) step pays the chunked bookkeeping
+        pl.when(last)(body_chunked)
+        pl.when(jnp.logical_not(last))(body)
+    elif run is True:
         body()
     else:
         pl.when(run)(body)
@@ -257,7 +296,8 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                dl_ref, dq_ref, delta_ref, dq_sc, dl_sc, *, scale, causal,
-               window, bq, bk, nk, lowp, grid_banded=False, tri=None):
+               window, bq, bk, nk, lowp, grid_banded=False, tri=None,
+               chunk=None):
     nsteps = pl.num_programs(2)
     if tri is not None:
         # triangular grid (see _fwd_kernel): q-major band enumeration
@@ -311,6 +351,35 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    def body_chunked():
+        # diagonal tile, chunk-skipped (see _fwd_kernel.body_chunked);
+        # no online-softmax coupling here — lse is saved, so chunks are
+        # independent accumulations into dq_sc.
+        q = _dot_in(q_ref[0], lowp)
+        do = _dot_in(do_ref[0], lowp)
+        lse_row = lse_ref[0, 0, :]
+        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        row_max = off + iq * bq + bq - 1
+        for c in range(bk // chunk):
+            @pl.when(koff + ik * bk + c * chunk <= row_max)
+            def _(c=c):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                k_c = _dot_in(k_ref[0, sl, :], lowp)
+                s = jax.lax.dot_general(
+                    q, k_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
+                          causal, window)
+                p = jnp.exp(s - lse_safe[:, None])
+                dp = jax.lax.dot_general(
+                    do, _dot_in(v_ref[0, sl, :], lowp),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = p * (dp - dl_sc[:, :1]) * scale
+                dq_sc[:] += jax.lax.dot_general(
+                    ds.astype(k_c.dtype), k_c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
     run = True
     if tri is None:
         if causal:
@@ -320,7 +389,10 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             in_win = (koff + ik * bk + bk - 1
                       > off + iq * bq - window)
             run = in_win if run is True else run & in_win
-    if run is True:
+    if tri is not None and chunk is not None and chunk < bk:
+        pl.when(last)(body_chunked)
+        pl.when(jnp.logical_not(last))(body)
+    elif run is True:
         body()
     else:
         pl.when(run)(body)
@@ -407,8 +479,9 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
 def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window, bq, bk,
-                nq, lowp, grid_banded=False, tri=None):
+                nq, lowp, grid_banded=False, tri=None, chunk=None):
     nsteps = pl.num_programs(2)
+    partial = None
     if tri is not None:
         # triangular grid, k-major: k block j is attended by q blocks
         # j·r..nq−1 (r = bk/bq); local step ``loc`` walks that span.
@@ -416,6 +489,9 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         iq = ik * (bk // bq) + loc
         first = loc == 0
         last = loc == nq - 1 - ik * (bk // bq)
+        # q blocks ending before this k block's last column leave the
+        # tile's right side fully masked — the chunk-skip targets
+        partial = loc < (bk // bq) - 1
     else:
         ik, iq = pl.program_id(1), pl.program_id(2)
         first = pl.program_id(2) == 0
@@ -458,6 +534,40 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    def body_chunked():
+        # partial tile: chunk the KV (column) axis and skip chunks past
+        # the q block's last row (see _fwd_kernel.body_chunked); each
+        # chunk accumulates into its slice of the dk/dv scratch.
+        q = _dot_in(q_ref[0], lowp)
+        do = _dot_in(do_ref[0], lowp)
+        lse_row = lse_ref[0, 0, :]
+        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        dl_row = dl_ref[0, 0, :]
+        row_max = off + iq * bq + bq - 1
+        for c in range(bk // chunk):
+            @pl.when(koff + ik * bk + c * chunk <= row_max)
+            def _(c=c):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                s = jax.lax.dot_general(
+                    q, _dot_in(k_ref[0, sl, :], lowp),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
+                          causal, window)
+                p = jnp.exp(s - lse_safe[:, None])
+                pv = p.astype(do.dtype)
+                dv_sc[sl, :] += jax.lax.dot_general(
+                    pv, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(
+                    do, _dot_in(v_ref[0, sl, :], lowp),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = p * (dp - dl_row[:, None]) * scale
+                dk_sc[sl, :] += jax.lax.dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
     run = True
     if tri is None:
         if causal:
@@ -467,7 +577,11 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             in_win = (koff + ik * bk + bk - 1
                       > off + iq * bq - window)
             run = in_win if run is True else run & in_win
-    if run is True:
+    if (tri is not None and chunk is not None and chunk < bk
+            and partial is not None):
+        pl.when(partial)(body_chunked)
+        pl.when(jnp.logical_not(partial))(body)
+    elif run is True:
         body()
     else:
         pl.when(run)(body)
@@ -613,11 +727,21 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
         lse_idx = lambda g, i, j: (g, 0, i)
         grid = (bh, nq, steps)
 
+    import os as _os
+    # TAPER_ATTN_CHUNK=1 splits each diagonal tile into bq-wide column
+    # chunks and pl.when-skips the fully-masked ones.  Measured NEGATIVE
+    # on v5e (benchmarks/sweep_attn_tri + /tmp race, bf16 S=4096: fwd
+    # 869 → 1088 µs): the 4 small dots + 4× online-softmax bookkeeping
+    # cost more than the ~25% masked compute they save.  Kept as a
+    # documented experiment, off by default (same policy as
+    # TAPER_ATTN_DKV_T).
+    chunk = (bq if tri is not None
+             and _os.environ.get("TAPER_ATTN_CHUNK", "0") == "1" else None)
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded, tri=tri),
+                          grid_banded=grid_banded, tri=tri, chunk=chunk),
         grid=grid,
         in_specs=[
             _SMEM_SPEC,
@@ -712,11 +836,16 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
         ]
 
+    import os as _os
+    # TAPER_ATTN_CHUNK=1: chunk-skip the masked side of diagonal tiles
+    # (see _flash_fwd) — measured NEGATIVE, off by default.
+    chunk = (bq if tri_q is not None
+             and _os.environ.get("TAPER_ATTN_CHUNK", "0") == "1" else None)
     dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded, tri=tri_q),
+                          grid_banded=grid_banded, tri=tri_q, chunk=chunk),
         grid=dq_grid,
         in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_q,
                   spec_r, spec_r],
@@ -770,11 +899,11 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     else:
         spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
         dkv_grid = (bh, nk, q_steps)
-    import os as _os
     # the transposed experiment kernel has no triangular-grid support
     dkv = (_dkv_kernel_t if _os.environ.get("TAPER_ATTN_DKV_T") == "1"
            and tri_k is None else _dkv_kernel)
-    dkv_kwargs = {} if dkv is _dkv_kernel_t else {"tri": tri_k}
+    dkv_kwargs = ({} if dkv is _dkv_kernel_t
+                  else {"tri": tri_k, "chunk": chunk})
     dk, dv = pl.pallas_call(
         functools.partial(dkv, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nq=nq,

@@ -81,6 +81,34 @@ def test_flash_bwd_multiblock(monkeypatch):
         np.testing.assert_allclose(b, a, atol=5e-5)
 
 
+@pytest.mark.parametrize("grid,chunk", [("tri", "0"), ("tri", "1"),
+                                        ("full", "0")])
+def test_flash_causal_grid_variants_match_oracle(grid, chunk, monkeypatch):
+    # triangular vs clipped-fetch full-sweep causal grids, and the
+    # chunk-skipped diagonal experiment, all against the oracle — with
+    # bk = 2*bq so the tri unranking sees r > 1 (partial tiles exist)
+    monkeypatch.setenv("TAPER_ATTN_GRID", grid)
+    monkeypatch.setenv("TAPER_ATTN_CHUNK", chunk)
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None: (128, 256))
+    monkeypatch.setattr(A, "_blocks_bwd",
+                        lambda sq, sk, window=None: (128, 256))
+    q, k, v = _qkv(jax.random.PRNGKey(7), 1, 2, 512, 16)
+
+    def f(att):
+        return lambda q, k, v: jnp.sum(att(q, k, v) ** 2)
+
+    ref = X.attention(q, k, v, causal=True)
+    got = A.flash_attention(q, k, v, True)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    gr = jax.grad(f(lambda q, k, v: X.attention(q, k, v, causal=True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(f(lambda q, k, v: A.flash_attention(q, k, v, True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(b, a, atol=5e-5)
+
+
 def test_attention_dispatch_falls_back_for_unaligned_seq():
     q, k, v = _qkv(jax.random.PRNGKey(4), 1, 2, 100, 16)
     with ops.use_backend("pallas"):
