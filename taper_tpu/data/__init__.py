@@ -3,9 +3,9 @@
 from taper_tpu.data.mnist import (
     MNISTDataset, parse_idx_images, parse_idx_labels, synthesize_images,
 )
-from taper_tpu.data.loader import DataLoader
+from taper_tpu.data.loader import DataLoader, PrefetchLoader
 
 __all__ = [
-    "MNISTDataset", "DataLoader",
+    "MNISTDataset", "DataLoader", "PrefetchLoader",
     "parse_idx_images", "parse_idx_labels", "synthesize_images",
 ]

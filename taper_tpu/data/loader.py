@@ -12,6 +12,8 @@ element of the yielded tuple when ``with_count=True``.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -62,3 +64,74 @@ class DataLoader:
             else:
                 yield x, y
         self.reset()  # reshuffle for the next epoch (mnist.rs:380)
+
+
+class PrefetchLoader:
+    """Pipeline a batch iterable onto the device ahead of compute.
+
+    A worker thread pulls batches from the wrapped loader, stages each
+    element on device with ``jax.device_put`` (optionally with a
+    ``Sharding`` so multi-chip runs land batches pre-sharded), and keeps
+    up to ``prefetch`` staged batches in a bounded queue.  The training
+    loop then consumes device-resident arrays while the NEXT batch's
+    host gather + transfer are already in flight — on TPU the host link
+    is the slow side (see the measurement notes in ``bench.py``), so
+    this hides it entirely once ``prefetch ≥ 1``.
+
+    The reference has nothing comparable: its loader gathers rows
+    synchronously inside the step (``mnist.rs:276-309``).  This is the
+    idiomatic JAX double-buffering pattern (cf. flax
+    ``prefetch_to_device``), reimplemented so the framework has no flax
+    dependency.  Drop-in: ``Trainer.train_epoch(PrefetchLoader(loader))``.
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, prefetch: int = 2, sharding=None):
+        if prefetch < 1:
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+        self.loader = loader
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def _stage(self, batch):
+        import jax
+        return tuple(
+            jax.device_put(np.asarray(b), self.sharding)
+            if isinstance(b, np.ndarray) or hasattr(b, "shape") else b
+            for b in batch)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(self._stage(batch))
+            except BaseException as e:  # surface in the consumer thread
+                q.put(e)
+                return
+            q.put(self._DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # On early exit, drain so the worker can finish and the
+            # thread never blocks forever on a full queue.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.01)

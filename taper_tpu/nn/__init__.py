@@ -7,6 +7,7 @@ from taper_tpu.nn.layers import (
     MaxPool2d, AvgPool2d, AdaptiveAvgPool2d,
     Flatten, Dropout, BatchNorm2d, BasicBlock,
 )
+from taper_tpu.nn.lora import LoRA
 from taper_tpu.nn.transformer import (
     LayerNorm, Embedding, MultiHeadAttention, MLPBlock, TransformerBlock,
     MoEMLP,
@@ -19,5 +20,5 @@ __all__ = [
     "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d",
     "Flatten", "Dropout", "BatchNorm2d", "BasicBlock",
     "LayerNorm", "Embedding", "MultiHeadAttention", "MLPBlock",
-    "TransformerBlock", "MoEMLP",
+    "TransformerBlock", "MoEMLP", "LoRA",
 ]

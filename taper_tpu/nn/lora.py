@@ -1,0 +1,147 @@
+"""LoRA: low-rank adaptation for parameter-efficient fine-tuning.
+
+Beyond the reference (which has no fine-tuning story at all); included
+because a production framework's serving models are overwhelmingly tuned
+this way (Hu et al., 2021, arXiv:2106.09685).
+
+The design is a pure *pytree transform*, matching the functional module
+system (``nn/module.py``): no layer classes are wrapped or re-built.
+
+* ``lora.init(key, base_params)`` returns a tree with the SAME structure
+  whose matched 2-D weight leaves become ``{"a": [r, in], "b": [out, r]}``
+  factor pairs (``b`` zero-init, so the adapted model starts exactly at
+  the base model) and all other leaves become ``None``.
+* ``lora.patch(base_params, lora_params)`` returns a params tree where
+  every matched leaf is ``W + (alpha/r) * b @ a`` — call the original
+  ``model.apply(patched, x)`` unchanged.  Under ``jit`` the rank-r
+  product adds ``out*in*r`` FLOPs per weight (negligible at r≪dim) and
+  XLA fuses the add into the consumer matmul's operand stream.
+* Training differentiates ``loss(lora_p) = f(patch(base, lora_p))`` so
+  gradients and **optimizer state exist only for the factors** — the
+  memory win that motivates LoRA (Adam m/v for 2·r·(in+out) instead of
+  in·out numbers per weight).  The base tree is a closed-over constant;
+  nothing needs the optimizer's frozen-leaf masking.
+* ``lora.merge(base_params, lora_params)`` materializes the patched tree
+  once for serving (zero inference overhead thereafter).
+
+TPU notes: the per-step patch is one small MXU matmul per adapted weight
+plus an HBM-bandwidth add; both fuse into the existing step program.  On
+a mesh, factors inherit the base weight's sharding rule by construction
+(``a`` row-sharded like W's columns, ``b`` like W's rows) when the
+patched tree is what ``pjit`` sees.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _leaf_name(path) -> str:
+    last = path[-1]
+    for attr in ("key", "name", "idx"):
+        if hasattr(last, attr):
+            return str(getattr(last, attr))
+    return str(last)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(p, attr):
+                parts.append(str(getattr(p, attr)))
+                break
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def default_match(path, leaf) -> bool:
+    """Adapt 2-D weight leaves whose name starts with ``w`` (the
+    framework convention: ``w, wq, wk, wv, wo, w1, w2``), skipping
+    embedding tables (``tok``/``pos``/``emb`` anywhere in the path) —
+    the standard LoRA target set (attention + MLP projections)."""
+    if not hasattr(leaf, "ndim") or leaf.ndim != 2:
+        return False
+    if not _leaf_name(path).startswith("w"):
+        return False
+    lowered = _path_str(path).lower()
+    return not any(t in lowered for t in ("tok", "pos", "emb"))
+
+
+class LoRA:
+    def __init__(self, rank: int = 8, alpha: float = 16.0,
+                 match: Optional[Callable] = None,
+                 exclude: Sequence[str] = ()):
+        """``match(path, leaf) -> bool`` selects leaves to adapt
+        (default: :func:`default_match`); ``exclude`` drops any path
+        containing one of the given substrings on top of that."""
+        if rank < 1:
+            raise ValueError(f"rank must be >= 1, got {rank}")
+        self.rank = rank
+        self.alpha = float(alpha)
+        self._match = match or default_match
+        self.exclude = tuple(exclude)
+
+    def _selected(self, path, leaf) -> bool:
+        if not self._match(path, leaf):
+            return False
+        p = _path_str(path).lower()
+        return not any(t in p for t in self.exclude)
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+    def init(self, key, base_params):
+        """Factor tree: ``{"a","b"}`` at matched leaves, ``None`` elsewhere.
+
+        ``a`` ~ N(0, 1/r) (He-style over the rank contraction), ``b`` = 0
+        so ``patch(base, init(...)) == base`` exactly.
+        """
+        paths = jax.tree_util.tree_flatten_with_path(base_params)[0]
+        n_sel = sum(self._selected(p, l) for p, l in paths) or 1
+        keys = iter(jax.random.split(key, n_sel))
+
+        def factorize(path, leaf):
+            if not self._selected(path, leaf):
+                return None
+            out_f, in_f = leaf.shape
+            a = jax.random.normal(next(keys), (self.rank, in_f),
+                                  jnp.float32) / jnp.sqrt(self.rank)
+            b = jnp.zeros((out_f, self.rank), jnp.float32)
+            return {"a": a.astype(leaf.dtype), "b": b.astype(leaf.dtype)}
+
+        return jax.tree_util.tree_map_with_path(factorize, base_params)
+
+    def _is_factor(self, x) -> bool:
+        return isinstance(x, dict) and set(x) == {"a", "b"}
+
+    def patch(self, base_params, lora_params):
+        """Base tree with matched leaves replaced by ``W + scale·(b@a)``.
+
+        Pure and jit-friendly; differentiate wrt ``lora_params`` only.
+        """
+        def add(f, w):
+            if f is None:
+                return w
+            delta = (f["b"].astype(jnp.float32)
+                     @ f["a"].astype(jnp.float32)) * self.scale
+            return w + delta.astype(w.dtype)
+
+        # Traverse the factor tree (whose leaves are None / {"a","b"}
+        # dicts per is_leaf); the base tree rides along positionally.
+        return jax.tree.map(add, lora_params, base_params,
+                            is_leaf=lambda x: x is None
+                            or self._is_factor(x))
+
+    def merge(self, base_params, lora_params):
+        """Materialized patched tree for serving (adapter folded in)."""
+        return jax.tree.map(lambda x: x, self.patch(base_params,
+                                                    lora_params))
+
+    def param_count(self, lora_params) -> int:
+        return sum(l.size for l in jax.tree_util.tree_leaves(lora_params))

@@ -9,7 +9,9 @@ arrays; metadata (epoch, metrics, ...) rides along as object-free scalars.
 
 from __future__ import annotations
 
+import json
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -42,17 +44,31 @@ def save_checkpoint(path: str, tree: Any,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, template: Any):
+def load_checkpoint(path: str, template: Any, shardings: Any = None):
     """Restore a pytree with the structure of ``template`` from ``path``.
 
     Returns ``(tree, metadata)``.  Every leaf present in the template must
     exist in the file with a matching shape.
+
+    ``shardings`` (optional) is a pytree with the same structure whose
+    leaves are ``jax.sharding.Sharding`` (or ``None``): each restored leaf
+    is ``jax.device_put`` with its sharding, so a multi-chip run can load
+    a checkpoint directly into its mesh layout — including a layout
+    *different* from the one that saved it (the file stores full host
+    arrays, so restore-with-resharding is free).
     """
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    shard_leaves = (jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: x is None)
+        if shardings is not None else [None] * len(paths))
+    if len(shard_leaves) != len(paths):
+        raise ValueError(
+            f"shardings tree has {len(shard_leaves)} leaves, template has "
+            f"{len(paths)}")
     leaves = []
-    for p, tmpl in paths:
+    for (p, tmpl), shard in zip(paths, shard_leaves):
         key = f"leaf::{_path_str(p)}"
         if key not in stored:
             raise KeyError(f"checkpoint missing leaf {key}")
@@ -61,8 +77,156 @@ def load_checkpoint(path: str, template: Any):
             raise ValueError(
                 f"shape mismatch for {key}: checkpoint {arr.shape} vs "
                 f"template {np.shape(tmpl)}")
-        leaves.append(arr.astype(np.asarray(tmpl).dtype))
+        arr = arr.astype(np.asarray(tmpl).dtype)
+        leaves.append(jax.device_put(arr, shard) if shard is not None
+                      else arr)
     tree = jax.tree_util.tree_unflatten(treedef, leaves)
     metadata = {k[len("meta::"):]: stored[k].item()
                 for k in stored if k.startswith("meta::")}
     return tree, metadata
+
+
+class CheckpointManager:
+    """Rotating checkpoint directory with retention policy and async save.
+
+    The reference stops at a single write-only text dump
+    (``train.rs:264-292``); a production trainer needs the surrounding
+    machinery, which this provides:
+
+    * ``save(step, tree)`` writes ``ckpt_<step>.npz`` (atomic rename);
+    * keeps the newest ``max_to_keep`` steps, PLUS the ``keep_best``
+      steps by ``metric`` (``mode='min'`` for losses, ``'max'`` for
+      accuracies) — a best-val checkpoint survives rotation;
+    * ``async_save=True`` snapshots the tree to host synchronously (so
+      later in-place mutation or buffer donation cannot corrupt the
+      file) and does the npz write on a background thread — training
+      continues while bytes hit disk; ``wait()`` joins;
+    * ``restore(template, step=None, shardings=None)`` loads the given
+      (default: latest) step, with optional resharding onto a mesh.
+
+    A ``manifest.json`` in the directory records step → (file, metric)
+    and is rewritten atomically after every save/rotation, so a killed
+    run resumes from whatever the manifest last committed.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 keep_best: int = 0, mode: str = "min",
+                 async_save: bool = False):
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+        self.directory = directory
+        self.max_to_keep = max_to_keep
+        self.keep_best = keep_best
+        self.mode = mode
+        self.async_save = async_save
+        self._lock = threading.Lock()
+        self._pending: Optional[threading.Thread] = None
+        os.makedirs(directory, exist_ok=True)
+        self._manifest: Dict[str, Dict] = self._read_manifest()
+
+    # -- manifest -----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.directory, "manifest.json")
+
+    def _read_manifest(self) -> Dict[str, Dict]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
+    # -- queries ------------------------------------------------------
+    def all_steps(self):
+        return sorted(int(s) for s in self._manifest)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def best_step(self) -> Optional[int]:
+        scored = [(int(s), e["metric"]) for s, e in self._manifest.items()
+                  if e.get("metric") is not None]
+        if not scored:
+            return None
+        sign = 1 if self.mode == "min" else -1
+        return min(scored, key=lambda kv: (sign * kv[1], -kv[0]))[0]
+
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step:010d}.npz")
+
+    # -- save ---------------------------------------------------------
+    def save(self, step: int, tree: Any,
+             metadata: Optional[Dict[str, float]] = None,
+             metric: Optional[float] = None) -> str:
+        """Write ``tree`` for ``step``; returns the checkpoint path.
+
+        With ``async_save`` the device→host fetch happens here (the
+        point-in-time snapshot) and the disk write on a worker thread.
+        """
+        # Snapshot on the caller's thread: jax.Array leaves fetch to
+        # host; mutable numpy leaves are copied.
+        host_tree = jax.tree.map(lambda x: np.array(x), tree)
+        path = self._step_path(step)
+
+        def commit():
+            save_checkpoint(path, host_tree, metadata)
+            with self._lock:
+                self._manifest[str(step)] = {
+                    "file": os.path.basename(path),
+                    "metric": None if metric is None else float(metric),
+                }
+                self._rotate_locked()
+                self._write_manifest()
+
+        if self.async_save:
+            self.wait()                       # one in-flight write at a time
+            self._pending = threading.Thread(target=commit, daemon=True)
+            self._pending.start()
+        else:
+            commit()
+        return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
+    def _rotate_locked(self) -> None:
+        steps = sorted(int(s) for s in self._manifest)
+        keep = set(steps[-self.max_to_keep:] if self.max_to_keep else steps)
+        if self.keep_best:
+            sign = 1 if self.mode == "min" else -1
+            scored = sorted(
+                ((s, self._manifest[str(s)]["metric"]) for s in steps
+                 if self._manifest[str(s)].get("metric") is not None),
+                key=lambda kv: (sign * kv[1], -kv[0]))
+            keep.update(s for s, _ in scored[:self.keep_best])
+        for s in steps:
+            if s not in keep:
+                entry = self._manifest.pop(str(s))
+                try:
+                    os.remove(os.path.join(self.directory, entry["file"]))
+                except OSError:
+                    pass
+
+    # -- restore ------------------------------------------------------
+    def restore(self, template: Any, step: Optional[int] = None,
+                shardings: Any = None):
+        """Load ``step`` (default: latest); returns ``(tree, metadata)``."""
+        self.wait()
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoints in {self.directory}")
+        if str(step) not in self._manifest:
+            raise KeyError(f"step {step} not in manifest "
+                           f"(have {self.all_steps()})")
+        return load_checkpoint(self._step_path(step), template, shardings)

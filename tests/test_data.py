@@ -124,3 +124,54 @@ def test_dataloader_shapes_and_reshuffle():
     assert len(batches) == 3
     assert batches[-1][2] == 2  # true count of ragged tail
     assert batches[-1][0].shape == (4, 1)  # padded to full batch
+
+
+def test_prefetch_loader_matches_base_and_lands_on_device():
+    import jax
+    from taper_tpu.data.loader import PrefetchLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 40
+
+        def get_batch(self, idx):
+            return (np.arange(80, dtype=np.float32).reshape(40, 2)[idx],
+                    np.arange(40, dtype=np.int32)[idx])
+
+    base = DataLoader(FakeDS(), batch_size=8, shuffle=True, seed=3)
+    want = [(x.copy(), y.copy()) for x, y in base]
+    base2 = DataLoader(FakeDS(), batch_size=8, shuffle=True, seed=3)
+    got = list(PrefetchLoader(base2, prefetch=3))
+    assert len(got) == len(want) == len(base2)
+    for (wx, wy), (gx, gy) in zip(want, got):
+        assert isinstance(gx, jax.Array)       # staged on device
+        np.testing.assert_array_equal(np.asarray(gx), wx)
+        np.testing.assert_array_equal(np.asarray(gy), wy)
+
+
+def test_prefetch_loader_with_sharding_and_error_propagation():
+    import jax
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from taper_tpu.data.loader import PrefetchLoader
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    def batches():
+        for i in range(3):
+            yield (np.full((16, 4), i, np.float32),
+                   np.full((16,), i, np.int32))
+
+    out = list(PrefetchLoader(batches(), sharding=shard))
+    assert len(out) == 3
+    assert out[0][0].sharding == shard
+
+    def bad():
+        yield (np.zeros((8, 2), np.float32), np.zeros((8,), np.int32))
+        raise RuntimeError("loader exploded")
+
+    it = iter(PrefetchLoader(bad()))
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it)

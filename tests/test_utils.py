@@ -52,3 +52,83 @@ def test_checkpoint_missing_leaf_and_shape_mismatch(tmp_path):
                                     "extra": np.ones(2)})
     with pytest.raises(ValueError):
         ckpt.load_checkpoint(path, {"w": np.ones((4, 3))})
+
+
+# ---------------------------------------------------------------------------
+# CheckpointManager: rotation, best-k retention, async snapshot semantics,
+# sharded restore.  (The reference has no checkpoint management at all —
+# train.rs:264-292 is a single write-only dump.)
+# ---------------------------------------------------------------------------
+
+def _ckpt_files(d):
+    import os
+    return sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+
+
+def test_manager_rotation_keeps_last_k(tmp_path):
+    mgr = ckpt.CheckpointManager(str(tmp_path), max_to_keep=2)
+    for step in range(5):
+        mgr.save(step, {"w": np.full((2,), step, np.float32)})
+    assert mgr.all_steps() == [3, 4]
+    assert len(_ckpt_files(tmp_path)) == 2
+    tree, _ = mgr.restore({"w": np.zeros((2,), np.float32)})
+    np.testing.assert_array_equal(tree["w"], np.full((2,), 4))
+
+
+def test_manager_keep_best_survives_rotation(tmp_path):
+    mgr = ckpt.CheckpointManager(str(tmp_path), max_to_keep=1,
+                                 keep_best=1, mode="min")
+    losses = [3.0, 0.5, 2.0, 1.0]          # best is step 1
+    for step, m in enumerate(losses):
+        mgr.save(step, {"w": np.full((2,), step, np.float32)}, metric=m)
+    assert mgr.best_step() == 1
+    assert set(mgr.all_steps()) == {1, 3}   # best + newest
+    tree, _ = mgr.restore({"w": np.zeros((2,), np.float32)}, step=1)
+    np.testing.assert_array_equal(tree["w"], np.full((2,), 1))
+
+
+def test_manager_async_save_snapshots_before_mutation(tmp_path):
+    mgr = ckpt.CheckpointManager(str(tmp_path), async_save=True)
+    w = np.arange(4, dtype=np.float32)
+    mgr.save(0, {"w": w})
+    w += 100.0                              # mutate AFTER save returns
+    mgr.wait()
+    tree, _ = mgr.restore({"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(tree["w"], np.arange(4, dtype=np.float32))
+
+
+def test_manager_restore_latest_and_metadata(tmp_path):
+    mgr = ckpt.CheckpointManager(str(tmp_path))
+    mgr.save(7, {"w": np.ones((2,), np.float32)},
+             metadata={"epoch": 7.0})
+    mgr2 = ckpt.CheckpointManager(str(tmp_path))   # fresh process view
+    assert mgr2.latest_step() == 7
+    tree, meta = mgr2.restore({"w": np.zeros((2,), np.float32)})
+    assert meta["epoch"] == 7.0
+    with pytest.raises(KeyError):
+        mgr2.restore({"w": np.zeros((2,), np.float32)}, step=99)
+
+
+def test_load_checkpoint_resharding_onto_mesh(tmp_path):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    tree = {"w": np.arange(64, dtype=np.float32).reshape(8, 8),
+            "b": np.arange(8, dtype=np.float32)}
+    path = str(tmp_path / "sharded.npz")
+    ckpt.save_checkpoint(path, tree)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    shardings = {"w": NamedSharding(mesh, P("data", "model")),
+                 "b": NamedSharding(mesh, P("model"))}
+    restored, _ = ckpt.load_checkpoint(path, tree, shardings=shardings)
+    assert restored["w"].sharding == shardings["w"]
+    assert restored["b"].sharding == shardings["b"]
+    np.testing.assert_array_equal(np.asarray(restored["w"]), tree["w"])
+    np.testing.assert_array_equal(np.asarray(restored["b"]), tree["b"])
+
+    # resharding on load: a DIFFERENT layout than saved-from is fine
+    resharded, _ = ckpt.load_checkpoint(
+        path, tree, shardings={"w": NamedSharding(mesh, P("model", None)),
+                               "b": NamedSharding(mesh, P())})
+    np.testing.assert_array_equal(np.asarray(resharded["w"]), tree["w"])
