@@ -30,18 +30,22 @@ def sort_task_vocab(base: int = 10) -> int:
     return base + 2
 
 
-def sort_task_batch(key, batch: int, length: int, base: int = 10):
+def sort_task_batch(key, batch: int, length: int, base: int = 10,
+                    descending: bool = False):
     """Returns ``(tokens [B, S], targets [B, S], mask [S])`` with
     ``S = 2·length + 2``; jit-safe (shapes static in ``batch``/``length``).
 
     ``targets[:, j] = tokens[:, j+1]`` (last position padded with BOS and
     masked out); ``mask[j] = 1`` iff the target at ``j`` is a sorted-segment
-    digit.
+    digit.  ``descending=True`` reverses the sorted segment — the
+    fine-tuning "task shift" used by ``examples/lora_finetune.py``.
     """
     sep = jnp.int32(base)
     bos = jnp.int32(base + 1)
     digits = jax.random.randint(key, (batch, length), 0, base, jnp.int32)
     s = jnp.sort(digits, axis=1)
+    if descending:
+        s = s[:, ::-1]
     tokens = jnp.concatenate([
         jnp.full((batch, 1), bos),
         digits,

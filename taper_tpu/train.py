@@ -634,7 +634,15 @@ class Trainer:
 
     def fit(self, train_loader, val_images, val_labels, epochs: int,
             early_stop_acc: float = 0.99, log_every: int = 0,
-            verbose: bool = True) -> Metrics:
+            verbose: bool = True, ckpt_manager=None) -> Metrics:
+        """Epoch loop: train, evaluate, schedule, optionally checkpoint.
+
+        ``ckpt_manager`` (a :class:`utils.checkpoint.CheckpointManager`)
+        saves {params, opt_state} after every epoch keyed by the epoch
+        index, with val loss as the retention metric — so ``keep_best``
+        preserves the best-validation epoch through rotation and
+        ``async_save`` overlaps the write with the next epoch.
+        """
         for _ in range(epochs):
             t0 = time.perf_counter()
             tr = self.train_epoch(train_loader, log_every=log_every)
@@ -647,11 +655,21 @@ class Trainer:
             if self.scheduler is not None:
                 lr = self.scheduler.step(va["loss"])
                 self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
+            if ckpt_manager is not None:
+                epoch = len(self.metrics.val_acc)
+                ckpt_manager.save(
+                    epoch, {"params": self.params,
+                            "opt_state": self.opt_state},
+                    metadata={"epochs": float(epoch),
+                              "val_acc": va["acc"]},
+                    metric=va["loss"])
             if va["acc"] > early_stop_acc:
                 if verbose:
                     print(f"early stop: val acc {va['acc']*100:.2f}% > "
                           f"{early_stop_acc*100:.1f}%")
                 break
+        if ckpt_manager is not None:
+            ckpt_manager.wait()
         return self.metrics
 
     # -- checkpointing -----------------------------------------------------
@@ -666,6 +684,25 @@ class Trainer:
             path, {"params": self.params, "opt_state": self.opt_state})
         self.params = jax.tree.map(jnp.asarray, tree["params"])
         self.opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+
+    def restore(self, manager, step: Optional[int] = None) -> int:
+        """Resume {params, opt_state} from a CheckpointManager.
+
+        Loads ``step`` (default: latest committed in the manifest),
+        fast-forwards the LR scheduler by the stored epoch count, and
+        returns that epoch count — pass ``epochs - resumed`` to ``fit``
+        to finish an interrupted run.
+        """
+        tree, meta = manager.restore(
+            {"params": self.params, "opt_state": self.opt_state}, step=step)
+        self.params = jax.tree.map(jnp.asarray, tree["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+        epochs = int(meta.get("epochs", 0))
+        if self.scheduler is not None:
+            for _ in range(epochs):
+                self.opt_state = self.optimizer.set_lr(
+                    self.opt_state, self.scheduler.step(None))
+        return epochs
 
 
 def quick_train_mnist(model, lr: float = 1e-3, epochs: int = 10,

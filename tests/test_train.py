@@ -326,3 +326,29 @@ def test_dataset_normalize():
     ds.images = np.array([[0.0, 1.0]], np.float32)
     ds.normalize(0.5, 0.5)
     np.testing.assert_allclose(ds.images, [[-1.0, 1.0]])
+
+
+def test_fit_with_checkpoint_manager_and_restore(tmp_path):
+    from taper_tpu.utils.checkpoint import CheckpointManager
+
+    ds = FakeDataset(n=256)
+    loader = DataLoader(ds, batch_size=64, seed=0)
+    trainer, _ = _small_trainer(scheduler=optim.StepLR(1e-2, 2, 0.5))
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2, keep_best=1,
+                            mode="min", async_save=True)
+    trainer.fit(loader, ds.images, ds.labels, epochs=4,
+                early_stop_acc=2.0, verbose=False, ckpt_manager=mgr)
+    # 4 epochs saved; rotation keeps newest 2 (+ best, which may overlap)
+    steps = mgr.all_steps()
+    assert {3, 4}.issubset(set(steps)) or len(steps) >= 2
+    assert mgr.latest_step() == 4
+
+    # fresh trainer resumes from the manager: params land where the
+    # original finished and the scheduler is fast-forwarded
+    t2, _ = _small_trainer(scheduler=optim.StepLR(1e-2, 2, 0.5))
+    done = t2.restore(mgr)
+    assert done == 4
+    assert t2.scheduler.epoch == 4
+    a1 = trainer.evaluate(ds.images, ds.labels)
+    a2 = t2.evaluate(ds.images, ds.labels)
+    np.testing.assert_allclose(a1["loss"], a2["loss"], rtol=1e-6)

@@ -168,6 +168,13 @@ def test_sort_task_batch_layout():
     assert (t[:, 0] == 11).all() and (t[:, 8] == 10).all()
     for r in t:
         np.testing.assert_array_equal(np.sort(r[1:8]), r[9:16])
+    # descending=True reverses exactly the sorted segment
+    toks_d, _, mask_d = sort_task_batch(jax.random.PRNGKey(0), 4, 7,
+                                        descending=True)
+    d = np.asarray(toks_d)
+    np.testing.assert_array_equal(d[:, :9], t[:, :9])   # prompt identical
+    np.testing.assert_array_equal(d[:, 9:16], t[:, 15:8:-1])
+    np.testing.assert_array_equal(np.asarray(mask_d), np.asarray(mask))
 
 
 def test_tinygpt_learns_sort_task():
