@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--length", type=int, default=63,
                     help="digits per sequence (S = 2*length + 2)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--opt", default="adam",
+                    choices=["adam", "adamw", "lion", "muon", "adafactor"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk (params/softmax/logits stay f32)")
     ap.add_argument("--eval-every", type=int, default=100)
@@ -74,7 +76,19 @@ def main():
           f"S={seq} vocab={vocab} params={model.param_count(params):,} "
           f"backend={args.backend} bf16={args.bf16}")
 
-    opt = optim.Adam(args.lr, weight_decay=0.0)
+    # --lr keeps its Adam-scale default; Lion wants ~10x less and Muon
+    # ~20x more, so those pick their own defaults unless --lr is changed.
+    make_opt = {
+        "adam": lambda: optim.Adam(args.lr, weight_decay=0.0),
+        "adamw": lambda: optim.AdamW(args.lr, weight_decay=0.01),
+        "lion": lambda: optim.Lion(
+            args.lr / 10 if args.lr == 1e-3 else args.lr),
+        "muon": lambda: optim.Muon(
+            0.02 if args.lr == 1e-3 else args.lr, adam_lr=args.lr),
+        "adafactor": lambda: optim.Adafactor(
+            0.05 if args.lr == 1e-3 else args.lr),
+    }
+    opt = make_opt[args.opt]()
     opt_state = opt.init(params)
 
     def loss_fn(params, key):

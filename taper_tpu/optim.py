@@ -32,6 +32,10 @@ Parity inventory:
   ``ReduceLROnPlateau`` — ``src/optim.rs:190-352``
 * ``Adafactor`` — beyond-reference: factored second moments for
   large-model training (see its docstring)
+* ``Lion`` — beyond-reference: sign-of-momentum (arXiv:2302.06675),
+  one moment, bf16-robust
+* ``Muon`` — beyond-reference: Newton-Schulz orthogonalized momentum
+  for matrices (matmul-only inner loop — MXU work), Adam fallback
 
 Non-trainable leaves (names starting with ``running_``, e.g. BatchNorm
 statistics) are masked out of every update.
@@ -374,6 +378,162 @@ class Adafactor(Optimizer):
         if self.beta1 > 0.0:
             out["m"] = jax.tree.unflatten(treedef, new_m)
         return jax.tree.unflatten(treedef, new_p), out
+
+    def zero_grad(self, grads):
+        return jax.tree.map(jnp.zeros_like, grads)
+
+
+class Lion(Optimizer):
+    """Lion (Chen et al. 2023, arXiv:2302.06675) — sign-of-momentum updates.
+
+    Beyond-reference scope.  State is ONE moment (half of Adam's), and the
+    update magnitude is exactly ``lr`` per element (sign), which makes it
+    robust in bf16 — both properties that matter at large scale on TPU.
+    Decoupled weight decay as in the paper.  Typical lr is 3-10× smaller
+    than Adam's with 3-10× larger weight decay.
+    """
+
+    def __init__(self, lr: float = 1e-4, betas=(0.9, 0.99),
+                 weight_decay: float = 0.0):
+        super().__init__(lr, weight_decay)
+        self.b1, self.b2 = float(betas[0]), float(betas[1])
+
+    def init(self, params) -> State:
+        return {"lr": jnp.asarray(self.lr, jnp.float32),
+                "m": jax.tree.map(jnp.zeros_like, params),
+                "mask": _trainable_mask(params)}
+
+    def update(self, grads, state, params):
+        lr = state["lr"]
+
+        def upd(p, g, m, k):
+            g = g.astype(jnp.float32)
+            u = jnp.sign(self.b1 * m + (1.0 - self.b1) * g)
+            p_out = p.astype(jnp.float32)
+            if self.weight_decay != 0.0:
+                p_out = p_out * (1.0 - lr * self.weight_decay)
+            p_out = (p_out - lr * u).astype(p.dtype)
+            m = self.b2 * m + (1.0 - self.b2) * g
+            return jnp.where(k > 0, p_out, p), jnp.where(k > 0, m, 0.0)
+
+        flat = jax.tree.map(upd, params, grads, state["m"], state["mask"])
+        pick = lambda i: jax.tree.map(
+            lambda tup: tup[i], flat,
+            is_leaf=lambda tup: isinstance(tup, tuple))
+        return pick(0), {**state, "m": pick(1)}
+
+    def zero_grad(self, grads):
+        return jax.tree.map(jnp.zeros_like, grads)
+
+
+def newton_schulz_orthogonalize(x, steps: int = 5, eps: float = 1e-7):
+    """Approximately project a matrix onto the nearest semi-orthogonal one.
+
+    Quintic Newton-Schulz iteration with the tuned coefficients from Muon
+    (Jordan et al. 2024): after ``steps`` iterations the singular values
+    of the result lie in roughly [0.7, 1.3] (NOT exactly 1 — Muon only
+    needs the spectrum flattened, not exact).  All compute is matmuls —
+    this runs on the MXU, which is why Muon is a natural TPU optimizer.
+    Works on ``[r, c]``; internally transposes so the Gram matrix is the
+    smaller of the two (``A`` is ``min(r,c)²``).
+    """
+    a, b, c = 3.4445, -4.7750, 2.0315
+    transposed = x.shape[0] > x.shape[1]
+    if transposed:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + eps)
+    for _ in range(steps):
+        A = x @ x.T
+        B = b * A + c * (A @ A)
+        x = a * x + B @ x
+    return x.T if transposed else x
+
+
+class Muon(Optimizer):
+    """Muon (Jordan et al. 2024): momentum + Newton-Schulz orthogonalized
+    updates for matrix parameters; Adam for everything else.
+
+    Beyond-reference scope.  Rank-≥2 leaves (conv kernels flattened to
+    ``[Cout, rest]``) get: ``m ← μ·m + g``; the (nesterov) effective
+    gradient is orthogonalized by :func:`newton_schulz_orthogonalize` and
+    applied scaled by ``√(max(1, r/c))``.  The NS iteration is ~99%
+    matmul FLOPs — MXU work, a few % of the step at typical shapes.
+    Vector/scalar leaves and excluded paths (embeddings by default, per
+    the paper's recipe) fall back to an internal Adam with its own
+    ``adam_lr`` (the scheduler's ``set_lr`` scales BOTH, preserving their
+    ratio).  No second moment is kept for matrix leaves.
+    """
+
+    def __init__(self, lr: float = 0.02, momentum: float = 0.95,
+                 nesterov: bool = True, ns_steps: int = 5,
+                 weight_decay: float = 0.0, adam_lr: float = 3e-4,
+                 betas=(0.9, 0.95), eps: float = 1e-8,
+                 exclude=("tok", "pos", "emb")):
+        super().__init__(lr, weight_decay)
+        self.momentum = float(momentum)
+        self.nesterov = bool(nesterov)
+        self.ns_steps = int(ns_steps)
+        self.adam_lr = float(adam_lr)
+        self.b1, self.b2 = float(betas[0]), float(betas[1])
+        self.eps = float(eps)
+        self.exclude = tuple(exclude)
+
+    def _is_matrix(self, path, leaf) -> bool:
+        if getattr(leaf, "ndim", 0) < 2:
+            return False
+        joined = "/".join(_leaf_key(p) for p in path).lower()
+        return not any(t in joined for t in self.exclude)
+
+    def init(self, params) -> State:
+        # v exists only on the Adam-fallback leaves (scalar placeholder on
+        # matrix leaves keeps the tree structure without Adam's memory).
+        def v_leaf(path, p):
+            return (jnp.zeros(()) if self._is_matrix(path, p)
+                    else jnp.zeros_like(p))
+
+        return {"lr": jnp.asarray(self.lr, jnp.float32),
+                "step": jnp.asarray(0, jnp.int32),
+                "m": jax.tree.map(jnp.zeros_like, params),
+                "v": jax.tree_util.tree_map_with_path(v_leaf, params),
+                "mask": _trainable_mask(params)}
+
+    def update(self, grads, state, params):
+        lr = state["lr"]
+        # scheduler scales the muon lr; the adam side rides at a fixed
+        # ratio so one set_lr call anneals both
+        adam_lr = lr * (self.adam_lr / self.lr)
+        t = state["step"] + 1
+        tf = t.astype(jnp.float32)
+        adam_step = adam_lr * jnp.sqrt(1.0 - self.b2 ** tf) \
+            / (1.0 - self.b1 ** tf)
+
+        def upd(path, p, g, m, v, k):
+            g = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            if self._is_matrix(path, p):
+                m = self.momentum * m + g
+                u = g + self.momentum * m if self.nesterov else m
+                u2 = u.reshape(u.shape[0], -1)
+                o = newton_schulz_orthogonalize(u2, self.ns_steps)
+                scale = math.sqrt(max(1.0, u2.shape[0] / u2.shape[1]))
+                if self.weight_decay != 0.0:
+                    p32 = p32 * (1.0 - lr * self.weight_decay)
+                p_out = p32 - lr * scale * o.reshape(p.shape)
+            else:
+                m = self.b1 * m + (1.0 - self.b1) * g
+                v = self.b2 * v + (1.0 - self.b2) * g * g
+                if self.weight_decay != 0.0:
+                    p32 = p32 * (1.0 - adam_lr * self.weight_decay)
+                p_out = p32 - adam_step * m / (jnp.sqrt(v) + self.eps)
+            return (jnp.where(k > 0, p_out.astype(p.dtype), p),
+                    jnp.where(k > 0, m, 0.0), v)
+
+        flat = jax.tree_util.tree_map_with_path(
+            upd, params, grads, state["m"], state["v"], state["mask"])
+        pick = lambda i: jax.tree.map(
+            lambda tup: tup[i], flat,
+            is_leaf=lambda tup: isinstance(tup, tuple))
+        return pick(0), {**state, "step": t, "m": pick(1), "v": pick(2)}
 
     def zero_grad(self, grads):
         return jax.tree.map(jnp.zeros_like, grads)
