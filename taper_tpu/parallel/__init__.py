@@ -28,3 +28,9 @@ from taper_tpu.parallel.pipeline import (  # noqa: E402
 
 __all__ += ["pipeline_apply", "stack_layer_params",
             "unstack_layer_params", "stage_sharding"]
+
+from taper_tpu.parallel.overlap import (  # noqa: E402
+    allgather_matmul, matmul_reducescatter,
+)
+
+__all__ += ["allgather_matmul", "matmul_reducescatter"]

@@ -171,3 +171,97 @@ def test_fsdp_sharding_uses_largest_divisible_dim():
     params = {"emb": jnp.zeros((50257, 512))}
     sh = parallel.fsdp_sharding(mesh, params)
     assert sh["emb"].spec == P(None, "data"), sh["emb"].spec
+
+
+# ---------------------------------------------------------------------------
+# Ring collective-matmul (parallel/overlap.py): outputs and gradients must
+# equal the monolithic-collective oracle.
+# ---------------------------------------------------------------------------
+
+def test_allgather_matmul_matches_oracle_and_grads():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = parallel.make_mesh(data=2, model=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, P("model", None)))
+
+    got = jax.jit(lambda x, w: parallel.allgather_matmul(
+        mesh, x, w, axis="model"))(xs, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients: d/dx sum(f(x, w) * c) must match the oracle's
+    c = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    gx1, gw1 = jax.grad(
+        lambda x, w: jnp.sum(parallel.allgather_matmul(
+            mesh, x, w, axis="model") * c), argnums=(0, 1))(xs, w)
+    gx2, gw2 = jax.grad(
+        lambda x, w: jnp.sum((x @ w) * c), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_reducescatter_matches_oracle_and_grads():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = parallel.make_mesh(data=2, model=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 24)).astype(np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    ws = jax.device_put(w, NamedSharding(mesh, P("model", None)))
+
+    got = jax.jit(lambda x, w: parallel.matmul_reducescatter(
+        mesh, x, w, axis="model"))(xs, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
+                               rtol=1e-4, atol=1e-4)
+    # output really is row-sharded over the model axis
+    spec = got.sharding.spec
+    assert spec[0] == "model", spec
+
+    c = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    gx1, gw1 = jax.grad(
+        lambda x, w: jnp.sum(parallel.matmul_reducescatter(
+            mesh, x, w, axis="model") * c), argnums=(0, 1))(xs, ws)
+    gx2, gw2 = jax.grad(
+        lambda x, w: jnp.sum((x @ w) * c), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ring_collective_matmuls_compose_tp_linear():
+    """Column-parallel entry + row-parallel exit = a 2-layer TP MLP whose
+    activations between layers never materialize unsharded."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = parallel.make_mesh(data=1, model=8)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(48, 16)).astype(np.float32))
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("model", None)))
+
+    def tp_mlp(x, w1, w2):
+        h = parallel.allgather_matmul(mesh, x, w1, axis="model")
+        h = jax.nn.relu(h)
+        # reshard h's contraction over the ring for the exit matmul
+        hs = jax.lax.with_sharding_constraint(
+            h, NamedSharding(mesh, P(None, "model")))
+        w2s = jax.lax.with_sharding_constraint(
+            w2, NamedSharding(mesh, P("model", None)))
+        return parallel.matmul_reducescatter(mesh, hs, w2s, axis="model")
+
+    got = jax.jit(tp_mlp)(xs, w1, w2)
+    want = jax.nn.relu(x @ w1) @ w2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
