@@ -38,12 +38,10 @@ from taper_tpu.nn.lora import LoRA
 from taper_tpu.utils.cache import enable_compilation_cache
 
 
-def make_chunk(model, opt, loss_of_params, patch=None):
-    """Scanned n-step training program over whichever tree is trainable.
-
-    With ``patch`` the carry tree is the LoRA factor tree and the base
-    params are a closed-over constant; without, it is the full params.
-    """
+def make_chunk(opt, loss_of_params):
+    """Scanned n-step training program over whichever tree
+    ``loss_of_params`` differentiates — the full params (pretrain) or
+    the LoRA factor tree (fine-tune, base params closed over)."""
     def train_chunk(tree, opt_state, key, n):
         def step(carry, k):
             tree, opt_state = carry
@@ -117,7 +115,7 @@ def main():
 
     # ---- 1. pretrain on ascending sort -------------------------------
     opt = optim.Adam(args.lr, weight_decay=0.0)
-    chunk = make_chunk(model, opt, loss_on(False))
+    chunk = make_chunk(opt, loss_on(False))
     eval_asc = jax.jit(lambda p, k: loss_on(False)(p, k)[1])
     eval_dsc = jax.jit(lambda p, k: loss_on(True)(p, k)[1])
     params, asc_acc = run_phase("pretrain", chunk, params, opt.init(params),
@@ -140,7 +138,7 @@ def main():
         return dsc_loss(lora.patch(params, lp_), key)
 
     lopt = optim.Adam(args.lora_lr, weight_decay=0.0)
-    lchunk = make_chunk(model, lopt, lora_loss)
+    lchunk = make_chunk(lopt, lora_loss)
     eval_lora = jax.jit(lambda lp_, k: lora_loss(lp_, k)[1])
     lp, ft_acc = run_phase("lora-ft", lchunk, lp, lopt.init(lp),
                            args.finetune_steps, eval_lora,

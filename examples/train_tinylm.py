@@ -41,7 +41,9 @@ def main():
     ap.add_argument("--heads", type=int, default=2)
     ap.add_argument("--length", type=int, default=63,
                     help="digits per sequence (S = 2*length + 2)")
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: per-optimizer (adam/adamw 1e-3, "
+                         "lion 1e-4, muon 0.02, adafactor 0.05)")
     ap.add_argument("--opt", default="adam",
                     choices=["adam", "adamw", "lion", "muon", "adafactor"])
     ap.add_argument("--bf16", action="store_true",
@@ -76,17 +78,17 @@ def main():
           f"S={seq} vocab={vocab} params={model.param_count(params):,} "
           f"backend={args.backend} bf16={args.bf16}")
 
-    # --lr keeps its Adam-scale default; Lion wants ~10x less and Muon
-    # ~20x more, so those pick their own defaults unless --lr is changed.
+    # Each optimizer wants a different lr scale; an unset --lr picks the
+    # per-optimizer default.
+    defaults = {"adam": 1e-3, "adamw": 1e-3, "lion": 1e-4,
+                "muon": 0.02, "adafactor": 0.05}
+    lr = defaults[args.opt] if args.lr is None else args.lr
     make_opt = {
-        "adam": lambda: optim.Adam(args.lr, weight_decay=0.0),
-        "adamw": lambda: optim.AdamW(args.lr, weight_decay=0.01),
-        "lion": lambda: optim.Lion(
-            args.lr / 10 if args.lr == 1e-3 else args.lr),
-        "muon": lambda: optim.Muon(
-            0.02 if args.lr == 1e-3 else args.lr, adam_lr=args.lr),
-        "adafactor": lambda: optim.Adafactor(
-            0.05 if args.lr == 1e-3 else args.lr),
+        "adam": lambda: optim.Adam(lr, weight_decay=0.0),
+        "adamw": lambda: optim.AdamW(lr, weight_decay=0.01),
+        "lion": lambda: optim.Lion(lr),
+        "muon": lambda: optim.Muon(lr),
+        "adafactor": lambda: optim.Adafactor(lr),
     }
     opt = make_opt[args.opt]()
     opt_state = opt.init(params)

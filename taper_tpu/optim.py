@@ -399,8 +399,12 @@ class Lion(Optimizer):
         self.b1, self.b2 = float(betas[0]), float(betas[1])
 
     def init(self, params) -> State:
+        # Moments are f32 regardless of param dtype (the update math runs
+        # in f32, and a stable state dtype keeps lax.scan carries valid
+        # for bf16-param models).
         return {"lr": jnp.asarray(self.lr, jnp.float32),
-                "m": jax.tree.map(jnp.zeros_like, params),
+                "m": jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params),
                 "mask": _trainable_mask(params)}
 
     def update(self, grads, state, params):
@@ -487,13 +491,16 @@ class Muon(Optimizer):
     def init(self, params) -> State:
         # v exists only on the Adam-fallback leaves (scalar placeholder on
         # matrix leaves keeps the tree structure without Adam's memory).
+        # All state is f32 regardless of param dtype — stable scan-carry
+        # dtype for bf16-param models, full-precision accumulation.
         def v_leaf(path, p):
             return (jnp.zeros(()) if self._is_matrix(path, p)
-                    else jnp.zeros_like(p))
+                    else jnp.zeros(p.shape, jnp.float32))
 
         return {"lr": jnp.asarray(self.lr, jnp.float32),
                 "step": jnp.asarray(0, jnp.int32),
-                "m": jax.tree.map(jnp.zeros_like, params),
+                "m": jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params),
                 "v": jax.tree_util.tree_map_with_path(v_leaf, params),
                 "mask": _trainable_mask(params)}
 
@@ -519,9 +526,12 @@ class Muon(Optimizer):
                 if self.weight_decay != 0.0:
                     p32 = p32 * (1.0 - lr * self.weight_decay)
                 p_out = p32 - lr * scale * o.reshape(p.shape)
+                # v is the scalar placeholder here — never touched (no
+                # broadcast through the full-shape mask)
             else:
                 m = self.b1 * m + (1.0 - self.b1) * g
-                v = self.b2 * v + (1.0 - self.b2) * g * g
+                v = jnp.where(k > 0,
+                              self.b2 * v + (1.0 - self.b2) * g * g, 0.0)
                 if self.weight_decay != 0.0:
                     p32 = p32 * (1.0 - adam_lr * self.weight_decay)
                 p_out = p32 - adam_step * m / (jnp.sqrt(v) + self.eps)

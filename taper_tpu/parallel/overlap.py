@@ -34,19 +34,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def allgather_matmul(mesh: Mesh, x, w, *, axis: str = "model"):
+def allgather_matmul(mesh: Mesh, x, w, *, axis: str = "model",
+                     w_col_axis: str = None):
     """``all_gather(x, axis) @ w`` with the gather decomposed into a ring.
 
-    ``x``: ``[m_local, k]`` sharded over rows on ``axis`` (global
-    ``[n*m_local, k]``); ``w``: ``[k, f]`` — replicated, or column-sharded
-    on a DIFFERENT mesh axis (this function never touches ``w``'s layout).
-    Returns ``[n*m_local, f]`` with the row axis unsharded.
+    ``x``: ``[m_global, k]`` sharded over rows on ``axis``; ``w``:
+    ``[k, f]`` — replicated by default, or column-sharded over
+    ``w_col_axis`` (a DIFFERENT mesh axis; the output's columns are then
+    sharded the same way).  Returns ``[m_global, f]`` with the row axis
+    unsharded.  ``m_global`` must divide by the ``axis`` size.
 
     Each of the ``n`` ring steps matmuls the currently-held x chunk into
     its row block of the output and forwards the chunk to the next
     device, so chunk transfer overlaps the previous chunk's matmul.
     """
     n = int(mesh.shape[axis])
+    if x.shape[0] % n:
+        raise ValueError(f"rows {x.shape[0]} not divisible by "
+                         f"{axis}={n}")
+    if w_col_axis == axis:
+        raise ValueError("w_col_axis must differ from the gather axis")
     perm = [(s, (s + 1) % n) for s in range(n)]
 
     def local(x, w):
@@ -62,9 +69,10 @@ def allgather_matmul(mesh: Mesh, x, w, *, axis: str = "model"):
                 chunk = jax.lax.ppermute(chunk, axis, perm)
         return out
 
+    w_spec = P(None, w_col_axis)
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis, None), P(None, None)),
-                       out_specs=P(None, None), check_vma=False)
+                       in_specs=(P(axis, None), w_spec),
+                       out_specs=P(None, w_col_axis), check_vma=False)
     return fn(x, w)
 
 
@@ -84,6 +92,9 @@ def matmul_reducescatter(mesh: Mesh, x, w, *, axis: str = "model"):
     the axis size.
     """
     n = int(mesh.shape[axis])
+    if x.shape[0] % n:
+        raise ValueError(f"rows {x.shape[0]} not divisible by "
+                         f"{axis}={n}")
     perm = [(s, (s + 1) % n) for s in range(n)]
 
     def local(x, w):

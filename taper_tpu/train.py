@@ -133,6 +133,9 @@ class Trainer:
         # rank stores 1/N of m/v; XLA all-gathers fresh params per step).
         self.zero1 = zero1
         self.train_uses_rng = train_uses_rng
+        # Epochs completed before this process (set by ``restore``) —
+        # keeps checkpoint step numbering global across resumes.
+        self._epoch_offset = 0
 
         self._init_state(seed)
         self._batch_sharding = (parallel.batch_sharding(mesh)
@@ -519,10 +522,7 @@ class Trainer:
                 checkpoint_path, {"params": self.params,
                                   "opt_state": self.opt_state})
             start_epoch = int(meta.get("epochs", 0))
-            for _ in range(start_epoch):
-                if self.scheduler is not None:
-                    self.opt_state = self.optimizer.set_lr(
-                        self.opt_state, self.scheduler.step(None))
+            self._fast_forward_scheduler(start_epoch)
             if verbose and start_epoch:
                 print(f"resumed from {checkpoint_path} "
                       f"at epoch {start_epoch}")
@@ -638,10 +638,13 @@ class Trainer:
         """Epoch loop: train, evaluate, schedule, optionally checkpoint.
 
         ``ckpt_manager`` (a :class:`utils.checkpoint.CheckpointManager`)
-        saves {params, opt_state} after every epoch keyed by the epoch
-        index, with val loss as the retention metric — so ``keep_best``
-        preserves the best-validation epoch through rotation and
-        ``async_save`` overlaps the write with the next epoch.
+        saves {params, opt_state} after every epoch keyed by the GLOBAL
+        epoch index (``restore``'s count + epochs this process), with
+        val loss as the retention metric when the manager's mode is
+        ``'min'`` and val accuracy when it is ``'max'`` — so
+        ``keep_best`` preserves the best-validation epoch through
+        rotation and ``async_save`` overlaps the write with the next
+        epoch.
         """
         for _ in range(epochs):
             t0 = time.perf_counter()
@@ -656,13 +659,15 @@ class Trainer:
                 lr = self.scheduler.step(va["loss"])
                 self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
             if ckpt_manager is not None:
-                epoch = len(self.metrics.val_acc)
+                epoch = self._epoch_offset + len(self.metrics.val_acc)
+                metric = (va["acc"] if ckpt_manager.mode == "max"
+                          else va["loss"])
                 ckpt_manager.save(
                     epoch, {"params": self.params,
                             "opt_state": self.opt_state},
                     metadata={"epochs": float(epoch),
                               "val_acc": va["acc"]},
-                    metric=va["loss"])
+                    metric=metric)
             if va["acc"] > early_stop_acc:
                 if verbose:
                     print(f"early stop: val acc {va['acc']*100:.2f}% > "
@@ -685,23 +690,44 @@ class Trainer:
         self.params = jax.tree.map(jnp.asarray, tree["params"])
         self.opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
 
+    def _fast_forward_scheduler(self, epochs: int) -> None:
+        """Advance the LR scheduler past ``epochs`` completed epochs.
+
+        Deterministic schedules recompute lr from the epoch count and
+        push it into opt_state.  Metric-driven schedules
+        (ReduceLROnPlateau) cannot be replayed without the metric
+        history — their decayed lr is already in the LOADED opt_state,
+        so only the epoch counter advances and the loaded lr is kept
+        (pushing ``step(None)``'s value would reset lr to its initial
+        value, undoing every plateau decay).
+        """
+        if self.scheduler is None or not epochs:
+            return
+        lr_loaded = self.optimizer.get_lr(self.opt_state)
+        for _ in range(epochs):
+            lr = self.scheduler.step(None)
+        if isinstance(self.scheduler, opt_mod.ReduceLROnPlateau):
+            self.scheduler.lr = lr_loaded
+        else:
+            self.opt_state = self.optimizer.set_lr(self.opt_state, lr)
+
     def restore(self, manager, step: Optional[int] = None) -> int:
         """Resume {params, opt_state} from a CheckpointManager.
 
         Loads ``step`` (default: latest committed in the manifest),
         fast-forwards the LR scheduler by the stored epoch count, and
         returns that epoch count — pass ``epochs - resumed`` to ``fit``
-        to finish an interrupted run.
+        to finish an interrupted run.  Subsequent ``fit(...,
+        ckpt_manager=...)`` saves continue the GLOBAL epoch numbering,
+        so rotation never resurrects pre-resume steps.
         """
         tree, meta = manager.restore(
             {"params": self.params, "opt_state": self.opt_state}, step=step)
         self.params = jax.tree.map(jnp.asarray, tree["params"])
         self.opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
         epochs = int(meta.get("epochs", 0))
-        if self.scheduler is not None:
-            for _ in range(epochs):
-                self.opt_state = self.optimizer.set_lr(
-                    self.opt_state, self.scheduler.step(None))
+        self._epoch_offset = epochs
+        self._fast_forward_scheduler(epochs)
         return epochs
 
 

@@ -265,3 +265,31 @@ def test_ring_collective_matmuls_compose_tp_linear():
     want = jax.nn.relu(x @ w1) @ w2
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_allgather_matmul_column_sharded_w():
+    """w column-sharded over the OTHER mesh axis stays sharded (no silent
+    full replication) and the output columns inherit that sharding."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = parallel.make_mesh(data=2, model=4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, P("model", None)))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "data")))
+
+    got = jax.jit(lambda x, w: parallel.allgather_matmul(
+        mesh, x, w, axis="model", w_col_axis="data"))(xs, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w),
+                               rtol=1e-5, atol=1e-5)
+    assert got.sharding.spec[1] == "data", got.sharding.spec
+
+    import pytest
+    with pytest.raises(ValueError, match="differ"):
+        parallel.allgather_matmul(mesh, xs, ws, axis="model",
+                                  w_col_axis="model")
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.matmul_reducescatter(
+            mesh, jnp.zeros((30, 16)), jnp.zeros((16, 8)), axis="model")

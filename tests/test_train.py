@@ -338,9 +338,10 @@ def test_fit_with_checkpoint_manager_and_restore(tmp_path):
                             mode="min", async_save=True)
     trainer.fit(loader, ds.images, ds.labels, epochs=4,
                 early_stop_acc=2.0, verbose=False, ckpt_manager=mgr)
-    # 4 epochs saved; rotation keeps newest 2 (+ best, which may overlap)
+    # 4 epochs saved; rotation keeps the newest 2 plus the best
     steps = mgr.all_steps()
-    assert {3, 4}.issubset(set(steps)) or len(steps) >= 2
+    best = mgr.best_step()
+    assert set(steps) == {3, 4} | {best}, (steps, best)
     assert mgr.latest_step() == 4
 
     # fresh trainer resumes from the manager: params land where the
@@ -352,3 +353,35 @@ def test_fit_with_checkpoint_manager_and_restore(tmp_path):
     a1 = trainer.evaluate(ds.images, ds.labels)
     a2 = t2.evaluate(ds.images, ds.labels)
     np.testing.assert_allclose(a1["loss"], a2["loss"], rtol=1e-6)
+
+    # continued training keeps GLOBAL step numbering: new saves are
+    # epochs 5..6 and rotation never resurrects pre-resume steps
+    t2.fit(loader, ds.images, ds.labels, epochs=2,
+           early_stop_acc=2.0, verbose=False, ckpt_manager=mgr)
+    assert mgr.latest_step() == 6
+    assert {5, 6}.issubset(set(mgr.all_steps())), mgr.all_steps()
+
+
+def test_restore_keeps_plateau_decayed_lr(tmp_path):
+    from taper_tpu.utils.checkpoint import CheckpointManager
+
+    ds = FakeDataset(n=128)
+    loader = DataLoader(ds, batch_size=64, seed=0)
+    sched = optim.ReduceLROnPlateau(1e-2, patience=0, factor=0.1)
+    trainer, _ = _small_trainer(scheduler=sched)
+    # force a decayed lr into the live state, as plateau epochs would
+    trainer.scheduler.lr = 1e-4
+    trainer.opt_state = trainer.optimizer.set_lr(trainer.opt_state, 1e-4)
+    mgr = CheckpointManager(str(tmp_path))
+    trainer.fit(loader, ds.images, ds.labels, epochs=2,
+                early_stop_acc=2.0, verbose=False, ckpt_manager=mgr)
+    lr_saved = trainer.optimizer.get_lr(trainer.opt_state)
+
+    t2, _ = _small_trainer(
+        scheduler=optim.ReduceLROnPlateau(1e-2, patience=0, factor=0.1))
+    t2.restore(mgr)
+    # the metric history is unreplayable: restore must keep the LOADED
+    # decayed lr, not reset to the scheduler's initial 1e-2
+    assert t2.optimizer.get_lr(t2.opt_state) == lr_saved
+    assert t2.scheduler.lr == lr_saved
+    assert lr_saved < 1e-3
