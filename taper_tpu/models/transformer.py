@@ -163,7 +163,8 @@ class TinyGPT(Module):
                 ks[-1], (self.vocab_size, self.dim), jnp.float32) * 0.02
         return p
 
-    def apply(self, params, tokens, *, train=False, rng=None):
+    def hidden(self, params, tokens, *, train=False, rng=None):
+        """Trunk forward: final-LN'd activations ``[B, S, D]`` (f32)."""
         b, s = tokens.shape
         assert s <= self.max_seq, (s, self.max_seq)
         x = self.tok.apply(params["tok"], tokens)
@@ -180,17 +181,46 @@ class TinyGPT(Module):
                         bp, x)
             else:
                 x = blk.apply(bp, x, train=train, rng=r)
-        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
-        return self._logits(params, x)
+        return self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
 
-    def _logits(self, params, x):
-        """Final-LN'd activations → vocab logits (tied or untied head;
-        PTQ'd heads dequantize inside the jitted forward)."""
+    def apply(self, params, tokens, *, train=False, rng=None):
+        return self._logits(params, self.hidden(params, tokens,
+                                                train=train, rng=rng))
+
+    def _head_weights(self, params):
+        """Tied or untied head ``[V, D]``; PTQ'd heads dequantize inside
+        the jitted forward."""
         from taper_tpu.nn.transformer import _is_qt
         head = params["tok"]["w"] if self.tied_head else params["head"]
         if _is_qt(head):
             head = head.dequantize()
-        return jnp.einsum("bse,ve->bsv", x, head)
+        return head
+
+    def _logits(self, params, x):
+        return jnp.einsum("bse,ve->bsv", x, self._head_weights(params))
+
+    def loss(self, params, tokens, targets, mask, *, train=False,
+             rng=None, chunk: int = 4096):
+        """Masked next-token loss WITHOUT materializing ``[B, S, V]``
+        logits: the trunk's hidden states stream through
+        :func:`losses.fused_linear_cross_entropy` in vocab chunks (both
+        passes), so peak head memory is O(B·S·chunk) — the large-vocab
+        training path.  Semantics match ``masked_token_loss(apply(...))``
+        exactly (equality-tested); returns ``(loss, accuracy)``.
+        """
+        from taper_tpu.losses import fused_linear_cross_entropy
+        x = self.hidden(params, tokens, train=train, rng=rng)
+        b, s, d = x.shape
+        nll, pred = fused_linear_cross_entropy(
+            x.reshape(b * s, d), self._head_weights(params),
+            targets.reshape(-1), chunk=chunk)
+        nll = nll.reshape(b, s)
+        pred = pred.reshape(b, s)
+        m = jnp.broadcast_to(mask, nll.shape)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        loss = jnp.sum(nll * m) / denom
+        acc = jnp.sum((pred == targets) * m) / denom
+        return loss, acc
 
     # -- serving: KV-cache autoregressive decode ---------------------------
 

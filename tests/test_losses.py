@@ -113,3 +113,94 @@ def test_cross_entropy_smoothed():
     want = -0.9 * lp[int(y[0])] - 0.1 * jnp.mean(lp)
     one = losses.cross_entropy_loss_smoothed(logits[:1], y[:1], 0.1)
     np.testing.assert_allclose(float(one), float(want), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused linear + cross-entropy (chunked vocab head, no [N, V] logits)
+# ---------------------------------------------------------------------------
+
+def test_fused_linear_ce_matches_naive_values_and_grads():
+    from taper_tpu.losses import fused_linear_cross_entropy
+
+    rng = np.random.default_rng(0)
+    n, d, v = 24, 16, 50
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    head = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0.2, 1.0, size=(n,)).astype(np.float32))
+
+    def naive(x, head):
+        logits = x @ head.T
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+        return nll
+
+    # chunk=16 does NOT divide v=50: exercises the padded tail
+    for chunk in (16, 50, 128):
+        nll, pred = fused_linear_cross_entropy(x, head, tgt, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(nll), np.asarray(naive(x, head)),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(x @ head.T, axis=-1)))
+
+        # weighted-sum grads wrt BOTH x and head match autodiff-of-naive
+        gx1, gh1 = jax.grad(
+            lambda x, h: jnp.sum(fused_linear_cross_entropy(
+                x, h, tgt, chunk=chunk)[0] * w), argnums=(0, 1))(x, head)
+        gx2, gh2 = jax.grad(
+            lambda x, h: jnp.sum(naive(x, h) * w), argnums=(0, 1))(x, head)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_tinygpt_fused_loss_matches_apply_path():
+    from taper_tpu import models
+    from taper_tpu.data.seq import masked_token_loss, sort_task_batch
+
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    toks, tgts, mask = sort_task_batch(jax.random.PRNGKey(1), 8, 7)
+
+    l1, a1 = masked_token_loss(model.apply(params, toks), tgts, mask)
+    l2, a2 = model.loss(params, toks, tgts, mask, chunk=5)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(a1), float(a2), rtol=1e-6)
+
+    g1 = jax.grad(lambda p: masked_token_loss(
+        model.apply(p, toks), tgts, mask)[0])(params)
+    g2 = jax.grad(lambda p: model.loss(p, toks, tgts, mask, chunk=5)[0])(
+        params)
+    for k1, k2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_tinygpt_fused_loss_trains():
+    from taper_tpu import models, optim
+    from taper_tpu.data.seq import sort_task_batch
+
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        toks, tgts, mask = sort_task_batch(key, 16, 7)
+        (l, _), g = jax.value_and_grad(
+            lambda p: model.loss(p, toks, tgts, mask, chunk=8),
+            has_aux=True)(params)
+        params, state = opt.update(g, state, params)
+        return params, state, l
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(40):
+        key, k = jax.random.split(key)
+        params, state, l = step(params, state, k)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
