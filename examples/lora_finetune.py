@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lora-lr", type=float, default=2e-3)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--qlora", default="", choices=["", "int8", "nf4"],
+                    help="quantize the frozen base to this format before "
+                         "fine-tuning (QLoRA): adapters train in f32 on "
+                         "top of quantized weights")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -127,15 +131,26 @@ def main():
           f"{base_dsc:.3f} (chance ~0.1 + palindromic overlap)")
 
     # ---- 2. LoRA fine-tune on descending sort -------------------------
+    base = params
+    if args.qlora:
+        from taper_tpu.quantization import ptq
+        from taper_tpu.quantization.config import QuantizationConfig
+        cfg = (QuantizationConfig.int8() if args.qlora == "int8"
+               else QuantizationConfig.nf4())
+        base = ptq.quantize_params(params, cfg)
+        fb = ptq.quantized_bytes(base)
+        print(f"QLoRA base: {args.qlora} storage {fb / 1e6:.2f} MB "
+              f"(f32 would be {4 * n_base / 1e6:.2f} MB)")
+
     lora = LoRA(rank=args.rank, alpha=args.alpha)
-    lp = lora.init(jax.random.PRNGKey(2), params)
+    lp = lora.init(jax.random.PRNGKey(2), base)
     n_lora = lora.param_count(lp)
     print(f"LoRA rank={args.rank}: {n_lora:,} trainable params "
           f"({100.0 * n_lora / n_base:.2f}% of base)")
 
     dsc_loss = loss_on(True)
     def lora_loss(lp_, key):
-        return dsc_loss(lora.patch(params, lp_), key)
+        return dsc_loss(lora.patch(base, lp_), key)
 
     lopt = optim.Adam(args.lora_lr, weight_decay=0.0)
     lchunk = make_chunk(lopt, lora_loss)
@@ -149,12 +164,12 @@ def main():
     print(f"base model ascending acc after fine-tune: {asc_after:.3f} "
           f"(unchanged — base weights were never written)")
 
-    # ---- 3. merge for serving -----------------------------------------
-    merged = lora.merge(params, lp)
+    # ---- 3. merge for serving (dequantizes a QLoRA base) --------------
+    merged = lora.merge(base, lp)
     key = jax.random.PRNGKey(13)
     toks, tgts, mask = sort_task_batch(key, args.batch, args.length,
                                        descending=True)
-    patched_logits = model.apply(lora.patch(params, lp), toks)
+    patched_logits = model.apply(lora.patch(base, lp), toks)
     merged_logits = model.apply(merged, toks)
     err = float(jnp.max(jnp.abs(patched_logits - merged_logits)))
     macc = float(masked_token_loss(merged_logits, tgts, mask)[1])

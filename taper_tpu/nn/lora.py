@@ -29,6 +29,13 @@ plus an HBM-bandwidth add; both fuse into the existing step program.  On
 a mesh, factors inherit the base weight's sharding rule by construction
 (``a`` row-sharded like W's columns, ``b`` like W's rows) when the
 patched tree is what ``pjit`` sees.
+
+QLoRA: a PTQ-quantized base tree (``quantization.ptq.quantize_params``
+— int8/int4/NF4 ``QuantizedTensor`` leaves) works directly: ``init``
+factors quantized 2-D weights by their logical shape and ``patch``
+dequantizes inside the traced step, so the base stays quantized in HBM
+and each dense ``W + Δ`` exists only transiently at its consumer matmul
+(XLA buffer liveness) — Dettmers et al. 2023, arXiv:2305.14314.
 """
 
 from __future__ import annotations
@@ -59,12 +66,18 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _is_quantized(x) -> bool:
+    from taper_tpu.quantization.qtensor import QuantizedTensor
+    return isinstance(x, QuantizedTensor)
+
+
 def default_match(path, leaf) -> bool:
     """Adapt 2-D weight leaves whose name starts with ``w`` (the
     framework convention: ``w, wq, wk, wv, wo, w1, w2``), skipping
     embedding tables (``tok``/``pos``/``emb`` anywhere in the path) —
-    the standard LoRA target set (attention + MLP projections)."""
-    if not hasattr(leaf, "ndim") or leaf.ndim != 2:
+    the standard LoRA target set (attention + MLP projections).
+    ``QuantizedTensor`` leaves match by their logical shape (QLoRA)."""
+    if len(tuple(getattr(leaf, "shape", ()))) != 2:
         return False
     if not _leaf_name(path).startswith("w"):
         return False
@@ -100,9 +113,12 @@ class LoRA:
         """Factor tree: ``{"a","b"}`` at matched leaves, ``None`` elsewhere.
 
         ``a`` ~ N(0, 1/r) (He-style over the rank contraction), ``b`` = 0
-        so ``patch(base, init(...)) == base`` exactly.
+        so ``patch(base, init(...)) == base`` exactly.  Quantized base
+        leaves get f32 factors (QLoRA: the adapter trains in float on
+        top of the frozen quantized weight).
         """
-        paths = jax.tree_util.tree_flatten_with_path(base_params)[0]
+        paths = jax.tree_util.tree_flatten_with_path(
+            base_params, is_leaf=_is_quantized)[0]
         n_sel = sum(self._selected(p, l) for p, l in paths) or 1
         keys = iter(jax.random.split(key, n_sel))
 
@@ -110,12 +126,15 @@ class LoRA:
             if not self._selected(path, leaf):
                 return None
             out_f, in_f = leaf.shape
+            dtype = (jnp.float32 if _is_quantized(leaf)
+                     else leaf.dtype)
             a = jax.random.normal(next(keys), (self.rank, in_f),
                                   jnp.float32) / jnp.sqrt(self.rank)
             b = jnp.zeros((out_f, self.rank), jnp.float32)
-            return {"a": a.astype(leaf.dtype), "b": b.astype(leaf.dtype)}
+            return {"a": a.astype(dtype), "b": b.astype(dtype)}
 
-        return jax.tree_util.tree_map_with_path(factorize, base_params)
+        return jax.tree_util.tree_map_with_path(factorize, base_params,
+                                                is_leaf=_is_quantized)
 
     def _is_factor(self, x) -> bool:
         return isinstance(x, dict) and set(x) == {"a", "b"}
@@ -124,10 +143,15 @@ class LoRA:
         """Base tree with matched leaves replaced by ``W + scale·(b@a)``.
 
         Pure and jit-friendly; differentiate wrt ``lora_params`` only.
+        Quantized base leaves dequantize inside the trace (QLoRA): the
+        stored tree keeps the int8/int4/NF4 bytes, the dense sum exists
+        only as a transient at its consumer.
         """
         def add(f, w):
             if f is None:
                 return w
+            if _is_quantized(w):
+                w = w.dequantize()
             delta = (f["b"].astype(jnp.float32)
                      @ f["a"].astype(jnp.float32)) * self.scale
             return w + delta.astype(w.dtype)

@@ -126,3 +126,55 @@ def test_lora_exclude_and_match_filters():
     assert not default_match((E("w"),), jnp.ones((4,)))
     assert default_match((E("blocks"), E("0"), E("wq")), jnp.ones((4, 4)))
     assert not default_match((E("tok"), E("w")), jnp.ones((4, 4)))
+
+
+def test_qlora_over_quantized_base():
+    """LoRA over a PTQ-quantized base (QLoRA): factors train in f32 on
+    top of frozen int8 weights that never dequantize in storage."""
+    from taper_tpu.quantization import ptq
+    from taper_tpu.quantization.config import QuantizationConfig
+    from taper_tpu.quantization.qtensor import QuantizedTensor
+
+    model, params = _tiny()
+    qparams = ptq.quantize_params(params, QuantizationConfig.int8())
+    # sanity: projections really are quantized leaves now
+    assert isinstance(qparams["blocks"][0]["attn"]["wq"], QuantizedTensor)
+
+    lora = LoRA(rank=4, alpha=8.0)
+    lp = lora.init(jax.random.PRNGKey(1), qparams)
+    flat = jax.tree_util.tree_flatten_with_path(
+        lp, is_leaf=lambda x: x is None or (isinstance(x, dict)
+                                            and set(x) == {"a", "b"}))[0]
+    matched = [l for _, l in flat if l is not None]
+    assert len(matched) == 12                    # same targets as dense
+    assert all(l["a"].dtype == jnp.float32 for l in matched)
+
+    toks = jax.random.randint(jax.random.PRNGKey(2), (4, 16), 0, 37)
+    # zero-init adapter: patched quantized model == plain quantized model
+    np.testing.assert_allclose(
+        np.asarray(model.apply(lora.patch(qparams, lp), toks)),
+        np.asarray(model.apply(qparams, toks)), atol=1e-6)
+
+    # fine-tune ONLY the factors; the quantized base bytes never change
+    tgts = jnp.roll(toks, -1, axis=1)
+    opt = optim.Adam(1e-2)
+    state = opt.init(lp)
+
+    def loss_of(lp_):
+        logits = model.apply(lora.patch(qparams, lp_), toks)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, tgts[..., None], -1))
+
+    @jax.jit
+    def step(lp_, state):
+        l, g = jax.value_and_grad(loss_of)(lp_)
+        lp_, state = opt.update(g, state, lp_)
+        return lp_, state, l
+
+    losses = []
+    for _ in range(30):
+        lp, state, l = step(lp, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.1
+    # base stays quantized: storage is the int8 bytes, not dense f32
+    assert isinstance(qparams["blocks"][0]["attn"]["wq"], QuantizedTensor)
