@@ -230,3 +230,124 @@ class CheckpointManager:
             raise KeyError(f"step {step} not in manifest "
                            f"(have {self.all_steps()})")
         return load_checkpoint(self._step_path(step), template, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (per-device-shard) checkpoint format — distributed checkpointing.
+# ---------------------------------------------------------------------------
+
+def _leaf_key(path) -> str:
+    # filesystem-safe leaf key ('/' would create directories)
+    return _path_str(path).replace("/", ".")
+
+
+def save_checkpoint_sharded(directory: str, tree: Any,
+                            metadata: Optional[Dict[str, float]] = None,
+                            max_workers: int = 8) -> None:
+    """Save a pytree of (possibly sharded) arrays as one file PER SHARD.
+
+    The npz format (:func:`save_checkpoint`) gathers every array to a
+    single host buffer; for mesh-sharded params that is an all-gather
+    plus a serial write.  This format instead writes each device shard
+    of each leaf as its own ``<leaf>.shard<k>.npy`` (parallel writes on
+    a thread pool — numpy releases the GIL during IO) with the shard's
+    index recorded in ``manifest.json``, the orbax-style layout that a
+    multi-host pod writes without any cross-host gather (each process
+    saves only its addressable shards; on this single-process setup
+    that is all of them).  Replicated/unsharded leaves write one file.
+
+    ``manifest.json`` is committed atomically LAST, so a partial write
+    is never loadable.
+    """
+    import concurrent.futures
+
+    os.makedirs(directory, exist_ok=True)
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    manifest: Dict[str, Any] = {"leaves": {}, "metadata": metadata or {}}
+    jobs = []
+    for path, leaf in leaves:
+        key = _leaf_key(path)
+        arr = leaf
+        entry = {"shape": list(np.shape(arr)),
+                 "dtype": str(getattr(arr, "dtype", None)
+                              or np.asarray(arr).dtype),
+                 "shards": []}
+        shards = (list(arr.addressable_shards)
+                  if isinstance(arr, jax.Array)
+                  and len(arr.sharding.device_set) > 1 else None)
+        if shards:
+            seen = set()
+            for shard in shards:
+                idx = tuple(
+                    (0 if s.start is None else int(s.start),
+                     dim if s.stop is None else int(s.stop))
+                    for s, dim in zip(shard.index, arr.shape))
+                if idx in seen:      # replicated copies: write once
+                    continue
+                seen.add(idx)
+                fname = f"{key}.shard{len(entry['shards'])}.npy"
+                entry["shards"].append({"file": fname,
+                                        "index": [list(p) for p in idx]})
+                jobs.append((os.path.join(directory, fname),
+                             shard.data))
+        else:
+            fname = f"{key}.npy"
+            entry["shards"].append({
+                "file": fname,
+                "index": [[0, d] for d in np.shape(arr)]})
+            jobs.append((os.path.join(directory, fname), arr))
+        manifest["leaves"][key] = entry
+
+    def write(job):
+        fpath, data = job
+        np.save(fpath + ".tmp.npy", np.asarray(data))
+        os.replace(fpath + ".tmp.npy", fpath)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
+        list(ex.map(write, jobs))
+
+    tmp = os.path.join(directory, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(directory, "manifest.json"))
+
+
+def load_checkpoint_sharded(directory: str, template: Any,
+                            shardings: Any = None):
+    """Restore a :func:`save_checkpoint_sharded` directory.
+
+    Shards reassemble on host per leaf, then ``jax.device_put`` with the
+    corresponding ``shardings`` leaf (restore-with-resharding: the target
+    mesh layout is free to differ from the one that saved).  Returns
+    ``(tree, metadata)``.
+    """
+    with open(os.path.join(directory, "manifest.json")) as f:
+        manifest = json.load(f)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    shard_leaves = (jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: x is None)
+        if shardings is not None else [None] * len(paths))
+    if len(shard_leaves) != len(paths):
+        raise ValueError(
+            f"shardings tree has {len(shard_leaves)} leaves, template "
+            f"has {len(paths)}")
+    leaves = []
+    for (path, tmpl), shard in zip(paths, shard_leaves):
+        key = _leaf_key(path)
+        if key not in manifest["leaves"]:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        entry = manifest["leaves"][key]
+        if tuple(entry["shape"]) != tuple(np.shape(tmpl)):
+            raise ValueError(
+                f"shape mismatch for {key}: checkpoint "
+                f"{tuple(entry['shape'])} vs template {np.shape(tmpl)}")
+        out = np.empty(tuple(entry["shape"]), dtype=entry["dtype"])
+        for s in entry["shards"]:
+            piece = np.load(os.path.join(directory, s["file"]))
+            sl = tuple(slice(a, b) for a, b in s["index"])
+            out[sl] = piece
+        out = out.astype(np.asarray(tmpl).dtype)
+        leaves.append(jax.device_put(out, shard) if shard is not None
+                      else out)
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return tree, manifest.get("metadata", {})
