@@ -18,6 +18,11 @@ class QuantizationType(enum.Enum):
     FLOAT16 = "float16"
     BFLOAT16 = "bfloat16"
     NF4 = "nf4"
+    # beyond the reference's five: scaled fp8 storage (absmax-scaled so
+    # the tensor's range fills the format; e4m3 = more mantissa for
+    # weights, e5m2 = more range for grads/activations)
+    FP8_E4M3 = "fp8_e4m3"
+    FP8_E5M2 = "fp8_e5m2"
 
 
 class QuantizationSchema(enum.Enum):
@@ -52,6 +57,14 @@ class QuantizationConfig:
     def nf4(cls, **kw) -> "QuantizationConfig":
         return cls(QuantizationType.NF4, **kw)
 
+    @classmethod
+    def fp8_e4m3(cls, **kw) -> "QuantizationConfig":
+        return cls(QuantizationType.FP8_E4M3, **kw)
+
+    @classmethod
+    def fp8_e5m2(cls, **kw) -> "QuantizationConfig":
+        return cls(QuantizationType.FP8_E5M2, **kw)
+
     # -- range / width helpers (config.rs:70-128) -------------------------
     def compute_range(self) -> Optional[Tuple[int, int]]:
         """(qmin, qmax) for integer types, None for float formats."""
@@ -68,6 +81,8 @@ class QuantizationConfig:
             QuantizationType.FLOAT16: 16,
             QuantizationType.BFLOAT16: 16,
             QuantizationType.NF4: 4,
+            QuantizationType.FP8_E4M3: 8,
+            QuantizationType.FP8_E5M2: 8,
         }[self.qtype]
 
     @staticmethod

@@ -116,6 +116,21 @@ def quantize(x: jnp.ndarray,
         return QuantizedTensor(x.astype(dtype), jnp.float32(1.0),
                                jnp.int32(0), qt, config.schema, x.shape)
 
+    if qt in (QuantizationType.FP8_E4M3, QuantizationType.FP8_E5M2):
+        # Absmax-scaled fp8: divide by a scale chosen so the tensor's
+        # max maps to the format's max (e4m3 ±448, e5m2 ±57344), then
+        # round-to-nearest into 8 bits.  Per-channel honors the schema.
+        import ml_dtypes
+        dtype = (jnp.float8_e4m3fn if qt == QuantizationType.FP8_E4M3
+                 else jnp.float8_e5m2)
+        fmax = float(ml_dtypes.finfo(dtype).max)
+        mn, mx = _minmax(x, per_ch)
+        amax = jnp.maximum(jnp.maximum(jnp.abs(mn), jnp.abs(mx)), 1e-12)
+        scale = amax / fmax
+        q = (x / _expand(scale, x, per_ch)).astype(dtype)
+        return QuantizedTensor(q, scale, jnp.int32(0), qt,
+                               config.schema, x.shape)
+
     if qt in (QuantizationType.INT8, QuantizationType.INT4):
         qmin, qmax = config.compute_range()
         mn, mx = _minmax(x, per_ch)
@@ -157,6 +172,11 @@ def dequantize(qt: QuantizedTensor) -> jnp.ndarray:
     t = qt.qtype
     if t in (QuantizationType.FLOAT16, QuantizationType.BFLOAT16):
         return qt.values.astype(jnp.float32)
+
+    if t in (QuantizationType.FP8_E4M3, QuantizationType.FP8_E5M2):
+        per_ch = qt.schema == QuantizationSchema.PER_CHANNEL
+        v = qt.values.astype(jnp.float32)
+        return v * _expand(qt.scale, v, per_ch)
 
     if t == QuantizationType.INT8:
         per_ch = qt.schema == QuantizationSchema.PER_CHANNEL

@@ -493,3 +493,51 @@ def test_qat_training_actually_learns():
     for _ in range(60):
         params, state, loss = step(params, state)
     assert float(loss) < float(loss0) * 0.3, (float(loss0), float(loss))
+
+
+# ---------------------------------------------------------------------------
+# fp8 storage (e4m3 / e5m2, absmax-scaled) — beyond the reference's five
+# formats.
+# ---------------------------------------------------------------------------
+
+def test_fp8_roundtrip_accuracy_and_size():
+    from taper_tpu.quantization.qtensor import quantize
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 2.0, (64, 128)).astype(np.float32))
+
+    for ctor, rel_tol in ((QuantizationConfig.fp8_e4m3, 0.10),
+                          (QuantizationConfig.fp8_e5m2, 0.20)):
+        qt = quantize(x, ctor())
+        assert qt.values.dtype.itemsize == 1
+        assert qt.compression_ratio() > 3.9      # ~4x vs f32
+        deq = qt.dequantize()
+        rel = float(jnp.max(jnp.abs(deq - x)) / jnp.max(jnp.abs(x)))
+        assert rel < rel_tol, rel
+        # e4m3 (3 mantissa bits) must beat e5m2 (2) on in-range data
+    e4 = quantize(x, QuantizationConfig.fp8_e4m3()).dequantize()
+    e5 = quantize(x, QuantizationConfig.fp8_e5m2()).dequantize()
+    assert float(jnp.mean((e4 - x) ** 2)) < float(jnp.mean((e5 - x) ** 2))
+
+
+def test_fp8_per_channel_and_ptq_model():
+    from taper_tpu.quantization.qtensor import quantize
+    from taper_tpu.quantization import ptq
+    rng = np.random.default_rng(1)
+    # wildly different per-row ranges: per-channel must win
+    x = jnp.asarray((rng.normal(size=(8, 64))
+                     * (10.0 ** np.arange(8))[:, None]).astype(np.float32))
+    per_t = quantize(x, QuantizationConfig.fp8_e4m3()).dequantize()
+    per_c = quantize(x, QuantizationConfig.fp8_e4m3(
+        schema=QuantizationSchema.PER_CHANNEL)).dequantize()
+    err_t = float(jnp.mean(jnp.abs(per_t - x) / (jnp.abs(x) + 1e-9)))
+    err_c = float(jnp.mean(jnp.abs(per_c - x) / (jnp.abs(x) + 1e-9)))
+    assert err_c < err_t / 2, (err_c, err_t)
+
+    # whole-model PTQ path accepts fp8 configs
+    params = {"w1": jnp.asarray(rng.normal(size=(32, 16)),
+                                jnp.float32),
+              "b1": jnp.zeros((16,), jnp.float32)}
+    qp = ptq.quantize_params(params, QuantizationConfig.fp8_e4m3())
+    deq = ptq.dequantize_params(qp)
+    rel = float(jnp.max(jnp.abs(deq["w1"] - params["w1"])))
+    assert rel < 0.1 * float(jnp.max(jnp.abs(params["w1"])))
