@@ -34,3 +34,9 @@ from taper_tpu.parallel.overlap import (  # noqa: E402
 )
 
 __all__ += ["allgather_matmul", "matmul_reducescatter"]
+
+from taper_tpu.parallel.serving import (  # noqa: E402
+    tp_sharding, tp_place, make_tp_generate, tp_generate,
+)
+
+__all__ += ["tp_sharding", "tp_place", "make_tp_generate", "tp_generate"]

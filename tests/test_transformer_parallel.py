@@ -433,3 +433,68 @@ def test_fsdp_fully_sharded_training_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel serving (parallel/serving.py)
+# ---------------------------------------------------------------------------
+
+def test_tp_sharding_specs_are_megatron_style():
+    from jax.sharding import PartitionSpec as P
+    from taper_tpu.parallel import serving
+    mesh = parallel.make_mesh(data=2, model=4)
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=4,
+                           max_seq=32)
+    params = model.init(jax.random.PRNGKey(0))
+    sh = serving.tp_sharding(mesh, params)
+    attn = sh["blocks"][0]["attn"]
+    mlp = sh["blocks"][0]["mlp"]
+    assert attn["wq"].spec == P("model", None)    # column-parallel
+    assert attn["wo"].spec == P(None, "model")    # row-parallel
+    assert attn["bq"].spec == P("model")
+    assert attn["bo"].spec == P()
+    assert mlp["w1"].spec == P("model", None)
+    assert mlp["w2"].spec == P(None, "model")
+    assert sh["tok"]["w"].spec == P("model", None)   # vocab-parallel
+    assert sh["pos"]["w"].spec == P()
+    assert sh["ln_f"]["g"].spec == P()
+    # non-divisible dims fall back to replicated, never crash
+    tiny = models.TinyGPT(vocab_size=6, dim=32, depth=1, num_heads=4,
+                          max_seq=32)
+    sh2 = serving.tp_sharding(mesh, tiny.init(jax.random.PRNGKey(0)))
+    assert sh2["tok"]["w"].spec == P()            # 6 % 4 != 0
+
+
+def test_tp_generate_matches_single_device():
+    from taper_tpu.parallel import serving
+    mesh = parallel.make_mesh(data=2, model=4)
+    model = models.TinyGPT(vocab_size=32, dim=32, depth=2, num_heads=4,
+                           max_seq=64, rope=True)
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 32)
+
+    ref = jax.jit(lambda p, q: model.generate(p, q, 12))(params, prompt)
+    gen = serving.make_tp_generate(model, mesh)
+    got = gen(params, prompt, 12)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # compiled-path reuse: same callable again, identical output
+    np.testing.assert_array_equal(np.asarray(gen(params, prompt, 12)),
+                                  np.asarray(ref))
+
+
+def test_tp_generate_gqa_and_eos():
+    """GQA (kv heads sharded 2-way), eos early-stop while_loop under
+    GSPMD, params pre-placed with tp_place."""
+    from taper_tpu.parallel import serving
+    mesh = parallel.make_mesh(data=4, model=2)
+    model = models.TinyGPT(vocab_size=32, dim=32, depth=2, num_heads=4,
+                           num_kv_heads=2, max_seq=64, rope=True)
+    params = model.init(jax.random.PRNGKey(2))
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (8, 4), 0, 32)
+
+    ref = jax.jit(lambda p, q: model.generate(p, q, 10, eos_token=3))(
+        params, prompt)
+    placed = serving.tp_place(mesh, params)
+    got = serving.tp_generate(mesh, model, placed, prompt, 10,
+                              eos_token=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
