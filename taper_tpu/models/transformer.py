@@ -297,7 +297,8 @@ class TinyGPT(Module):
                  temperature: float = 0.0, key=None,
                  one_shot_prefill: bool = True, prompt_lens=None,
                  top_k=None, top_p=None, quantized_cache: bool = False,
-                 eos_token=None, pad_token=None):
+                 eos_token=None, pad_token=None,
+                 return_cache: bool = False):
         """Autoregressive generation with a static-shape KV cache.
         ``prompt``: [B, P] int32 (same length per batch row, unless
         ``prompt_lens`` makes it ragged).  Greedy when
@@ -323,7 +324,13 @@ class TinyGPT(Module):
         ``while_loop`` that EXITS as soon as every row has emitted eos
         (serving latency: a batch of short answers doesn't pay for
         ``max_new`` steps), and every token after a row's first eos is
-        replaced by ``pad_token`` (default: the eos token itself)."""
+        replaced by ``pad_token`` (default: the eos token itself).
+
+        **Multi-turn serving**: ``return_cache=True`` returns
+        ``(tokens, caches)`` — the filled KV cache (positions
+        [0, P + max_new − 1); the LAST token was sampled but never fed)
+        hands off to :meth:`generate_continued`, which appends a new
+        prompt chunk without re-prefilling the shared prefix."""
         if max_new <= 0:
             return prompt
         if prompt_lens is not None:
@@ -332,6 +339,9 @@ class TinyGPT(Module):
                     "ragged generation (prompt_lens=...) always uses "
                     "one-shot prefill; for a sequential oracle run each "
                     "row separately with one_shot_prefill=False")
+            if return_cache:
+                raise ValueError("return_cache with ragged prompts is "
+                                 "not supported (per-row cache lengths)")
             return self._generate_ragged(params, prompt, max_new,
                                          temperature, key, prompt_lens,
                                          top_k, top_p, quantized_cache,
@@ -372,10 +382,10 @@ class TinyGPT(Module):
             return (tokens, caches, key), None
 
         if eos_token is None:
-            (tokens, _, _), _ = jax.lax.scan(
+            (tokens, caches, _), _ = jax.lax.scan(
                 step, (tokens, caches, key),
                 jnp.arange(start, total - 1))
-            return tokens
+            return (tokens, caches) if return_cache else tokens
 
         def cond(carry):
             tokens, pos = carry[0], carry[3]
@@ -388,11 +398,83 @@ class TinyGPT(Module):
             new, _ = step(carry[:3], carry[3])
             return (*new, carry[3] + 1)
 
-        tokens, _, _, _ = jax.lax.while_loop(
+        tokens, caches, _, _ = jax.lax.while_loop(
             cond, body, (tokens, caches, key, jnp.int32(start)))
-        return _mask_after_eos(
+        tokens = _mask_after_eos(
             tokens, plen, eos_token,
             eos_token if pad_token is None else pad_token)
+        return (tokens, caches) if return_cache else tokens
+
+    def generate_continued(self, params, prompt, max_new: int, caches,
+                           past_len: int, temperature: float = 0.0,
+                           key=None, top_k=None, top_p=None,
+                           eos_token=None, pad_token=None,
+                           return_cache: bool = False):
+        """Continue generation from a FILLED KV cache (multi-turn /
+        prefix-cached serving): ``caches`` holds positions
+        [0, past_len); ``prompt`` [B, C] are the NEW tokens (turn-2 user
+        input — when chaining from :meth:`generate`, prepend its last
+        sampled token, whose k/v was never written).  The new chunk is
+        chunk-prefilled in ONE :meth:`decode_chunk` dispatch at offset
+        ``past_len`` (the shared prefix is never recomputed — the whole
+        point), then ``max_new`` tokens decode as usual.
+
+        ``past_len`` is static (per-length compilation, the standard
+        non-paged serving contract).  Returns the NEW segment
+        ``[B, C + max_new]`` (``return_cache=True``: plus the cache,
+        filled through ``past_len + C + max_new − 1``, ready for the
+        next turn)."""
+        b, clen = prompt.shape
+        past_len = int(past_len)
+        total = past_len + clen + max_new
+        assert total <= self.max_seq, (total, self.max_seq)
+        assert clen >= 1 and max_new >= 1
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sample = functools.partial(_sample, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
+
+        logits, caches = self.decode_chunk(params, prompt,
+                                           jnp.int32(past_len), caches)
+        nxt, key = sample(logits[:, -1], key)
+        tokens = jnp.concatenate(
+            [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, nxt, clen, 1)
+
+        def step(carry, j):
+            tokens, caches, key = carry
+            tok_t = jax.lax.dynamic_index_in_dim(tokens, j, 1,
+                                                 keepdims=False)
+            logits, caches = self.decode_step(params, tok_t,
+                                              past_len + j, caches)
+            nxt, key = sample(logits, key)
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, nxt, j + 1, 1)
+            return (tokens, caches, key), None
+
+        if eos_token is None:
+            (tokens, caches, _), _ = jax.lax.scan(
+                step, (tokens, caches, key),
+                jnp.arange(clen, clen + max_new - 1))
+        else:
+            def cond(carry):
+                tokens, j = carry[0], carry[3]
+                idx = jnp.arange(clen + max_new)
+                gen = (idx[None, :] >= clen) & (idx[None, :] <= j)
+                done = jnp.any((tokens == eos_token) & gen, axis=1)
+                return (j < clen + max_new - 1) & ~jnp.all(done)
+
+            def body(carry):
+                new, _ = step(carry[:3], carry[3])
+                return (*new, carry[3] + 1)
+
+            tokens, caches, _, _ = jax.lax.while_loop(
+                cond, body, (tokens, caches, key, jnp.int32(clen)))
+            tokens = _mask_after_eos(
+                tokens, clen, eos_token,
+                eos_token if pad_token is None else pad_token)
+        return (tokens, caches) if return_cache else tokens
 
     def beam_search(self, params, prompt, max_new: int, beams: int = 4,
                     eos_token=None, pad_token=None,

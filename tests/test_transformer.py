@@ -1162,3 +1162,62 @@ def test_windowed_dispatch_requires_equal_lengths():
         del os.environ["TAPER_FLASH_MIN"]
     ref = X.attention(q, k, v, causal=False, window=512)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-turn serving: KV-cache reuse across generate calls
+# ---------------------------------------------------------------------------
+
+def test_generate_continued_matches_one_shot():
+    """Prefix caching: prefill half the prompt in turn 1, hand the
+    cache to generate_continued with the rest — tokens must equal the
+    single full-prompt generate."""
+    model = models.TinyGPT(vocab_size=32, dim=32, depth=2, num_heads=4,
+                           max_seq=64, rope=True)
+    params = model.init(jax.random.PRNGKey(0))
+    p0 = jax.random.randint(jax.random.PRNGKey(1), (3, 8), 0, 32)
+
+    ref = model.generate(params, p0, 6)
+    # turn 1: prefill cols [0, 4) (the 1 sampled token is discarded —
+    # its k/v was never written, so the cache holds exactly [0, 4))
+    _, caches = model.generate(params, p0[:, :4], 1, return_cache=True)
+    t2 = model.generate_continued(params, p0[:, 4:], 6, caches,
+                                  past_len=4)
+    got = jnp.concatenate([p0[:, :4], t2], axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_generate_continued_chained_turns_quantized_cache():
+    """Three chained turns through one int8 KV cache == one long
+    generate (same per-position quantization either way)."""
+    model = models.TinyGPT(vocab_size=32, dim=32, depth=2, num_heads=4,
+                           num_kv_heads=2, max_seq=64, rope=True)
+    params = model.init(jax.random.PRNGKey(2))
+    p0 = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, 32)
+
+    full = model.generate(params, p0, 10, quantized_cache=True)
+    t1, c = model.generate(params, p0, 4, quantized_cache=True,
+                           return_cache=True)             # [B, 12]
+    t2, c = model.generate_continued(params, t1[:, -1:], 3, c,
+                                     past_len=t1.shape[1] - 1,
+                                     return_cache=True)   # [B, 1+3]
+    cur = jnp.concatenate([t1, t2[:, 1:]], axis=1)        # [B, 15]
+    t3 = model.generate_continued(params, t2[:, -1:], 3, c,
+                                  past_len=cur.shape[1] - 1)
+    got = jnp.concatenate([cur, t3[:, 1:]], axis=1)       # [B, 18]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full))
+
+
+def test_generate_continued_eos_noop_matches_plain():
+    """eos path with a never-emitted token == the plain scan path."""
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=2,
+                           max_seq=48)
+    params = model.init(jax.random.PRNGKey(4))
+    p0 = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 1, 16)
+    _, caches = model.generate(params, p0, 1, return_cache=True)
+    nxt = jax.random.randint(jax.random.PRNGKey(6), (2, 2), 1, 16)
+    a = model.generate_continued(params, nxt, 5, caches, past_len=6)
+    _, caches2 = model.generate(params, p0, 1, return_cache=True)
+    b = model.generate_continued(params, nxt, 5, caches2, past_len=6,
+                                 eos_token=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
