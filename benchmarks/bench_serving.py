@@ -118,6 +118,55 @@ def bench_prefill(plen=1024, batch=8):
     ], rounds=3, scale=batch * plen, unit="tokens/s")
 
 
+def bench_multiturn(plen=1024, chunk=32, batch=8):
+    """Multi-turn serving: prefix-cache reuse vs re-prefilling.
+
+    Turn 2 arrives with ``chunk`` new tokens on top of a ``plen``-token
+    cached context.  With `generate_continued` the new chunk is
+    chunk-prefilled against the live KV cache (one decode_chunk
+    dispatch, O(chunk) work); without prefix caching the whole
+    ``plen + chunk`` prompt re-prefills from scratch (O(plen) work
+    re-done).  Reported as NEW-tokens/s — same numerator, so the ratio
+    is the prefix-caching win (~(plen+chunk)/chunk at matmul rates,
+    less dispatch overheads)."""
+    ops.set_backend("xla")
+    dim, depth, heads, vocab = 2048, 6, 16, 4096
+    smax = plen + 2 * chunk
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           num_kv_heads=4, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, plen), 0,
+                                vocab)
+    first = jax.random.randint(jax.random.PRNGKey(2), (batch, chunk), 0,
+                               vocab)
+    print(f"multiturn: context P={plen}, new chunk C={chunk}, B={batch} "
+          f"({model.param_count(params) / 1e6:.0f}M params, bf16 trunk)",
+          flush=True)
+
+    # turn-1 context, shared by every reuse iteration
+    _, caches0 = model.prefill(params, prompt,
+                               model.init_cache(batch))
+
+    def reuse_step(carry, p, caches):
+        ch = carry
+        logits, _ = model.decode_chunk(p, ch, jnp.int32(plen), caches)
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+
+    def reprefill_step(carry, p):
+        ch = carry
+        full = jnp.concatenate([prompt, ch], axis=1)
+        logits, _ = model.prefill(p, full, model.init_cache(batch))
+        return jnp.argmax(logits[:, -chunk:], -1).astype(jnp.int32)
+
+    race([
+        Contender("turn-2 cache reuse (new tok/s)", reuse_step, first,
+                  (params, caches0), n_hi=40, n_lo=8),
+        Contender("turn-2 re-prefill (new tok/s)", reprefill_step, first,
+                  (params,), n_hi=12, n_lo=3),
+    ], rounds=3, scale=batch * chunk, unit="tokens/s")
+
+
 def bench_kvcache(smax=4096, batch=8):
     """Long-context decode: f32 vs bf16 vs quantized-int8 KV cache.
 
@@ -278,5 +327,7 @@ if __name__ == "__main__":
         bench_kvcache()
     elif "speculative" in sys.argv[1:]:
         bench_speculative()
+    elif "multiturn" in sys.argv[1:]:
+        bench_multiturn()
     else:
         main()

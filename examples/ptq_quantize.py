@@ -57,7 +57,8 @@ def main():
 
     qmodels = {}
     for name, cfg in [("int8", QuantizationConfig.int8()),
-                      ("float16", QuantizationConfig.float16())]:
+                      ("float16", QuantizationConfig.float16()),
+                      ("fp8_e4m3", QuantizationConfig.fp8_e4m3())]:
         qm, qp = ptq.quantize_model(model, params, cfg)
         qmodels[name] = (qm, qp)
 

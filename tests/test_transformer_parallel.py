@@ -498,3 +498,35 @@ def test_tp_generate_gqa_and_eos():
     got = serving.tp_generate(mesh, model, placed, prompt, 10,
                               eos_token=3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_megatron_tp_sharding_trains_like_single_device():
+    """The serving shardings double as TRAINING shardings: one TinyGPT
+    train step with tp_sharding-placed params == single device."""
+    from taper_tpu.parallel import serving
+    mesh = parallel.make_mesh(data=2, model=4)
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=4,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(1e-3)
+    toks, tgts, mask = sort_task_batch(jax.random.PRNGKey(1), 8, 7)
+
+    def step(params, opt_state, toks, tgts):
+        def loss_of(p):
+            return masked_token_loss(model.apply(p, toks), tgts, mask)[0]
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, loss
+
+    p1, l1 = jax.jit(step)(params, opt.init(params), toks, tgts)
+    placed = serving.tp_place(mesh, params)
+    p2, l2 = jax.jit(step)(placed, opt.init(placed),
+                           jax.device_put(toks,
+                                          parallel.batch_sharding(mesh)),
+                           jax.device_put(tgts,
+                                          parallel.batch_sharding(mesh)))
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for x, y in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5)
