@@ -530,3 +530,25 @@ def test_megatron_tp_sharding_trains_like_single_device():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5)
+
+
+def test_tp_generate_moe_experts_sharded():
+    """TP serving of an MoE TinyGPT: stacked expert weights split their
+    hidden dim over 'model' (per-expert Megatron split); tokens match
+    the unsharded oracle."""
+    from jax.sharding import PartitionSpec as P
+    from taper_tpu.parallel import serving
+    mesh = parallel.make_mesh(data=2, model=4)
+    model = models.TinyGPT(vocab_size=32, dim=32, depth=2, num_heads=4,
+                           max_seq=48, n_experts=4, top_k=2)
+    params = model.init(jax.random.PRNGKey(0))
+    sh = serving.tp_sharding(mesh, params)
+    exp = sh["blocks"][0]["mlp"]["experts"]
+    assert exp["w1"].spec == P(None, "model", None)
+    assert exp["w2"].spec == P(None, None, "model")
+    assert sh["blocks"][0]["mlp"]["gate"].spec == P()
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (4, 6), 0, 32)
+    ref = jax.jit(lambda p, q: model.generate(p, q, 8))(params, prompt)
+    got = serving.tp_generate(mesh, model, params, prompt, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
