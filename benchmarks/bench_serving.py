@@ -167,6 +167,125 @@ def bench_multiturn(plen=1024, chunk=32, batch=8):
     ], rounds=3, scale=batch * chunk, unit="tokens/s")
 
 
+def bench_engine(n_requests=32, slots=8, prompt_pad=64):
+    """Continuous batching vs the two fixed-batch extremes.
+
+    Mixed workload (ragged prompt lengths, per-request max_new in
+    {16, 48, 128}) served three ways:
+
+    * sequential — one request at a time (B=1 ragged generate; the
+      latency-only deployment).  Decode is weight-read-bound, so B=1
+      wastes ~all of the HBM stream on one row.
+    * static batch — all requests in one ragged generate; every row
+      pays the LONGEST row's max_new (the offline-batch oracle: one
+      dispatch, maximal B, but stragglers hold the batch).
+    * engine — `ServingEngine`: retired slots are re-admitted from the
+      queue, so the decode program stays full of USEFUL rows; host
+      scheduling costs one [K, B] fetch per block.
+
+    Reported as useful generated tokens/s (sum of per-request
+    max_new / wall).
+
+    Measured (v5e, 273M bf16, P<=64 so decode is WEIGHT-read-bound):
+    sequential 833, host engine 968, on-device offline_serve 1140/
+    1356/1204 at slots 8/16/32, static batch 6902.  At short context
+    extra static-batch rows are nearly free (weights dominate the HBM
+    stream), so offline throughput favors the one big ragged batch;
+    the schedulers' wins are ONLINE traffic (arrivals, per-request
+    budgets, latency) and cache memory (slots << N rows).  At long
+    context the per-row cache reads dominate and the tradeoff shifts
+    toward small full-of-useful-rows batches (see bench_kvcache)."""
+    import time
+
+    import numpy as np
+
+    from taper_tpu.serve import ServingEngine
+
+    ops.set_backend("xla")
+    dim, depth, heads, vocab = 2048, 6, 16, 4096
+    max_new_mix = (16, 48, 128)
+    smax = prompt_pad + max(max_new_mix) + 32
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           num_kv_heads=4, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    reqs = [(list(rng.integers(0, vocab, int(rng.integers(8, prompt_pad)))),
+             max_new_mix[i % len(max_new_mix)])
+            for i in range(n_requests)]
+    useful = sum(m for _, m in reqs)
+    print(f"engine: {n_requests} requests, prompts 8..{prompt_pad}, "
+          f"max_new mix {max_new_mix}, slots={slots} "
+          f"({model.param_count(params) / 1e6:.0f}M params, bf16 trunk)",
+          flush=True)
+
+    def pad_batch(items):
+        b = len(items)
+        out = np.zeros((b, prompt_pad), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, p in enumerate(items):
+            out[i, :len(p)] = p
+            lens[i] = len(p)
+        return jnp.asarray(out), jnp.asarray(lens)
+
+    jgen = jax.jit(
+        lambda p, q, lens, n: model.generate(p, q, n, prompt_lens=lens),
+        static_argnums=3)
+
+    def run_sequential():
+        for prompt, m in reqs:
+            q, lens = pad_batch([prompt])
+            float(jnp.sum(jgen(params, q, lens, m)[:, -1]))
+
+    def run_static():
+        q, lens = pad_batch([p for p, _ in reqs])
+        float(jnp.sum(jgen(params, q, lens,
+                           max(max_new_mix))[:, -1]))
+
+    # one engine instance: its two jitted programs compile once and are
+    # reused across runs (slots drain back to free after each run())
+    eng = ServingEngine(model, params, slots=slots,
+                        prompt_pad=prompt_pad, decode_block=16)
+
+    def run_engine():
+        for prompt, m in reqs:
+            eng.submit(prompt, m)
+        eng.run()
+
+    from taper_tpu.serve import offline_serve
+
+    q_all, lens_all = pad_batch([p for p, _ in reqs])
+    mn_all = jnp.asarray([m for _, m in reqs], jnp.int32)
+
+    def run_ondevice(n_slots):
+        out, _ = offline_serve(model, params, q_all, lens_all, mn_all,
+                               slots=n_slots)
+        float(jnp.sum(out[:, -1]))
+
+    results = []
+    for name, fn in (("sequential B=1", run_sequential),
+                     ("static batch", run_static),
+                     ("engine (host loop)", run_engine),
+                     ("on-device slots=8", lambda: run_ondevice(8)),
+                     ("on-device slots=16", lambda: run_ondevice(16)),
+                     ("on-device slots=32", lambda: run_ondevice(32))):
+        fn()                                  # compile + warm
+        t = min(_timed(fn) for _ in range(2))
+        results.append((name, t))
+    base = results[0][1]
+    for name, t in results:
+        print(f"  {name:22s} {useful / t:9.1f} useful tok/s "
+              f"({t:6.2f}s, {base / t:4.1f}x vs sequential)",
+              flush=True)
+
+
+def _timed(fn):
+    import time
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def bench_kvcache(smax=4096, batch=8):
     """Long-context decode: f32 vs bf16 vs quantized-int8 KV cache.
 
@@ -329,5 +448,7 @@ if __name__ == "__main__":
         bench_speculative()
     elif "multiturn" in sys.argv[1:]:
         bench_multiturn()
+    elif "engine" in sys.argv[1:]:
+        bench_engine()
     else:
         main()

@@ -28,6 +28,7 @@ from taper_tpu import quantization
 from taper_tpu import parallel
 from taper_tpu.train import Trainer, Metrics
 from taper_tpu.utils import checkpoint
+from taper_tpu.serve import ServingEngine, offline_serve
 
 __version__ = "0.1.0"
 
@@ -42,4 +43,6 @@ __all__ = [
     "Trainer",
     "Metrics",
     "checkpoint",
+    "ServingEngine",
+    "offline_serve",
 ]

@@ -39,6 +39,140 @@ import numpy as np
 from taper_tpu.models.transformer import _sample
 
 
+def offline_serve(model, params, prompts, lens, max_new, *,
+                  slots: int = 8, eos_token: Optional[int] = None,
+                  temperature: float = 0.0, top_k=None, top_p=None,
+                  quantized_cache: bool = False, key=None,
+                  max_out: Optional[int] = None):
+    """On-device continuous batching: the ENTIRE scheduler — admission,
+    decode, retirement, slot reuse — runs inside one ``lax.while_loop``
+    (a single dispatch; zero host round-trips), which is the TPU-native
+    form of the host-side :class:`ServingEngine` loop for workloads
+    known up front.
+
+    Each loop iteration either ADMITS one queued request into a free
+    slot (one-row prefill + cache-row scatter; admission has priority)
+    or runs ONE decode step for all slots.  Decode is weight-read-bound,
+    so a step costs ~the same at any batch — total iterations scale as
+    ``sum(max_new)/slots`` + N admissions, vs a static padded batch's
+    ``N`` cache rows all paying ``max(max_new)`` steps.  Continuous
+    batching serves the same mixed workload with ``slots`` cache rows
+    instead of ``N`` and ~no wasted row-steps.
+
+    Args: ``prompts`` [N, P] right-padded, ``lens`` [N] true lengths,
+    ``max_new`` [N] per-request budgets (cap = ``max_out`` or the
+    static max).  Returns ``(tokens [N, max_out], n_tokens [N])`` —
+    per-request generated tokens (eos included when it fired; positions
+    beyond ``n_tokens`` are zeros).  Greedy rows are EXACTLY standalone
+    ``generate``'s output; sampling uses one shared key stream.
+    """
+    import numpy as np
+
+    n, p_pad = prompts.shape
+    b = slots
+    m_out = int(max_out if max_out is not None
+                else int(np.max(np.asarray(max_new))))
+    assert p_pad + m_out <= model.max_seq, (p_pad, m_out, model.max_seq)
+    lens = jnp.asarray(lens, jnp.int32)
+    max_new = jnp.minimum(jnp.asarray(max_new, jnp.int32), m_out)
+    eos = -1 if eos_token is None else int(eos_token)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p)
+
+    def run(params, prompts, lens, max_new, key):
+        caches = model.init_cache(b, quantized=quantized_cache)
+        state = dict(
+            next_req=jnp.int32(0),
+            slot_rid=jnp.full((b,), n, jnp.int32),   # n == "no request"
+            emitted=jnp.zeros((b,), jnp.int32),
+            last_tok=jnp.zeros((b,), jnp.int32),
+            pos=jnp.zeros((b,), jnp.int32),
+            active=jnp.zeros((b,), bool),
+            caches=caches,
+            out=jnp.zeros((n, m_out), jnp.int32),
+            key=key,
+        )
+
+        def cond(st):
+            return (st["next_req"] < n) | jnp.any(st["active"])
+
+        def admit(st):
+            slot = jnp.argmax(~st["active"])         # first free slot
+            rid = st["next_req"]
+            prompt = jax.lax.dynamic_index_in_dim(prompts, rid, 0)
+            c1 = model.init_cache(1, quantized=quantized_cache)
+            logits, c1 = model.prefill(params, prompt, c1)
+            length = lens[rid]
+            lg = jax.lax.dynamic_index_in_dim(logits[0], length - 1, 0,
+                                              keepdims=False)
+            tok, key = _sample(lg[None], key=st["key"], **sample_kw)
+            tok = tok[0]
+            caches = jax.tree.map(
+                lambda c, x: jax.lax.dynamic_update_index_in_dim(
+                    c, x[0], slot, 0), st["caches"], c1)
+            live = (tok != eos) & (max_new[rid] > 1)
+            return dict(
+                next_req=rid + 1,
+                slot_rid=st["slot_rid"].at[slot].set(
+                    jnp.where(live, rid, n)),
+                emitted=st["emitted"].at[slot].set(1),
+                last_tok=st["last_tok"].at[slot].set(tok),
+                pos=st["pos"].at[slot].set(length),
+                active=st["active"].at[slot].set(live),
+                caches=caches,
+                out=st["out"].at[rid, 0].set(tok),
+                key=key,
+            )
+
+        def decode(st):
+            logits, caches = model.decode_step(
+                params, st["last_tok"], st["pos"], st["caches"])
+            tok, key = _sample(logits, key=st["key"], **sample_kw)
+            tok = jnp.where(st["active"], tok, st["last_tok"])
+            emitted = st["emitted"]
+            # inactive rows carry slot_rid == n -> the write is dropped
+            out = st["out"].at[st["slot_rid"], emitted].set(
+                tok, mode="drop")
+            emitted = jnp.where(st["active"], emitted + 1, emitted)
+            rid_safe = jnp.minimum(st["slot_rid"], n - 1)
+            done = st["active"] & ((tok == eos)
+                                   | (emitted >= max_new[rid_safe]))
+            active = st["active"] & ~done
+            return dict(
+                next_req=st["next_req"],
+                slot_rid=jnp.where(done, n, st["slot_rid"]),
+                emitted=emitted,
+                last_tok=tok,
+                pos=jnp.where(st["active"], st["pos"] + 1, st["pos"]),
+                active=active,
+                caches=caches,
+                out=out,
+                key=key,
+            )
+
+        def body(st):
+            can_admit = (st["next_req"] < n) & jnp.any(~st["active"])
+            return jax.lax.cond(can_admit, admit, decode, st)
+
+        st = jax.lax.while_loop(cond, body, state)
+        return st["out"]
+
+    out = jax.jit(run)(params, jnp.asarray(prompts, jnp.int32), lens,
+                       max_new, key)
+    if eos_token is None:
+        n_tok = max_new
+    else:
+        hit = out == eos_token
+        # tokens beyond budget/eos are zeros already (drop-mode writes)
+        first = jnp.where(jnp.any(hit, 1), jnp.argmax(hit, 1) + 1,
+                          max_new)
+        n_tok = jnp.minimum(first, max_new)
+    idx = jnp.arange(m_out)[None, :]
+    out = jnp.where(idx < n_tok[:, None], out, 0)
+    return out, n_tok
+
+
 class ServingEngine:
     """Slot-based continuous batching over a TinyGPT-family model.
 

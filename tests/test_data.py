@@ -175,3 +175,42 @@ def test_prefetch_loader_with_sharding_and_error_propagation():
     next(it)
     with pytest.raises(RuntimeError, match="loader exploded"):
         next(it)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (data/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+def test_bpe_roundtrip_and_compression():
+    from taper_tpu.data.tokenizer import BPETokenizer
+    corpus = ("the quick brown fox jumps over the lazy dog. " * 200
+              + "pack my box with five dozen liquor jugs. " * 200)
+    tok = BPETokenizer.train(corpus, vocab_size=512)
+    assert tok.vocab_size > 256            # merges actually learned
+    text = "the quick lazy fox packs five jugs — naïve UTF-8 too ✓"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text         # lossless roundtrip
+    assert all(0 <= i < tok.vocab_size for i in ids)
+    # learned merges compress in-domain text
+    assert len(tok.encode(corpus[:2000])) < 0.6 * 2000
+
+
+def test_bpe_overlapping_merge_and_oov_bytes():
+    from taper_tpu.data.tokenizer import BPETokenizer
+    tok = BPETokenizer.train("aaaaaaaa" * 50, vocab_size=258)
+    # pair (a, a): greedy left-to-right, no overlap double-count
+    ids = tok.encode("aaaaa")              # aa aa a (then maybe merged)
+    assert tok.decode(ids) == "aaaaa"
+    # bytes never seen in training still roundtrip (byte-level base)
+    assert tok.decode(tok.encode("zzz 日本語")) == "zzz 日本語"
+
+
+def test_bpe_save_load_stable(tmp_path):
+    from taper_tpu.data.tokenizer import BPETokenizer
+    tok = BPETokenizer.train("hello hello hello world world", 300)
+    p = str(tmp_path / "bpe.json")
+    tok.save(p)
+    tok2 = BPETokenizer.load(p)
+    s = "hello world, hello tokens"
+    assert tok.encode(s) == tok2.encode(s)
+    assert tok2.decode(tok2.encode(s)) == s

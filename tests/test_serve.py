@@ -69,3 +69,45 @@ def test_engine_mixed_lengths_and_single_token():
     assert out[a] == _ref_generate(model, params, [1], 1)
     assert out[b] == _ref_generate(model, params,
                                    [2, 3, 4, 5, 6, 7, 8, 9], 5)
+
+
+def test_offline_serve_matches_standalone_generate():
+    """On-device continuous batching (single while_loop dispatch):
+    per-request greedy tokens == standalone generate, across mixed
+    prompt lengths, per-request budgets, and slots < N."""
+    model, params = _model_and_params(seed=3)
+    from taper_tpu.serve import offline_serve
+    rng = np.random.default_rng(3)
+    n = 6
+    prompts = np.zeros((n, 8), np.int32)
+    lens, budgets = [], []
+    for i in range(n):
+        L = int(rng.integers(3, 9))
+        prompts[i, :L] = rng.integers(0, 32, L)
+        lens.append(L)
+        budgets.append(int(rng.integers(1, 8)))
+    out, n_tok = offline_serve(model, params, prompts, lens, budgets,
+                               slots=2)
+    for i in range(n):
+        ref = _ref_generate(model, params,
+                            list(prompts[i, :lens[i]]), budgets[i])
+        assert int(n_tok[i]) == budgets[i]
+        assert list(map(int, np.asarray(out)[i, :budgets[i]])) == ref, i
+
+
+def test_offline_serve_eos():
+    model, params = _model_and_params(seed=4)
+    from taper_tpu.serve import offline_serve
+    rng = np.random.default_rng(4)
+    prompts = rng.integers(0, 32, (4, 5)).astype(np.int32)
+    probe = _ref_generate(model, params, list(prompts[0]), 8)
+    eos = probe[1]                  # fires fast for at least one row
+    out, n_tok = offline_serve(model, params, prompts, [5] * 4,
+                               [10] * 4, slots=2, eos_token=eos)
+    for i in range(4):
+        ref = _ref_generate(model, params, list(prompts[i]), 10,
+                            eos_token=eos)
+        k = int(n_tok[i])
+        assert k == len(ref), (i, k, ref)
+        assert list(map(int, np.asarray(out)[i, :k])) == ref, i
+        assert not np.any(np.asarray(out)[i, k:])      # zero-padded
