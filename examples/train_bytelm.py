@@ -8,6 +8,11 @@ continuation from a prompt — end-to-end text modeling with no
 downloads.
 
 Run: python examples/train_bytelm.py [--steps 2000] [--bf16]
+
+``--bpe N`` trains a byte-level BPE tokenizer (data/tokenizer.py) on
+the corpus first and models the merged tokens instead of raw bytes —
+the same text at ~2x fewer positions; bits/byte stays the comparable
+metric (per-token loss / learned bytes-per-token).
 """
 
 import argparse
@@ -55,20 +60,36 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--sample-bytes", type=int, default=118)
+    ap.add_argument("--bpe", type=int, default=0, metavar="VOCAB",
+                    help="train a BPE tokenizer to this vocab size and "
+                         "model tokens instead of raw bytes")
     args = ap.parse_args()
 
     enable_compilation_cache()
     ops.set_backend(args.backend)
 
     corpus = load_corpus()
+    n_bytes = len(corpus)
+    tok = None
+    vocab = 256
+    if args.bpe:
+        from taper_tpu.data.tokenizer import BPETokenizer
+        raw = bytes(corpus.astype(np.uint8))
+        tok = BPETokenizer.train(raw, args.bpe)
+        corpus = np.asarray(tok.encode(raw), np.int32)
+        vocab = tok.vocab_size
+        print(f"BPE: vocab {vocab}, corpus {n_bytes:,} bytes -> "
+              f"{len(corpus):,} tokens "
+              f"({n_bytes / len(corpus):.2f} bytes/token)")
+    bytes_per_pos = n_bytes / len(corpus)
     split = int(len(corpus) * 0.9)
     train_c = jnp.asarray(corpus[:split])
     val_c = jnp.asarray(corpus[split:])
-    print(f"corpus: {len(corpus):,} bytes "
+    print(f"corpus: {len(corpus):,} positions "
           f"(train {split:,} / val {len(corpus) - split:,})")
 
     model = models.TinyGPT(
-        vocab_size=256, dim=args.dim, depth=args.depth,
+        vocab_size=vocab, dim=args.dim, depth=args.depth,
         num_heads=args.heads, max_seq=args.seq, rope=True,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
     params = model.init(jax.random.PRNGKey(0))
@@ -119,21 +140,30 @@ def main():
                                        jnp.int32(done), n)
         done += n
         vl = float(jeval(params, k2))
-        print(f"step {done:5d}  train {float(tl) / _LN2:.3f} bpb  "
-              f"val {vl / _LN2:.3f} bpb", flush=True)
+        scale = _LN2 * bytes_per_pos         # nats/token -> bits/byte
+        print(f"step {done:5d}  train {float(tl) / scale:.3f} bpb  "
+              f"val {vl / scale:.3f} bpb", flush=True)
     dt = time.perf_counter() - t0
-    toks = args.steps * args.batch * args.seq
-    print(f"total {dt:.1f}s — {toks / dt:,.0f} bytes/s (incl. compile)")
+    nbytes = args.steps * args.batch * args.seq * bytes_per_pos
+    print(f"total {dt:.1f}s — {nbytes / dt:,.0f} bytes/s "
+          f"(incl. compile)")
 
     # sample a continuation from a real prompt
     prompt_txt = b"## Design"
-    prompt = jnp.asarray(
-        np.frombuffer(prompt_txt, np.uint8).astype(np.int32))[None, :]
+    if tok is not None:
+        pids = np.asarray(tok.encode(prompt_txt), np.int32)
+    else:
+        pids = np.frombuffer(prompt_txt, np.uint8).astype(np.int32)
+    prompt = jnp.asarray(pids)[None, :]
     out = jax.jit(lambda p, pr: model.generate(
         p, pr, args.sample_bytes, temperature=0.8,
         key=jax.random.PRNGKey(7)))(params, prompt)
-    text = bytes(np.asarray(out[0]).astype(np.uint8)).decode(
-        "utf-8", errors="replace")
+    ids = np.asarray(out[0])
+    if tok is not None:
+        text = tok.decode(ids)
+    else:
+        text = bytes(ids.astype(np.uint8)).decode(
+            "utf-8", errors="replace")
     print("--- sample ---")
     print(text)
 

@@ -92,17 +92,20 @@ class BPETokenizer:
     # -- encode / decode ------------------------------------------------------
 
     def encode(self, text: Union[bytes, str]) -> List[int]:
-        """Apply merges in training order (lowest rank first)."""
+        """Apply merges in training order (lowest rank first).
+
+        One vectorized :meth:`_merge` pass per rank is equivalent to
+        the textbook "repeatedly merge the lowest-rank pair present":
+        both tokens of merge ``r``'s pair exist before rank ``r``, and
+        a merge can only create adjacencies INVOLVING its new token —
+        whose pairs all rank later — so once rank ``r``'s pass is done
+        no pair of rank ≤ r can reappear."""
         if isinstance(text, str):
             text = text.encode("utf-8")
         ids = np.frombuffer(text, np.uint8).astype(np.int32)
-        while len(ids) >= 2:
-            pairs = list(zip(ids[:-1].tolist(), ids[1:].tolist()))
-            ranked = [(self.rank[p], p) for p in set(pairs)
-                      if p in self.rank]
-            if not ranked:
+        for r, pair in enumerate(self.merges):
+            if len(ids) < 2:
                 break
-            r, pair = min(ranked)
             ids = self._merge(ids, pair, 256 + r)
         return ids.tolist()
 

@@ -330,8 +330,25 @@ class TinyGPT(Module):
         ``(tokens, caches)`` — the filled KV cache (positions
         [0, P + max_new − 1); the LAST token was sampled but never fed)
         hands off to :meth:`generate_continued`, which appends a new
-        prompt chunk without re-prefilling the shared prefix."""
+        prompt chunk without re-prefilling the shared prefix.
+        ``max_new=0`` with ``return_cache=True`` is the prefill-only
+        call: fills [0, P) and returns ``(prompt, caches)``.
+        Incompatible with ``eos_token`` (an early exit leaves the cache
+        filled only to the exit position, and post-eos cache rows hold
+        the pre-masking sampled tokens — a silent mismatch with the
+        pad-masked token output), so that combination raises."""
+        if return_cache and eos_token is not None:
+            raise ValueError(
+                "return_cache with eos_token is not supported: early "
+                "exit leaves the cache partially filled (and post-eos "
+                "rows disagree with the pad-masked tokens); bound the "
+                "turn with max_new instead")
         if max_new <= 0:
+            if return_cache:
+                caches = self.init_cache(prompt.shape[0],
+                                         quantized=quantized_cache)
+                _, caches = self.prefill(params, prompt, caches)
+                return prompt, caches
             return prompt
         if prompt_lens is not None:
             if not one_shot_prefill:
@@ -398,12 +415,11 @@ class TinyGPT(Module):
             new, _ = step(carry[:3], carry[3])
             return (*new, carry[3] + 1)
 
-        tokens, caches, _, _ = jax.lax.while_loop(
+        tokens, _, _, _ = jax.lax.while_loop(
             cond, body, (tokens, caches, key, jnp.int32(start)))
-        tokens = _mask_after_eos(
-            tokens, plen, eos_token,
+        return _mask_after_eos(                # return_cache rejected
+            tokens, plen, eos_token,           # above for eos paths
             eos_token if pad_token is None else pad_token)
-        return (tokens, caches) if return_cache else tokens
 
     def generate_continued(self, params, prompt, max_new: int, caches,
                            past_len: int, temperature: float = 0.0,

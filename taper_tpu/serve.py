@@ -30,6 +30,7 @@ but uses its own key stream (no per-request reproducibility contract).
 from __future__ import annotations
 
 import collections
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -66,10 +67,7 @@ def offline_serve(model, params, prompts, lens, max_new, *,
     beyond ``n_tokens`` are zeros).  Greedy rows are EXACTLY standalone
     ``generate``'s output; sampling uses one shared key stream.
     """
-    import numpy as np
-
     n, p_pad = prompts.shape
-    b = slots
     m_out = int(max_out if max_out is not None
                 else int(np.max(np.asarray(max_new))))
     assert p_pad + m_out <= model.max_seq, (p_pad, m_out, model.max_seq)
@@ -78,6 +76,31 @@ def offline_serve(model, params, prompts, lens, max_new, *,
     eos = -1 if eos_token is None else int(eos_token)
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    run = _offline_program(model, n, p_pad, slots, m_out, eos,
+                           temperature, top_k, top_p, quantized_cache)
+    out = run(params, jnp.asarray(prompts, jnp.int32), lens, max_new,
+              key)
+    if eos_token is None:
+        n_tok = max_new
+    else:
+        hit = out == eos_token
+        # tokens beyond budget/eos are zeros already (drop-mode writes)
+        first = jnp.where(jnp.any(hit, 1), jnp.argmax(hit, 1) + 1,
+                          max_new)
+        n_tok = jnp.minimum(first, max_new)
+    idx = jnp.arange(m_out)[None, :]
+    out = jnp.where(idx < n_tok[:, None], out, 0)
+    return out, n_tok
+
+
+@functools.lru_cache(maxsize=64)
+def _offline_program(model, n, p_pad, slots, m_out, eos, temperature,
+                     top_k, top_p, quantized_cache):
+    """Jitted while_loop scheduler, cached per static configuration so
+    repeated :func:`offline_serve` calls reuse the compiled program
+    (models hash by identity; the cache holds a strong reference)."""
+    b = slots
     sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p)
 
     def run(params, prompts, lens, max_new, key):
@@ -158,19 +181,7 @@ def offline_serve(model, params, prompts, lens, max_new, *,
         st = jax.lax.while_loop(cond, body, state)
         return st["out"]
 
-    out = jax.jit(run)(params, jnp.asarray(prompts, jnp.int32), lens,
-                       max_new, key)
-    if eos_token is None:
-        n_tok = max_new
-    else:
-        hit = out == eos_token
-        # tokens beyond budget/eos are zeros already (drop-mode writes)
-        first = jnp.where(jnp.any(hit, 1), jnp.argmax(hit, 1) + 1,
-                          max_new)
-        n_tok = jnp.minimum(first, max_new)
-    idx = jnp.arange(m_out)[None, :]
-    out = jnp.where(idx < n_tok[:, None], out, 0)
-    return out, n_tok
+    return jax.jit(run)
 
 
 class ServingEngine:
@@ -196,6 +207,7 @@ class ServingEngine:
         self._queue = collections.deque()
         self._next_id = 0
         self._outputs: Dict[int, List[int]] = {}
+        self._done_ids: List[int] = []
         # slot -> (request_id, max_new) or None
         self._slot_req: List[Optional[tuple]] = [None] * slots
         self._quant = quantized_cache
@@ -282,6 +294,7 @@ class ServingEngine:
         if done:
             self._slot_req[slot] = None
             self._active = self._active.at[slot].set(False)
+            self._done_ids.append(rid)
 
     def step(self):
         """One scheduling round: admit into free slots, then one decode
@@ -312,7 +325,11 @@ class ServingEngine:
                                         for r in self._slot_req)
 
     def run(self) -> Dict[int, List[int]]:
-        """Drain queue + slots; returns {request_id: generated tokens}."""
+        """Drain queue + slots; returns {request_id: generated tokens}
+        for the requests COMPLETED by this call (earlier runs' results
+        were already handed out — the engine holds no history, so a
+        long-lived instance doesn't grow without bound)."""
         while self.step():
             pass
-        return self._outputs
+        done, self._done_ids = self._done_ids, []
+        return {rid: self._outputs.pop(rid) for rid in done}

@@ -1221,3 +1221,22 @@ def test_generate_continued_eos_noop_matches_plain():
     b = model.generate_continued(params, nxt, 5, caches2, past_len=6,
                                  eos_token=0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_return_cache_contracts():
+    """max_new=0 + return_cache is the prefill-only call; eos_token +
+    return_cache is rejected (partial-fill hazard)."""
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=2,
+                           max_seq=32)
+    params = model.init(jax.random.PRNGKey(0))
+    p0 = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, 16)
+    toks, caches = model.generate(params, p0, 0, return_cache=True)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(p0))
+    # continuation from the prefill-only cache == full-prompt generate
+    nxt = jax.random.randint(jax.random.PRNGKey(2), (2, 2), 0, 16)
+    t2 = model.generate_continued(params, nxt, 4, caches, past_len=5)
+    ref = model.generate(params, jnp.concatenate([p0, nxt], 1), 4)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([p0, t2], 1)), np.asarray(ref))
+    with pytest.raises(ValueError):
+        model.generate(params, p0, 4, eos_token=3, return_cache=True)
