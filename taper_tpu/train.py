@@ -81,11 +81,19 @@ def _make_grad_step(model, loss_fn, uses_rng: bool, stateful: bool):
 
 @dataclass
 class Metrics:
+    """Per-epoch history (the reference's ``Metrics`` vectors,
+    ``train.rs:9-71``) + optional machine-readable JSONL logging: set
+    ``log_path`` and every ``record`` appends one JSON line
+    ``{ts, epoch, train_loss, train_acc, val_loss, val_acc, epoch_s}``
+    — the greppable training log the reference's print!-only
+    observability lacks (SURVEY.md §5.5)."""
+
     train_loss: List[float] = field(default_factory=list)
     train_acc: List[float] = field(default_factory=list)
     val_loss: List[float] = field(default_factory=list)
     val_acc: List[float] = field(default_factory=list)
     epoch_times: List[float] = field(default_factory=list)
+    log_path: Optional[str] = None
 
     def record(self, tl, ta, vl, va, dt) -> None:
         self.train_loss.append(float(tl))
@@ -93,6 +101,15 @@ class Metrics:
         self.val_loss.append(float(vl))
         self.val_acc.append(float(va))
         self.epoch_times.append(float(dt))
+        if self.log_path:
+            import json
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(
+                    {"ts": time.time(),
+                     "epoch": len(self.train_loss),
+                     "train_loss": float(tl), "train_acc": float(ta),
+                     "val_loss": float(vl), "val_acc": float(va),
+                     "epoch_s": float(dt)}) + "\n")
 
     def print_last(self) -> None:
         e = len(self.train_loss)
@@ -121,12 +138,13 @@ class Trainer:
                  scheduler: Optional[opt_mod.LRScheduler] = None,
                  loss_fn: Callable = L.cross_entropy_loss,
                  seed: int = 0, mesh=None, tensor_parallel: bool = False,
-                 zero1: bool = False, train_uses_rng: bool = False):
+                 zero1: bool = False, train_uses_rng: bool = False,
+                 log_path: Optional[str] = None):
         self.model = model
         self.optimizer = optimizer
         self.scheduler = scheduler
         self.loss_fn = loss_fn
-        self.metrics = Metrics()
+        self.metrics = Metrics(log_path=log_path)
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         # ZeRO-1: partition optimizer moments over the data axis (each DP

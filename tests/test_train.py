@@ -385,3 +385,23 @@ def test_restore_keeps_plateau_decayed_lr(tmp_path):
     assert t2.optimizer.get_lr(t2.opt_state) == lr_saved
     assert t2.scheduler.lr == lr_saved
     assert lr_saved < 1e-3
+
+
+def test_metrics_jsonl_logging(tmp_path):
+    """Trainer(log_path=...) appends one parseable JSON line per epoch
+    mirroring the Metrics vectors."""
+    import json
+
+    ds = FakeDataset(n=256)
+    log = str(tmp_path / "train_log.jsonl")
+    trainer, _ = _small_trainer(log_path=log)
+    m = trainer.fit_device(ds.images, ds.labels, ds.images, ds.labels,
+                           epochs=3, batch_size=64, early_stop_acc=2.0,
+                           verbose=False)
+    lines = [json.loads(l) for l in open(log)]
+    assert len(lines) == len(m.val_acc) == 3
+    for i, rec in enumerate(lines):
+        assert rec["epoch"] == i + 1
+        assert rec["val_acc"] == m.val_acc[i]
+        assert rec["train_loss"] == m.train_loss[i]
+        assert rec["epoch_s"] > 0 and rec["ts"] > 0
