@@ -125,7 +125,8 @@ class TinyGPT(Module):
                  n_experts: int = 0, top_k: int = 2,
                  window: Optional[int] = None,
                  compute_dtype: Optional[jnp.dtype] = None,
-                 remat: bool = False):
+                 remat: bool = False,
+                 norm: str = "layer", mlp_act: str = "gelu"):
         self.vocab_size = vocab_size
         self.dim = dim
         self.depth = depth
@@ -148,9 +149,11 @@ class TinyGPT(Module):
                                         rope=rope, max_seq=max_seq,
                                         num_kv_heads=num_kv_heads,
                                         n_experts=n_experts,
-                                        top_k=top_k, window=window)
+                                        top_k=top_k, window=window,
+                                        norm=norm, mlp_act=mlp_act)
                        for _ in range(depth)]
-        self.ln_f = LayerNorm(dim)
+        from taper_tpu.nn.transformer import RMSNorm
+        self.ln_f = (RMSNorm if norm == "rms" else LayerNorm)(dim)
 
     def init(self, key):
         ks = jax.random.split(key, 3 + self.depth + (not self.tied_head))

@@ -9,7 +9,7 @@ from taper_tpu.nn.layers import (
 )
 from taper_tpu.nn.lora import LoRA
 from taper_tpu.nn.transformer import (
-    LayerNorm, Embedding, MultiHeadAttention, MLPBlock, TransformerBlock,
+    LayerNorm, RMSNorm, Embedding, MultiHeadAttention, MLPBlock, TransformerBlock,
     MoEMLP,
 )
 
@@ -19,6 +19,6 @@ __all__ = [
     "Conv2d", "Conv2dReLU", "conv3x3", "conv1x1",
     "MaxPool2d", "AvgPool2d", "AdaptiveAvgPool2d",
     "Flatten", "Dropout", "BatchNorm2d", "BasicBlock",
-    "LayerNorm", "Embedding", "MultiHeadAttention", "MLPBlock",
+    "LayerNorm", "RMSNorm", "Embedding", "MultiHeadAttention", "MLPBlock",
     "TransformerBlock", "MoEMLP", "LoRA",
 ]

@@ -45,6 +45,25 @@ class LayerNorm(Module):
         return (y * params["g"] + params["b"]).astype(x.dtype)
 
 
+class RMSNorm(Module):
+    """RMS normalization (no mean subtraction, no bias) — the Llama-
+    lineage norm; one fewer reduction than LayerNorm and the standard
+    choice for modern decoder LMs.  Statistics in f32 at any dtype."""
+
+    def __init__(self, dim: int, eps: float = 1e-5):
+        self.dim = dim
+        self.eps = eps
+
+    def init(self, key):
+        return {"g": jnp.ones((self.dim,), jnp.float32)}
+
+    def apply(self, params, x, *, train=False, rng=None):
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + self.eps)
+                * params["g"]).astype(x.dtype)
+
+
 class Embedding(Module):
     """Token/position embedding table ``[num_embeddings, dim]``."""
 
@@ -165,33 +184,49 @@ class MultiHeadAttention(Module):
 
 
 class MLPBlock(Module):
-    """Position-wise FFN: Linear → GELU → Linear (hidden = ratio·dim)."""
+    """Position-wise FFN: Linear → GELU → Linear (hidden = ratio·dim).
+
+    ``gated=True`` makes it SwiGLU (Llama-style): ``w2·(silu(w1·x) ⊙
+    w3·x)`` — a third projection gates the hidden activations; both
+    up-projections fuse into the same batched GEMM shape on the MXU."""
 
     def __init__(self, dim: int, ratio: int = 4, bias: bool = True,
                  init_std: float = 0.02,
-                 out_init_std: Optional[float] = None):
+                 out_init_std: Optional[float] = None,
+                 gated: bool = False):
         self.dim = dim
         self.hidden = ratio * dim
         self.use_bias = bias
+        self.gated = gated
         self.init_std = init_std
         self.out_init_std = (init_std if out_init_std is None
                              else out_init_std)
 
     def init(self, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         p = {"w1": jax.random.normal(k1, (self.hidden, self.dim),
                                      jnp.float32) * self.init_std,
              "w2": jax.random.normal(k2, (self.dim, self.hidden),
                                      jnp.float32) * self.out_init_std}
+        if self.gated:
+            p["w3"] = jax.random.normal(
+                k3, (self.hidden, self.dim), jnp.float32) * self.init_std
         if self.use_bias:
             p["b1"] = jnp.zeros((self.hidden,), jnp.float32)
             p["b2"] = jnp.zeros((self.dim,), jnp.float32)
+            if self.gated:
+                p["b3"] = jnp.zeros((self.hidden,), jnp.float32)
         return p
 
     def apply(self, params, x, *, train=False, rng=None):
         b, s, e = x.shape
-        h = _proj(x.reshape(b * s, e), params["w1"], params.get("b1"))
-        h = jax.nn.gelu(h)
+        x2 = x.reshape(b * s, e)
+        h = _proj(x2, params["w1"], params.get("b1"))
+        if self.gated:
+            h = jax.nn.silu(h) * _proj(x2, params["w3"],
+                                       params.get("b3"))
+        else:
+            h = jax.nn.gelu(h)
         y = _proj(h, params["w2"], params.get("b2"))
         return y.reshape(b, s, e)
 
@@ -207,15 +242,19 @@ class TransformerBlock(Module):
                  num_kv_heads: Optional[int] = None,
                  n_experts: int = 0, top_k: int = 2,
                  window: Optional[int] = None,
-                 capacity_factor: Optional[float] = None):
-        self.ln1 = LayerNorm(dim)
+                 capacity_factor: Optional[float] = None,
+                 norm: str = "layer", mlp_act: str = "gelu"):
+        assert norm in ("layer", "rms"), norm
+        assert mlp_act in ("gelu", "swiglu"), mlp_act
+        norm_cls = RMSNorm if norm == "rms" else LayerNorm
+        self.ln1 = norm_cls(dim)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        init_std=init_std,
                                        out_init_std=out_init_std,
                                        rope=rope, max_seq=max_seq,
                                        num_kv_heads=num_kv_heads,
                                        window=window)
-        self.ln2 = LayerNorm(dim)
+        self.ln2 = norm_cls(dim)
         # n_experts > 0 swaps the FFN for a top-k-gated MoE (MoEMLP is
         # defined below in this module; resolved at call time)
         if n_experts > 0:
@@ -225,7 +264,8 @@ class TransformerBlock(Module):
                               capacity_factor=capacity_factor)
         else:
             self.mlp = MLPBlock(dim, ratio=mlp_ratio, init_std=init_std,
-                                out_init_std=out_init_std)
+                                out_init_std=out_init_std,
+                                gated=mlp_act == "swiglu")
         self.drop = Dropout(dropout) if dropout > 0 else None
 
     def init(self, key):

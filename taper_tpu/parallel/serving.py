@@ -63,7 +63,8 @@ def _spec_for(path, shape, tp: int, axis: str):
 
     if tp == 1:
         return P()
-    if name in ("wq", "wk", "wv", "w1", "b1", "bq", "bk", "bv"):
+    if name in ("wq", "wk", "wv", "w1", "w3", "b1", "b3",
+                "bq", "bk", "bv"):
         return col(nd - 2 if name.startswith("w") else nd - 1)
     if name in ("wo", "w2"):
         return col(nd - 1)

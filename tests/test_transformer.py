@@ -1240,3 +1240,73 @@ def test_generate_return_cache_contracts():
         np.asarray(jnp.concatenate([p0, t2], 1)), np.asarray(ref))
     with pytest.raises(ValueError):
         model.generate(params, p0, 4, eos_token=3, return_cache=True)
+
+
+# ---------------------------------------------------------------------------
+# Llama-style options: RMSNorm + SwiGLU
+# ---------------------------------------------------------------------------
+
+def test_rmsnorm_math_and_dtype():
+    ln = nn.RMSNorm(8)
+    p = ln.init(jax.random.PRNGKey(0))
+    p = {"g": jnp.asarray(np.linspace(0.5, 2.0, 8), jnp.float32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8), jnp.float32) * 4
+    got = ln.apply(p, x)
+    ref = (np.asarray(x) / np.sqrt(
+        np.mean(np.asarray(x) ** 2, -1, keepdims=True) + 1e-5)
+        * np.asarray(p["g"]))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    # bf16 in -> bf16 out, stats still f32
+    xb = x.astype(jnp.bfloat16)
+    assert ln.apply(p, xb).dtype == jnp.bfloat16
+
+
+def test_swiglu_mlp_math():
+    m = nn.MLPBlock(4, ratio=2, gated=True)
+    p = m.init(jax.random.PRNGKey(0))
+    assert set(p) == {"w1", "w2", "w3", "b1", "b2", "b3"}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4))
+    got = m.apply(p, x)
+    x2 = np.asarray(x).reshape(6, 4)
+    h = x2 @ np.asarray(p["w1"]).T + np.asarray(p["b1"])
+    g = x2 @ np.asarray(p["w3"]).T + np.asarray(p["b3"])
+    silu = h / (1 + np.exp(-h)) * g
+    ref = (silu @ np.asarray(p["w2"]).T
+           + np.asarray(p["b2"])).reshape(2, 3, 4)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_tinygpt_llama_style_trains_and_decodes():
+    """norm='rms' + mlp_act='swiglu' + RoPE + GQA: the Llama recipe —
+    learns the sort task and the KV-cache decode path agrees with the
+    full forward."""
+    model = models.TinyGPT(vocab_size=sort_task_vocab(8), dim=64,
+                           depth=2, num_heads=4, num_kv_heads=2,
+                           max_seq=32, rope=True, norm="rms",
+                           mlp_act="swiglu")
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        toks, tgts, mask = sort_task_batch(key, 64, 8, base=8)
+        def loss_of(p):
+            return masked_token_loss(model.apply(p, toks), tgts, mask)[0]
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        params, state = opt.update(grads, state, params)
+        return params, state, loss
+
+    key = jax.random.PRNGKey(1)
+    l0 = None
+    for i in range(200):
+        key, k = jax.random.split(key)
+        params, state, loss = step(params, state, k)
+        if l0 is None:
+            l0 = float(loss)
+    assert float(loss) < 0.25 * l0, (l0, float(loss))
+
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 8)
+    seq = model.generate(params, prompt, 8, one_shot_prefill=False)
+    fast = model.generate(params, prompt, 8)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(fast))
