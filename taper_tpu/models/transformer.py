@@ -227,13 +227,20 @@ class TinyGPT(Module):
 
     # -- serving: KV-cache autoregressive decode ---------------------------
 
-    def init_cache(self, batch: int, dtype=None, quantized: bool = False):
+    def init_cache(self, batch: int, dtype=None, quantized: bool = False,
+                   ring: bool = False):
         """``quantized=True``: int8 KV cache with per-(batch, head,
         position) scales — 4×/2× less decode-time HBM traffic than
-        f32/bf16 caches (the dominant read at long context)."""
+        f32/bf16 caches (the dominant read at long context).
+
+        ``ring=True`` (sliding-``window`` models only): W-slot ring
+        buffers — cache memory and decode reads drop from O(max_seq) to
+        O(W) per layer.  Supported by ``generate``/prefill/decode_step;
+        ``decode_chunk`` (speculative verification) asserts it away."""
         from taper_tpu.nn.transformer import block_init_cache
         dt = dtype or self.compute_dtype or jnp.float32
-        return [block_init_cache(blk, batch, self.max_seq, dt, quantized)
+        return [block_init_cache(blk, batch, self.max_seq, dt, quantized,
+                                 ring=ring)
                 for blk in self.blocks]
 
     def decode_step(self, params, tok_t, pos, caches):
@@ -301,7 +308,7 @@ class TinyGPT(Module):
                  one_shot_prefill: bool = True, prompt_lens=None,
                  top_k=None, top_p=None, quantized_cache: bool = False,
                  eos_token=None, pad_token=None,
-                 return_cache: bool = False):
+                 return_cache: bool = False, ring_cache: bool = False):
         """Autoregressive generation with a static-shape KV cache.
         ``prompt``: [B, P] int32 (same length per batch row, unless
         ``prompt_lens`` makes it ragged).  Greedy when
@@ -349,7 +356,8 @@ class TinyGPT(Module):
         if max_new <= 0:
             if return_cache:
                 caches = self.init_cache(prompt.shape[0],
-                                         quantized=quantized_cache)
+                                         quantized=quantized_cache,
+                                         ring=ring_cache)
                 _, caches = self.prefill(params, prompt, caches)
                 return prompt, caches
             return prompt
@@ -362,6 +370,11 @@ class TinyGPT(Module):
             if return_cache:
                 raise ValueError("return_cache with ragged prompts is "
                                  "not supported (per-row cache lengths)")
+            if ring_cache:
+                raise ValueError(
+                    "ring_cache with ragged prompts is not supported: "
+                    "the shared padded prefill writes pad rows into "
+                    "ring slots a shorter row's mask cannot exclude")
             return self._generate_ragged(params, prompt, max_new,
                                          temperature, key, prompt_lens,
                                          top_k, top_p, quantized_cache,
@@ -373,7 +386,8 @@ class TinyGPT(Module):
             key = jax.random.PRNGKey(0)
         tokens = jnp.concatenate(
             [prompt, jnp.zeros((b, max_new), jnp.int32)], axis=1)
-        caches = self.init_cache(b, quantized=quantized_cache)
+        caches = self.init_cache(b, quantized=quantized_cache,
+                                 ring=ring_cache)
         sample = functools.partial(_sample, temperature=temperature,
                                    top_k=top_k, top_p=top_p)
 

@@ -294,7 +294,8 @@ class TransformerBlock(Module):
 # ---------------------------------------------------------------------------
 
 def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
-                      k_scale=None, v_scale=None, q_offsets=None):
+                      k_scale=None, v_scale=None, q_offsets=None,
+                      ring=False):
     """Single- or few-position attention against a static-shape KV cache.
 
     ``q``: [B, H, Q, D]; caches: [B, H, Smax, D]; ``pos``: the index of
@@ -313,7 +314,13 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
     the decode step reads a quarter (vs f32) / half (vs bf16) of the
     cache bytes — the dominant traffic at long context.  The
     per-position k scale folds into the scores AFTER the dot; the v
-    scale folds into the softmax weights BEFORE the dot."""
+    scale folds into the softmax weights BEFORE the dot.
+
+    **Ring caches** (``ring=True``, sliding-window models): the cache
+    holds only the last W positions; slot ``s`` carries absolute
+    position ``pos − ((pos − s) mod W)``.  Decode reads/memory become
+    O(W) instead of O(Smax); the only mask needed is "absolute
+    position ≥ 0" (the window bounds hold by construction)."""
     kc, qq = k_cache, q
     if k_scale is not None:
         kc, qq = k_cache.astype(jnp.float32), q.astype(jnp.float32)
@@ -324,17 +331,28 @@ def _decode_attention(q, k_cache, v_cache, pos, scale, window=None,
     idx = jnp.arange(k_cache.shape[2])
     off = (jnp.zeros((q.shape[2],), jnp.int32) if q_offsets is None
            else jnp.asarray(q_offsets, jnp.int32))
+    w_ring = k_cache.shape[2]
     if jnp.ndim(pos) == 1:
         qpos = pos[:, None] + off[None, :]             # [B, Q]
-        mask = idx[None, None, :] <= qpos[:, :, None]  # [B, Q, S]
-        if window is not None:
-            mask &= idx[None, None, :] > qpos[:, :, None] - window
+        if ring:
+            absp = qpos[:, :, None] - (qpos[:, :, None]
+                                       - idx[None, None, :]) % w_ring
+            mask = absp >= 0                           # [B, Q, S]
+        else:
+            mask = idx[None, None, :] <= qpos[:, :, None]
+            if window is not None:
+                mask &= idx[None, None, :] > qpos[:, :, None] - window
         mask = mask[:, None, :, :]
     else:
         qpos = pos + off                               # [Q]
-        mask = idx[None, :] <= qpos[:, None]           # [Q, S]
-        if window is not None:
-            mask &= idx[None, :] > qpos[:, None] - window
+        if ring:
+            absp = qpos[:, None] - (qpos[:, None]
+                                    - idx[None, :]) % w_ring
+            mask = absp >= 0                           # [Q, S]
+        else:
+            mask = idx[None, :] <= qpos[:, None]       # [Q, S]
+            if window is not None:
+                mask &= idx[None, :] > qpos[:, None] - window
         mask = mask[None, None, :, :]
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
@@ -358,16 +376,43 @@ def kv_quantize(x):
     return q.astype(jnp.int8), scale
 
 
-def _cache_write(cache, k, v, pos):
+def _cache_write(cache, k, v, pos, ring=False):
     """Write new K/V rows ``[B, kvh, C, D]`` into the cache at positions
     ``[pos, pos+C)`` (scalar ``pos``) or at per-row positions (``pos``
     a [B] vector, requires C == 1 — ragged serving).  Quantizes the
     rows when the cache is int8 (``k_scale`` present).  The single
-    write path shared by decode, prefill and chunked-decode."""
+    write path shared by decode, prefill and chunked-decode.
+
+    ``ring=True``: the cache is a W-slot ring (W = its length); absolute
+    position ``p`` lands in slot ``p % W`` and rows older than the last
+    W are dropped (only they would be overwritten anyway)."""
     quantized = "k_scale" in cache
     if quantized:
         k, k_sc = kv_quantize(k)
         v, v_sc = kv_quantize(v)
+    if ring:
+        w = cache["k"].shape[2]
+        c = k.shape[2]
+        if jnp.ndim(pos) == 1:
+            slot = pos % w
+        else:
+            if c > w:          # only the last W rows survive anyway
+                k, v = k[:, :, c - w:], v[:, :, c - w:]
+                if quantized:
+                    k_sc, v_sc = k_sc[:, :, c - w:], v_sc[:, :, c - w:]
+                pos, c = pos + (c - w), w
+            slots = (pos + jnp.arange(c)) % w
+            new = {"k": cache["k"].at[:, :, slots].set(
+                       k.astype(cache["k"].dtype)),
+                   "v": cache["v"].at[:, :, slots].set(
+                       v.astype(cache["v"].dtype))}
+            if quantized:
+                new["k_scale"] = cache["k_scale"].at[:, :, slots].set(
+                    k_sc)
+                new["v_scale"] = cache["v_scale"].at[:, :, slots].set(
+                    v_sc)
+            return new
+        pos = slot
     if jnp.ndim(pos) == 1:
         assert k.shape[2] == 1, "per-row cache writes are single-token"
         upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
@@ -393,11 +438,20 @@ def _cache_write(cache, k, v, pos):
 
 
 def mha_init_cache(mha: MultiHeadAttention, batch: int, max_seq: int,
-                   dtype=jnp.float32, quantized: bool = False):
+                   dtype=jnp.float32, quantized: bool = False,
+                   ring: bool = False):
     """``quantized=True``: int8 rows + one f32 scale per (batch, head,
     position) — 4×/2× less decode-time cache traffic than f32/bf16
-    (see :func:`_decode_attention`); ``dtype`` is then ignored."""
+    (see :func:`_decode_attention`); ``dtype`` is then ignored.
+
+    ``ring=True`` (sliding-window models only): allocate W slots
+    instead of ``max_seq`` — decode memory AND reads drop to O(W).
+    Ring-ness is carried by the cache length (< max_seq)."""
     kvh = getattr(mha, "num_kv_heads", mha.num_heads)
+    if ring:
+        assert mha.window is not None and mha.window < max_seq, \
+            "ring caches need a sliding-window model"
+        max_seq = mha.window
     shape = (batch, kvh, max_seq, mha.head_dim)
     if quantized:
         return {"k": jnp.zeros(shape, jnp.int8),
@@ -424,7 +478,8 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
-    new_cache = _cache_write(cache, k, v, pos)
+    ring = cache["k"].shape[2] < mha.max_seq    # W-slot ring cache
+    new_cache = _cache_write(cache, k, v, pos, ring=ring)
     k_cache, v_cache = new_cache["k"], new_cache["v"]
     scales = ({"k_scale": new_cache["k_scale"],
                "v_scale": new_cache["v_scale"]}
@@ -435,11 +490,13 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
         # dim instead: [B, kvh, groups, D] against the kv-sized cache.
         qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
         o = _decode_attention(qg, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5, mha.window, **scales)
+                              mha.head_dim ** -0.5, mha.window,
+                              ring=ring, **scales)
         o2 = o.reshape(b, e)
     else:
         o = _decode_attention(q, k_cache, v_cache, pos,
-                              mha.head_dim ** -0.5, mha.window, **scales)
+                              mha.head_dim ** -0.5, mha.window,
+                              ring=ring, **scales)
         o2 = o.transpose(0, 2, 1, 3).reshape(b, e)
     o2 = o2.astype(x2.dtype)
     y = _proj(o2, params["wo"], params.get("bo"))
@@ -473,7 +530,8 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
     # filled caches agree to within one quantization step (not
     # bit-exactly: the one-GEMM prefill projections and the per-step
     # matvecs differ in the last ulp).
-    new_cache = _cache_write(cache, k, v, 0)
+    new_cache = _cache_write(cache, k, v, 0,
+                             ring=cache["k"].shape[2] < mha.max_seq)
     if mha.kv_groups > 1:
         k = jnp.repeat(k, mha.kv_groups, axis=1)
         v = jnp.repeat(v, mha.kv_groups, axis=1)
@@ -493,6 +551,8 @@ def mha_apply_chunk(mha: MultiHeadAttention, params, x_c, cache, pos):
     needs: the target model scores a γ-token draft in ONE dispatch — a
     skinny [C × S] matmul at prefill-like arithmetic intensity — instead
     of γ sequential matvec decode steps."""
+    assert cache["k"].shape[2] >= mha.max_seq, \
+        "chunked decode does not support ring (windowed) caches"
     b, c, e = x_c.shape
     x2 = x_c.reshape(b * c, e)
 
@@ -539,8 +599,10 @@ def mha_apply_chunk(mha: MultiHeadAttention, params, x_c, cache, pos):
 
 
 def block_init_cache(blk: TransformerBlock, batch: int, max_seq: int,
-                     dtype=jnp.float32, quantized: bool = False):
-    return mha_init_cache(blk.attn, batch, max_seq, dtype, quantized)
+                     dtype=jnp.float32, quantized: bool = False,
+                     ring: bool = False):
+    return mha_init_cache(blk.attn, batch, max_seq, dtype, quantized,
+                          ring=ring)
 
 
 def block_apply_prefill(blk: TransformerBlock, params, x, cache):

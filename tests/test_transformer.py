@@ -1310,3 +1310,50 @@ def test_tinygpt_llama_style_trains_and_decodes():
     seq = model.generate(params, prompt, 8, one_shot_prefill=False)
     fast = model.generate(params, prompt, 8)
     np.testing.assert_array_equal(np.asarray(seq), np.asarray(fast))
+
+
+# ---------------------------------------------------------------------------
+# Ring-buffer KV cache for sliding-window models: O(W) memory + reads
+# ---------------------------------------------------------------------------
+
+def test_ring_cache_generate_matches_full_cache():
+    """window=8 model, generation far past W: ring-cache tokens equal
+    full-cache tokens exactly (same math, W slots instead of max_seq);
+    also with GQA + quantized int8 ring cache."""
+    for kv, quant in ((None, False), (2, True)):
+        model = models.TinyGPT(vocab_size=32, dim=32, depth=2,
+                               num_heads=4, num_kv_heads=kv,
+                               max_seq=64, rope=True, window=8)
+        params = model.init(jax.random.PRNGKey(0))
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (3, 12), 0,
+                                    32)
+        full = model.generate(params, prompt, 30,
+                              quantized_cache=quant)
+        ring = model.generate(params, prompt, 30,
+                              quantized_cache=quant, ring_cache=True)
+        np.testing.assert_array_equal(np.asarray(ring),
+                                      np.asarray(full))
+    # the memory claim: W slots, not max_seq
+    c = model.init_cache(3, ring=True)
+    assert c[0]["k"].shape[2] == 8
+    assert c[0]["k_scale"].shape[2] == 8 if "k_scale" in c[0] else True
+
+
+def test_ring_cache_short_prompt_and_guards():
+    model = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=2,
+                           max_seq=48, window=8)
+    params = model.init(jax.random.PRNGKey(2))
+    # prompt shorter than W (no wrap during prefill)
+    p = jax.random.randint(jax.random.PRNGKey(3), (2, 3), 0, 16)
+    full = model.generate(params, p, 20)
+    ring = model.generate(params, p, 20, ring_cache=True)
+    np.testing.assert_array_equal(np.asarray(ring), np.asarray(full))
+    # non-window models refuse ring caches
+    nm = models.TinyGPT(vocab_size=16, dim=32, depth=1, num_heads=2,
+                        max_seq=48)
+    with pytest.raises(AssertionError):
+        nm.init_cache(2, ring=True)
+    # ragged + ring is rejected (pad rows would alias ring slots)
+    with pytest.raises(ValueError):
+        model.generate(params, p, 4, prompt_lens=jnp.array([2, 3]),
+                       ring_cache=True)
