@@ -319,6 +319,28 @@ def bench_kvcache(smax=4096, batch=8):
         init = (tok0, jnp.int32(0), model.init_cache(batch, **kw))
         cs.append(Contender(f"decode {name}", step, init, (params,),
                             n_hi=40, n_lo=8))
+
+    # ring cache on a sliding-window variant of the same model: the
+    # decode stream reads W rows instead of Smax — at W=512 that is
+    # 1/8 the cache bytes of even the full-length int8 cache
+    wmodel = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                            num_heads=heads, max_seq=smax, rope=True,
+                            window=512, compute_dtype=jnp.bfloat16)
+
+    def wstep(carry, p):
+        tok, pos, caches = carry
+        logits, caches = wmodel.decode_step(p, tok, pos, caches)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                caches)
+
+    for name, kw in (("bf16 full (window model)", {}),
+                     ("bf16 ring W=512", {"ring": True}),
+                     ("int8 ring W=512", {"ring": True,
+                                          "quantized": True})):
+        init = (tok0, jnp.int32(0), wmodel.init_cache(
+            batch, dtype=jnp.bfloat16, **kw))
+        cs.append(Contender(f"decode {name}", wstep, init, (params,),
+                            n_hi=40, n_lo=8))
     race(cs, rounds=3, scale=batch, unit="tokens/s")
 
 

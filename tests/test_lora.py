@@ -178,3 +178,27 @@ def test_qlora_over_quantized_base():
     assert losses[-1] < losses[0] - 0.1
     # base stays quantized: storage is the int8 bytes, not dense f32
     assert isinstance(qparams["blocks"][0]["attn"]["wq"], QuantizedTensor)
+
+
+def test_qlora_fp8_base():
+    """fp8_e4m3 base weights work through the same QLoRA path (any
+    QuantizedTensor dequantizes inside the trace)."""
+    from taper_tpu.quantization import ptq
+    from taper_tpu.quantization.config import QuantizationConfig
+    from taper_tpu.quantization.qtensor import QuantizedTensor
+    from taper_tpu.nn.lora import LoRA
+
+    model = models.TinyGPT(vocab_size=37, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = ptq.quantize_params(params, QuantizationConfig.fp8_e4m3())
+    qparams["tok"], qparams["pos"] = params["tok"], params["pos"]
+    lora = LoRA(rank=4)
+    lp = lora.init(jax.random.PRNGKey(1), qparams)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 37)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(lora.patch(qparams, lp), toks)),
+        np.asarray(model.apply(qparams, toks)), atol=1e-6)
+    assert isinstance(qparams["blocks"][0]["attn"]["wq"],
+                      QuantizedTensor)
+    assert qparams["blocks"][0]["attn"]["wq"].values.dtype.itemsize == 1
