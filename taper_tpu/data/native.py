@@ -63,6 +63,15 @@ def load() -> Optional[ctypes.CDLL]:
         lib.taper_shuffle_indices.argtypes = [
             ctypes.c_int64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.taper_bpe_train.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        lib.taper_bpe_train.restype = ctypes.c_int64
+        lib.taper_bpe_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.taper_bpe_encode.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -118,3 +127,31 @@ def shuffle_indices(n: int, seed: int) -> Optional[np.ndarray]:
     out = np.empty(n, np.int32)
     lib.taper_shuffle_indices(n, ctypes.c_uint64(seed), _i32p(out))
     return out
+
+
+def bpe_train(corpus: bytes, n_merges: int) -> Optional[np.ndarray]:
+    """Learn up to ``n_merges`` BPE merges; returns [k, 2] int32 pairs
+    (exactly equal to the Python trainer's — see native/bpe.cpp) or
+    None without the native library."""
+    lib = load()
+    if lib is None or n_merges <= 0:
+        return None
+    buf = np.frombuffer(corpus, np.uint8)
+    out = np.empty(n_merges * 2, np.int32)
+    k = lib.taper_bpe_train(_u8p(buf), len(buf), n_merges, _i32p(out))
+    return out[:2 * k].reshape(-1, 2)
+
+
+def bpe_encode(text: bytes, merges: np.ndarray) -> Optional[np.ndarray]:
+    """Encode ``text`` with rank-ordered ``merges`` [k, 2] int32."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(text, np.uint8)
+    if len(buf) == 0:
+        return np.empty(0, np.int32)
+    merges = np.ascontiguousarray(merges, np.int32)
+    out = np.empty(len(buf), np.int32)
+    n = lib.taper_bpe_encode(_u8p(buf), len(buf), _i32p(merges),
+                             len(merges), _i32p(out))
+    return out[:n].copy()

@@ -47,11 +47,21 @@ class BPETokenizer:
 
     @classmethod
     def train(cls, corpus: Union[bytes, str], vocab_size: int,
-              verbose: bool = False) -> "BPETokenizer":
-        """Learn ``vocab_size - 256`` merges from ``corpus``."""
+              verbose: bool = False,
+              use_native: bool = True) -> "BPETokenizer":
+        """Learn ``vocab_size - 256`` merges from ``corpus``.
+
+        With the native library built (``make -C native``) the merge
+        loop runs in C++ (``native/bpe.cpp``, exactly equivalent —
+        equality-tested); this NumPy path is the fallback/oracle."""
         assert vocab_size >= 256, vocab_size
         if isinstance(corpus, str):
             corpus = corpus.encode("utf-8")
+        if use_native:
+            from taper_tpu.data import native
+            m = native.bpe_train(bytes(corpus), vocab_size - 256)
+            if m is not None:
+                return cls([(int(a), int(b)) for a, b in m])
         ids = np.frombuffer(corpus, np.uint8).astype(np.int32)
         merges: List[Tuple[int, int]] = []
         for k in range(vocab_size - 256):
@@ -91,7 +101,8 @@ class BPETokenizer:
 
     # -- encode / decode ------------------------------------------------------
 
-    def encode(self, text: Union[bytes, str]) -> List[int]:
+    def encode(self, text: Union[bytes, str],
+               use_native: bool = True) -> List[int]:
         """Apply merges in training order (lowest rank first).
 
         One vectorized :meth:`_merge` pass per rank is equivalent to
@@ -99,9 +110,16 @@ class BPETokenizer:
         both tokens of merge ``r``'s pair exist before rank ``r``, and
         a merge can only create adjacencies INVOLVING its new token —
         whose pairs all rank later — so once rank ``r``'s pass is done
-        no pair of rank ≤ r can reappear."""
+        no pair of rank ≤ r can reappear.  The C++ fast path
+        (``native/bpe.cpp``) runs the same passes when built."""
         if isinstance(text, str):
             text = text.encode("utf-8")
+        if use_native and self.merges:
+            from taper_tpu.data import native
+            ids = native.bpe_encode(bytes(text),
+                                    np.asarray(self.merges, np.int32))
+            if ids is not None:
+                return ids.tolist()
         ids = np.frombuffer(text, np.uint8).astype(np.int32)
         for r, pair in enumerate(self.merges):
             if len(ids) < 2:

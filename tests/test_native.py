@@ -55,3 +55,32 @@ def test_shuffle_indices_is_permutation():
     out2 = native.shuffle_indices(1000, 5)
     np.testing.assert_array_equal(out, out2)
     assert not np.array_equal(out, native.shuffle_indices(1000, 6))
+
+
+# ---------------------------------------------------------------------------
+# Native BPE (native/bpe.cpp) vs the Python oracle (data/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+def test_native_bpe_train_matches_python():
+    from taper_tpu.data.tokenizer import BPETokenizer
+    corpus = (b"the quick brown fox jumps over the lazy dog. " * 120
+              + b"aaa bbb aaab abab " * 80)
+    py = BPETokenizer.train(corpus, 400, use_native=False)
+    nat = native.bpe_train(corpus, 400 - 256)
+    assert nat is not None
+    assert [tuple(m) for m in nat] == py.merges
+
+
+def test_native_bpe_encode_matches_python():
+    from taper_tpu.data.tokenizer import BPETokenizer
+    corpus = b"hello world, hello tokens, world of hellos " * 60
+    tok = BPETokenizer.train(corpus, 330, use_native=False)
+    for text in (b"hello worlds of tokens",
+                 b"zzz never-seen bytes \xff\x00\x80",
+                 b"aaaaaaa", b""):
+        py = tok.encode(text, use_native=False)
+        nat = native.bpe_encode(text, np.asarray(tok.merges, np.int32))
+        assert nat.tolist() == py, text
+    # and the default tokenizer path (native on) roundtrips
+    s = "mixed native/python path — unicode ✓"
+    assert tok.decode(tok.encode(s)) == s
