@@ -1,0 +1,161 @@
+"""Serving-stack demo: train a small byte LM, then serve it four ways.
+
+Beyond-reference entry point (the reference has no serving story —
+SURVEY.md §5.8): trains TinyGPT on the repo's own markdown (zero
+egress), then runs the same mixed batch of prompts through
+
+1. one-shot batched ``generate`` (ragged prompts, one dispatch),
+2. the host-loop :class:`taper_tpu.serve.ServingEngine`,
+3. the on-device scheduler :func:`taper_tpu.serve.offline_serve`
+   (admission/decode/retirement inside ONE ``lax.while_loop``),
+4. a two-turn chat via ``generate_continued`` (prefix caching — the
+   shared context is never re-prefilled),
+
+asserting along the way that all greedy paths emit IDENTICAL tokens.
+
+Run: python examples/serve_demo.py [--steps 1200] [--max-new 96]
+
+Throughput note (measured on v5e, 3.4M-param demo model): batched
+generate 17.1K tok/s; host engine 1.4K; on-device scheduler 0.37K —
+at DEMO scale a decode step is microseconds, so per-iteration
+while_loop/scheduling overhead dominates and the one-dispatch batched
+scan wins big.  At serving scale (hundreds of M params, decode
+weight-bound) the ordering shifts — see `bench_serving.py engine`
+(273M: on-device 1356 vs sequential 833) — and the schedulers' real
+wins are online arrivals, per-request budgets, and cache memory.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taper_tpu import models, optim
+from taper_tpu.serve import ServingEngine, offline_serve
+from taper_tpu.utils.cache import enable_compilation_cache
+
+
+def train_lm(corpus, steps, dim=256, depth=4, heads=4, seq=128,
+             max_seq=512):
+    model = models.TinyGPT(vocab_size=256, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=max_seq, rope=True)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(1e-3)
+    state = opt.init(params)
+    c = jnp.asarray(corpus)
+
+    def loss_fn(p, key):
+        starts = jax.random.randint(key, (32,), 0,
+                                    c.shape[0] - seq - 1)
+        w = jnp.take(c, starts[:, None] + jnp.arange(seq + 1), axis=0)
+        logits = model.apply(p, w[:, :-1])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.mean(jnp.take_along_axis(logp, w[:, 1:, None], -1))
+
+    def body(carry, _):
+        p, s, key = carry
+        key, k = jax.random.split(key)
+        l, g = jax.value_and_grad(loss_fn)(p, k)
+        p, s = opt.update(g, s, p)
+        return (p, s, key), l
+
+    (params, _, _), losses = jax.jit(lambda p, s, k: jax.lax.scan(
+        body, (p, s, k), None, length=steps))(
+        params, state, jax.random.PRNGKey(1))
+    print(f"trained {model.param_count(params) / 1e6:.1f}M params, "
+          f"loss {float(losses[-1]):.3f} nats/byte", flush=True)
+    return model, params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--max-new", type=int, default=96)
+    ap.add_argument("--requests", type=int, default=8)
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    from examples.train_bytelm import load_corpus
+    corpus = load_corpus()
+    model, params = train_lm(corpus, args.steps)
+
+    # mixed ragged prompts cut from held-out text
+    start = int(len(corpus) * 0.95)
+    rng = np.random.default_rng(0)
+    prompt_pad = 48
+    reqs = []
+    for i in range(args.requests):
+        plen = int(rng.integers(16, prompt_pad + 1))
+        s = start + i * 131
+        reqs.append(list(corpus[s:s + plen]))
+    padded = np.zeros((len(reqs), prompt_pad), np.int32)
+    lens = np.array([len(p) for p in reqs], np.int32)
+    for i, p in enumerate(reqs):
+        padded[i, :len(p)] = p
+    m = args.max_new
+
+    def show(name, toks_per_s):
+        print(f"  {name:32s} {toks_per_s:9.1f} generated tok/s",
+              flush=True)
+
+    # 1. one-shot ragged batched generate
+    jgen = jax.jit(lambda p, q, lens: model.generate(
+        p, q, m, prompt_lens=lens))
+    out = jgen(params, jnp.asarray(padded), jnp.asarray(lens))
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = jgen(params, jnp.asarray(padded), jnp.asarray(lens))
+    ref_rows = np.asarray(out)
+    dt = time.perf_counter() - t0
+    show("batched ragged generate", len(reqs) * m / dt)
+    refs = [list(ref_rows[i, lens[i]:lens[i] + m]) for i in
+            range(len(reqs))]
+
+    # 2. host-loop continuous-batching engine
+    eng = ServingEngine(model, params, slots=4, prompt_pad=prompt_pad,
+                        decode_block=16)
+    ids = [eng.submit(p, m) for p in reqs]
+    got = eng.run()                      # warm (compiles)
+    for rid, ref in zip(ids, refs):
+        assert got[rid] == ref, "engine tokens != batched generate"
+    t0 = time.perf_counter()
+    ids = [eng.submit(p, m) for p in reqs]
+    eng.run()
+    show("ServingEngine (host loop)",
+         len(reqs) * m / (time.perf_counter() - t0))
+
+    # 3. on-device scheduler (single while_loop dispatch)
+    budgets = [m] * len(reqs)
+    out2, _ = offline_serve(model, params, padded, lens, budgets,
+                            slots=4)
+    for i, ref in enumerate(refs):
+        assert list(np.asarray(out2)[i, :m]) == ref, \
+            "offline_serve tokens != batched generate"
+    t0 = time.perf_counter()
+    out2, _ = offline_serve(model, params, padded, lens, budgets,
+                            slots=4)
+    float(jnp.sum(out2[:, -1]))
+    show("offline_serve (on-device)",
+         len(reqs) * m / (time.perf_counter() - t0))
+
+    # 4. two-turn chat with prefix caching
+    p0 = jnp.asarray(padded[:1, :lens[0]])
+    t1, cache = model.generate(params, p0, m, return_cache=True)
+    turn2 = jnp.concatenate(
+        [t1[:, -1:], jnp.asarray(padded[1:2, :8])], axis=1)
+    t2 = model.generate_continued(params, turn2, m, cache,
+                                  past_len=int(t1.shape[1]) - 1)
+    text = bytes(np.asarray(t2[0]).astype(np.uint8)).decode(
+        "utf-8", errors="replace")
+    print("--- turn-2 continuation (prefix cached) ---")
+    print(text[:200])
+    print("all serving paths emitted identical greedy tokens ✓")
+
+
+if __name__ == "__main__":
+    main()
