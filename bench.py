@@ -135,7 +135,11 @@ def bench_transformer_mfu(b=8, s=2048):
     heads 8 (**D=128**, the modern standard head dim) **0.424** — a
     D=64 contraction only half-fills the 128-wide MXU, so the flash
     kernels (60% of the step per probe_mfu_budget.py) run ~2× faster
-    at D=128."""
+    at D=128.  Larger dims were also swept and do NOT help on one
+    16 GB chip: dim 1280 (260M) OOMs at B=8 (even with remat — Adam's
+    f32 params+moments+grads alone are ~4 GB) and drops to 0.346 at
+    B=4; dim 1536 OOMs at B=4.  The 170M/B=8 config is the chip's
+    sweet spot."""
     import jax.numpy as jnp
     from benchmarks.timing import timeit_scan
     from taper_tpu import models, optim, ops

@@ -1,5 +1,5 @@
-"""Utilities: checkpointing, timing."""
+"""Utilities: checkpointing, AOT export, timing."""
 
-from taper_tpu.utils import checkpoint
+from taper_tpu.utils import aot, checkpoint
 
-__all__ = ["checkpoint"]
+__all__ = ["aot", "checkpoint"]
