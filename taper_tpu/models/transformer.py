@@ -261,6 +261,60 @@ class TinyGPT(Module):
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         return self._logits(params, x)[:, 0], new_caches
 
+    def init_paged_cache(self, n_blocks: int, block_size: int = 128,
+                         dtype=None):
+        """Per-layer PAGED pools: {"k","v": [n_blocks, kvh, bs, D]}.
+        Block tables/lengths live OUTSIDE (the serving engine owns
+        allocation); see ops/pallas/paged_attention.py."""
+        from taper_tpu.nn.transformer import mha_init_paged_pool
+        dt = dtype or self.compute_dtype or jnp.float32
+        return [mha_init_paged_pool(blk.attn, n_blocks, block_size, dt)
+                for blk in self.blocks]
+
+    def decode_step_paged(self, params, tok_t, pos, pools, tables):
+        """One token per slot against the paged cache: ``tok_t`` [B]
+        int32, ``pos`` [B] per-row positions, ``tables`` [B, mb] block
+        tables.  Returns ``(logits [B, vocab], new_pools)``."""
+        from taper_tpu.nn.transformer import block_apply_decode_paged
+        x = self.tok.apply(params["tok"], tok_t[:, None])  # [B, 1, E]
+        if not self.rope:
+            pe = self.pos.apply(params["pos"], pos)
+            x = x + pe[:, None, :]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        new_pools = []
+        for blk, bp, pl in zip(self.blocks, params["blocks"], pools):
+            x, pl = block_apply_decode_paged(blk, bp, x, pl, tables, pos)
+            new_pools.append(pl)
+        x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
+        return self._logits(params, x)[:, 0], new_pools
+
+    def prefill_paged(self, params, prompt, pools, tables):
+        """Prefill ``prompt`` [B, P] through the normal one-dispatch
+        flash prefill, then scatter each row's K/V into its table's
+        pool blocks (ceil(P/bs) blocks per row — the engine allocates
+        them; pad-position rows land in the last block's tail and are
+        masked by ``lengths`` at read time).  Returns
+        ``(logits [B, P, vocab], new_pools)``."""
+        from taper_tpu.ops.pallas.paged_attention import \
+            paged_write_prefill
+        b, p = prompt.shape
+        tmp = [
+            {k: (jnp.zeros((b,) + v.shape[1:2] + (p,) + v.shape[3:],
+                           v.dtype) if k in ("k", "v") else v)
+             for k, v in c.items()}
+            for c in self.init_cache(b)
+        ]
+        logits, tmp = self.prefill(params, prompt, tmp)
+        new_pools = []
+        for pool, c in zip(pools, tmp):
+            kp, vp = pool["k"], pool["v"]
+            for i in range(b):          # engine admissions are 1-row
+                kp, vp = paged_write_prefill(kp, vp, c["k"][i],
+                                             c["v"][i], tables[i])
+            new_pools.append({"k": kp, "v": vp})
+        return logits, new_pools
+
     def decode_chunk(self, params, toks, pos, caches):
         """Multi-token cache-backed step: ``toks`` [B, C] at positions
         [pos, pos+C) (traced scalar ``pos``).  Returns

@@ -503,6 +503,61 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
     return y.reshape(b, 1, e), new_cache
 
 
+def mha_apply_decode_paged(mha: MultiHeadAttention, params, x_t, pools,
+                           tables, pos):
+    """One decode step against a PAGED KV cache (block pool + table;
+    see ops/pallas/paged_attention.py).  ``x_t`` [B, 1, E]; ``pools``
+    {"k","v": [n_blocks, kvh, bs, D]}; ``tables`` [B, mb] int32;
+    ``pos`` [B] per-row positions (paged serving is inherently ragged).
+    Returns ``(y [B, 1, E], new_pools)``."""
+    from taper_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention, paged_write)
+    assert mha.window is None, \
+        "paged caches are for full-attention models; window models " \
+        "use the O(W) ring cache instead"
+    assert jnp.ndim(pos) == 1, "paged decode takes per-row positions"
+    b, one, e = x_t.shape
+    x2 = x_t.reshape(b, e)
+
+    def proj_heads(w_name, b_name, n_heads):
+        y = _proj(x2, params[w_name], params.get(b_name))
+        return y.reshape(b, n_heads, 1, mha.head_dim)
+
+    q = proj_heads("wq", "bq", mha.num_heads)
+    k = proj_heads("wk", "bk", mha.num_kv_heads)
+    v = proj_heads("wv", "bv", mha.num_kv_heads)
+    if mha.rope:
+        cos, sin = mha._rope
+        q = apply_rope(q, cos, sin, offset=pos)
+        k = apply_rope(k, cos, sin, offset=pos)
+    kp, vp = paged_write(pools["k"], pools["v"], k, v, tables, pos)
+    new_pools = {"k": kp, "v": vp}
+    # GQA folds query groups against the kv-sized pool (same layout as
+    # the contiguous decode path); MHA is the G=1 case of the same form.
+    qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
+    o = paged_decode_attention(qg, kp, vp, tables, pos + 1,
+                               scale=mha.head_dim ** -0.5)
+    o2 = o.reshape(b, e).astype(x2.dtype)
+    y = _proj(o2, params["wo"], params.get("bo"))
+    return y.reshape(b, 1, e), new_pools
+
+
+def block_apply_decode_paged(blk: TransformerBlock, params, x_t, pools,
+                             tables, pos):
+    a, pools = mha_apply_decode_paged(
+        blk.attn, params["attn"], blk.ln1.apply(params["ln1"], x_t),
+        pools, tables, pos)
+    x_t = x_t + a
+    m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x_t))
+    return x_t + m, pools
+
+
+def mha_init_paged_pool(mha: MultiHeadAttention, n_blocks: int,
+                        block_size: int, dtype=jnp.float32):
+    shape = (n_blocks, mha.num_kv_heads, block_size, mha.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
 def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
     """Prompt prefill: one full (flash) attention forward over
     ``x`` [B, P, E] that ALSO fills cache positions [0, P) in a single
