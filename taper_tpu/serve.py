@@ -184,6 +184,32 @@ def _offline_program(model, n, p_pad, slots, m_out, eos, temperature,
     return jax.jit(run)
 
 
+class BlockAllocator:
+    """Host-side free list over a paged pool's block ids.
+
+    Allocation/free are pure bookkeeping (device pools are never
+    resized); the engine serializes all calls, so no locking."""
+
+    def __init__(self, n_blocks: int):
+        self.n_blocks = n_blocks
+        self._free = list(range(n_blocks - 1, -1, -1))
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise RuntimeError(
+                f"paged pool exhausted: need {n} blocks, "
+                f"{len(self._free)}/{self.n_blocks} free")
+        out = [self._free.pop() for _ in range(n)]
+        return out
+
+    def free(self, ids) -> None:
+        self._free.extend(int(i) for i in ids)
+
+
 class ServingEngine:
     """Slot-based continuous batching over a TinyGPT-family model.
 
@@ -191,13 +217,28 @@ class ServingEngine:
     returns ``{request_id: generated tokens}`` (including the eos
     token when one terminated the row).  ``prompt_pad`` bounds prompt
     length; ``prompt_pad + max_new`` must fit ``model.max_seq``.
+
+    **Paged KV cache** (``pool_blocks=N``): instead of reserving
+    ``slots × max_seq`` contiguous cache rows, K/V lives in a shared
+    pool of ``N`` blocks of ``block_size`` positions, allocated per
+    request by a host-side :class:`BlockAllocator` and addressed
+    through per-slot block tables (ops/pallas/paged_attention.py).
+    Admission reserves ``ceil((len + max_new)/bs)`` blocks — the
+    request's true worst case, NOT the ``prompt_pad + max_new`` static
+    bucket — so a pool much smaller than ``slots × max_seq`` serves
+    mixed-length traffic with a no-mid-decode-OOM guarantee: a request
+    is only admitted when its whole reservation fits (blocks written by
+    the prefill scatter beyond the reservation are returned to the
+    allocator immediately; the slot can never dereference them).
     """
 
     def __init__(self, model, params, *, slots: int = 8,
                  prompt_pad: int = 64, decode_block: int = 16,
                  eos_token: Optional[int] = None,
                  temperature: float = 0.0, top_k=None, top_p=None,
-                 quantized_cache: bool = False, key=None):
+                 quantized_cache: bool = False, key=None,
+                 pool_blocks: Optional[int] = None,
+                 block_size: int = 128):
         self.model = model
         self.params = params
         self.slots = slots
@@ -215,42 +256,97 @@ class ServingEngine:
         sample_kw = dict(temperature=temperature, top_k=top_k,
                          top_p=top_p)
         self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._paged = pool_blocks is not None
 
-        def admit(params, caches, prompt_1p, length, slot, last_tok,
-                  pos, active, key):
-            """One-row prefill of a padded prompt + scatter into `slot`."""
-            c1 = model.init_cache(1, quantized=quantized_cache)
-            logits, c1 = model.prefill(params, prompt_1p, c1)
-            lg = jax.lax.dynamic_index_in_dim(logits[0], length - 1, 0,
-                                              keepdims=False)
-            tok, key = _sample(lg[None], key, **sample_kw)
-            caches = jax.tree.map(
-                lambda c, x: jax.lax.dynamic_update_index_in_dim(
-                    c, x[0], slot, 0), caches, c1)
-            return (caches, last_tok.at[slot].set(tok[0]),
-                    pos.at[slot].set(length), active.at[slot].set(True),
-                    key)
+        if self._paged:
+            assert not quantized_cache, \
+                "paged pools are bf16/f32 (quantized paged cache: TODO)"
+            bs = block_size
+            self._block_size = bs
+            self._max_blocks = -(-model.max_seq // bs)
+            self._alloc = BlockAllocator(pool_blocks)
+            self._slot_blocks: List[List[int]] = [[] for _ in
+                                                  range(slots)]
+            # host-side tables; pushed to device per call (tiny int32)
+            self._tables = np.zeros((slots, self._max_blocks), np.int32)
 
-        def decode(params, last_tok, pos, caches, active, key):
-            """``decode_block`` steps for all slots; frozen rows hold."""
-            def step(carry, _):
-                tok, pos, caches, key = carry
-                logits, caches = model.decode_step(params, tok, pos,
-                                                   caches)
-                nxt, key = _sample(logits, key, **sample_kw)
-                nxt = jnp.where(active, nxt, tok)
-                pos = jnp.where(active, pos + 1, pos)
-                return (nxt, pos, caches, key), nxt
+            def admit(params, pools, prompt_1p, length, table_row,
+                      slot, last_tok, pos, active, key):
+                """One-row paged prefill: the row's K/V scatter into its
+                table's pool blocks."""
+                logits, pools = model.prefill_paged(
+                    params, prompt_1p, pools, table_row[None])
+                lg = jax.lax.dynamic_index_in_dim(
+                    logits[0], length - 1, 0, keepdims=False)
+                tok, key = _sample(lg[None], key, **sample_kw)
+                return (pools, last_tok.at[slot].set(tok[0]),
+                        pos.at[slot].set(length),
+                        active.at[slot].set(True), key)
 
-            (tok, pos, caches, key), toks = jax.lax.scan(
-                step, (last_tok, pos, caches, key), None,
-                length=decode_block)
-            return tok, pos, caches, key, toks        # toks [K, B]
+            def decode(params, last_tok, pos, pools, tables, active,
+                       key):
+                def step(carry, _):
+                    tok, pos, pools, key = carry
+                    logits, pools = model.decode_step_paged(
+                        params, tok, pos, pools, tables)
+                    nxt, key = _sample(logits, key, **sample_kw)
+                    nxt = jnp.where(active, nxt, tok)
+                    pos = jnp.where(active, pos + 1, pos)
+                    return (nxt, pos, pools, key), nxt
 
-        self._admit = jax.jit(admit, donate_argnums=(1,))
-        self._decode = jax.jit(decode, donate_argnums=(3,))
+                (tok, pos, pools, key), toks = jax.lax.scan(
+                    step, (last_tok, pos, pools, key), None,
+                    length=decode_block)
+                return tok, pos, pools, key, toks     # toks [K, B]
 
-        self._caches = model.init_cache(slots, quantized=quantized_cache)
+            self._admit = jax.jit(admit, donate_argnums=(1,))
+            self._decode = jax.jit(decode, donate_argnums=(3,))
+            self._caches = model.init_paged_cache(pool_blocks, bs)
+            # decode writes K/V for EVERY slot each step (frozen rows
+            # rewrite their own last position; idle slots have nothing
+            # to own) — idle/retired slots' table rows point at a
+            # reserved TRASH block so their writes/reads can never
+            # touch a live request's blocks.
+            self._trash = self._alloc.alloc(1)[0]
+            self._tables[:] = self._trash
+        else:
+            def admit(params, caches, prompt_1p, length, slot, last_tok,
+                      pos, active, key):
+                """One-row prefill of a padded prompt + scatter into
+                `slot`."""
+                c1 = model.init_cache(1, quantized=quantized_cache)
+                logits, c1 = model.prefill(params, prompt_1p, c1)
+                lg = jax.lax.dynamic_index_in_dim(logits[0], length - 1,
+                                                  0, keepdims=False)
+                tok, key = _sample(lg[None], key, **sample_kw)
+                caches = jax.tree.map(
+                    lambda c, x: jax.lax.dynamic_update_index_in_dim(
+                        c, x[0], slot, 0), caches, c1)
+                return (caches, last_tok.at[slot].set(tok[0]),
+                        pos.at[slot].set(length),
+                        active.at[slot].set(True), key)
+
+            def decode(params, last_tok, pos, caches, active, key):
+                """``decode_block`` steps for all slots; frozen rows
+                hold."""
+                def step(carry, _):
+                    tok, pos, caches, key = carry
+                    logits, caches = model.decode_step(params, tok, pos,
+                                                       caches)
+                    nxt, key = _sample(logits, key, **sample_kw)
+                    nxt = jnp.where(active, nxt, tok)
+                    pos = jnp.where(active, pos + 1, pos)
+                    return (nxt, pos, caches, key), nxt
+
+                (tok, pos, caches, key), toks = jax.lax.scan(
+                    step, (last_tok, pos, caches, key), None,
+                    length=decode_block)
+                return tok, pos, caches, key, toks        # toks [K, B]
+
+            self._admit = jax.jit(admit, donate_argnums=(1,))
+            self._decode = jax.jit(decode, donate_argnums=(3,))
+            self._caches = model.init_cache(slots,
+                                            quantized=quantized_cache)
         self._last_tok = jnp.zeros((slots,), jnp.int32)
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._active = jnp.zeros((slots,), bool)
@@ -262,6 +358,12 @@ class ServingEngine:
     def submit(self, prompt: Sequence[int], max_new: int) -> int:
         assert 1 <= len(prompt) <= self.prompt_pad, len(prompt)
         assert self.prompt_pad + max_new <= self.model.max_seq
+        if self._paged:
+            _, _, need = self._paged_need(len(prompt), int(max_new))
+            assert need <= self._alloc.n_blocks - 1, (
+                f"request needs {need} blocks but the pool only has "
+                f"{self._alloc.n_blocks - 1} usable — it could never "
+                f"be admitted")
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, list(map(int, prompt)), int(max_new)))
@@ -270,15 +372,46 @@ class ServingEngine:
     def _free_slots(self):
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit_one(self, slot: int):
+    def _paged_need(self, prompt_len: int, max_new: int):
+        """(scatter, keep, alloc) block counts for one admission: the
+        prefill scatters ceil(prompt_pad/bs) blocks (static program),
+        the request only ever dereferences ceil((len + max_new)/bs)."""
+        bs = self._block_size
+        scatter = -(-self.prompt_pad // bs)
+        keep = -(-(prompt_len + max_new) // bs)
+        return scatter, keep, max(scatter, keep)
+
+    def _admit_one(self, slot: int) -> bool:
+        if self._paged:
+            _, _, need = self._paged_need(len(self._queue[0][1]),
+                                          self._queue[0][2])
+            if need > self._alloc.available:
+                return False          # FCFS: wait for blocks to free
         rid, prompt, max_new = self._queue.popleft()
         padded = np.zeros((1, self.prompt_pad), np.int32)
         padded[0, :len(prompt)] = prompt
-        (self._caches, self._last_tok, self._pos, self._active,
-         self._key) = self._admit(
-            self.params, self._caches, jnp.asarray(padded),
-            jnp.int32(len(prompt)), jnp.int32(slot), self._last_tok,
-            self._pos, self._active, self._key)
+        if self._paged:
+            _, keep, need = self._paged_need(len(prompt), max_new)
+            ids = self._alloc.alloc(need)
+            row = np.full((self._max_blocks,), self._trash, np.int32)
+            row[:need] = ids
+            self._tables[slot] = row
+            (self._caches, self._last_tok, self._pos, self._active,
+             self._key) = self._admit(
+                self.params, self._caches, jnp.asarray(padded),
+                jnp.int32(len(prompt)), jnp.asarray(row),
+                jnp.int32(slot), self._last_tok, self._pos,
+                self._active, self._key)
+            if need > keep:   # prompt-pad scatter overshoot: return it
+                self._alloc.free(ids[keep:])
+                self._tables[slot, keep:] = self._trash
+            self._slot_blocks[slot] = ids[:keep]
+        else:
+            (self._caches, self._last_tok, self._pos, self._active,
+             self._key) = self._admit(
+                self.params, self._caches, jnp.asarray(padded),
+                jnp.int32(len(prompt)), jnp.int32(slot), self._last_tok,
+                self._pos, self._active, self._key)
         self._slot_req[slot] = (rid, max_new)
         self._emitted[slot] = 1          # prefill sampled the first token
         # the first token is on device in last_tok; harvest lazily with
@@ -286,6 +419,7 @@ class ServingEngine:
         first = int(np.asarray(self._last_tok)[slot])
         self._outputs[rid] = [first]
         self._maybe_retire(slot, first)
+        return True
 
     def _maybe_retire(self, slot: int, tok: int):
         rid, max_new = self._slot_req[slot]
@@ -295,6 +429,10 @@ class ServingEngine:
             self._slot_req[slot] = None
             self._active = self._active.at[slot].set(False)
             self._done_ids.append(rid)
+            if self._paged:
+                self._alloc.free(self._slot_blocks[slot])
+                self._slot_blocks[slot] = []
+                self._tables[slot, :] = self._trash
 
     def step(self):
         """One scheduling round: admit into free slots, then one decode
@@ -302,13 +440,22 @@ class ServingEngine:
         for slot in self._free_slots():
             if not self._queue:
                 break
-            self._admit_one(slot)
+            if not self._admit_one(slot):
+                break                 # paged pool full: decode first
         if not any(r is not None for r in self._slot_req):
             return bool(self._queue)
 
-        (self._last_tok, self._pos, self._caches, self._key,
-         toks) = self._decode(self.params, self._last_tok, self._pos,
-                              self._caches, self._active, self._key)
+        if self._paged:
+            (self._last_tok, self._pos, self._caches, self._key,
+             toks) = self._decode(self.params, self._last_tok,
+                                  self._pos, self._caches,
+                                  jnp.asarray(self._tables),
+                                  self._active, self._key)
+        else:
+            (self._last_tok, self._pos, self._caches, self._key,
+             toks) = self._decode(self.params, self._last_tok,
+                                  self._pos, self._caches,
+                                  self._active, self._key)
         tile = np.asarray(toks)                       # [K, B] small
         for slot, req in enumerate(self._slot_req):
             if req is None:
