@@ -344,6 +344,97 @@ def bench_kvcache(smax=4096, batch=8):
     race(cs, rounds=3, scale=batch, unit="tokens/s")
 
 
+def bench_paged(smax=4096, batch=16, bs=128):
+    """Paged vs contiguous KV cache at MIXED request lengths (the
+    serving case paging exists for: half the slots hold short 256-token
+    contexts, half long ones).
+
+    The contiguous cache reads [B, H, Smax, D] every step regardless of
+    true lengths; the paged pallas kernel reads only each slot's
+    allocated blocks (the index-map clamp elides the rest of the DMA),
+    and pool MEMORY is proportional to tokens actually held.  The
+    "paged xla-gather" row prices the materialized gather the kernel
+    avoids (impl="xla").
+
+    Measured (v5e, r3): mixed 256/4032 — contiguous 3849 tok/s, paged
+    pallas 3585 (0.93×, with the pool 1.8× smaller), paged xla-gather
+    1003 (the gather is unusable; the kernel is what makes paging
+    viable).  All-short 256 — paged pallas **14060 vs 3840 = 3.7×**
+    (and the pool is 18× smaller): when true lengths ≪ Smax the
+    contiguous cache's fixed Smax-row read is pure waste."""
+    import os
+    import numpy as np
+
+    ops.set_backend("xla")
+    dim, depth, heads, vocab = 1024, 8, 8, 4096
+    model = models.TinyGPT(vocab_size=vocab, dim=dim, depth=depth,
+                           num_heads=heads, max_seq=smax, rope=True,
+                           compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    # rows alternate short/long; long rows start 64 below smax so the
+    # timing chain's +1-per-step positions stay in range
+    lens = np.asarray([256 if i % 2 == 0 else smax - 64
+                       for i in range(batch)], np.int32)
+    mb = smax // bs
+    n_alloc = int(sum(-(-(l + 64) // bs) for l in lens))
+    pools = model.init_paged_cache(n_alloc + 1, bs)
+    nxt = 1
+    tables_np = np.zeros((batch, mb), np.int32)
+    for i, l in enumerate(lens):
+        nb = -(-(int(l) + 64) // bs)
+        tables_np[i, :nb] = np.arange(nxt, nxt + nb)
+        nxt += nb
+    tables = jnp.asarray(tables_np)
+    d = dim // heads
+    contig_mb = batch * heads * smax * d * 2 * depth * 2 / 2**20
+    paged_mb = (n_alloc + 1) * heads * bs * d * 2 * depth * 2 / 2**20
+    print(f"paged decode B={batch} Smax={smax} lens 256/{smax - 64} "
+          f"bs={bs}: contiguous cache {contig_mb:.0f} MB vs pool "
+          f"{paged_mb:.0f} MB ({contig_mb / paged_mb:.1f}x)",
+          flush=True)
+
+    def cstep(carry, p):
+        tok, pos, caches = carry
+        logits, caches = model.decode_step(p, tok, pos, caches)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                caches)
+
+    def pstep_impl(impl):
+        def pstep(carry, p, tables):
+            tok, pos, pools = carry
+            logits, pools = model.decode_step_paged(p, tok, pos, pools,
+                                                    tables, impl=impl)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                    pools)
+        return pstep
+
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    pos0 = jnp.asarray(lens)
+    cs = [Contender("mixed: contiguous bf16",
+                    cstep, (tok0, pos0, model.init_cache(batch)),
+                    (params,), n_hi=40, n_lo=8),
+          Contender("mixed: paged xla-gather", pstep_impl("xla"),
+                    (tok0, pos0, jax.tree.map(jnp.copy, pools)),
+                    (params, tables), n_hi=40, n_lo=8),
+          Contender("mixed: paged pallas kernel", pstep_impl("pallas"),
+                    (tok0, pos0, pools),
+                    (params, tables), n_hi=40, n_lo=8)]
+    # all-short scenario: every row holds 256 tokens — the contiguous
+    # cache still reads Smax rows/step, the paged kernel only 3 blocks
+    pos_s = jnp.full((batch,), 256, jnp.int32)
+    short_tables = jnp.asarray(
+        np.arange(1, batch * 3 + 1, dtype=np.int32).reshape(batch, 3))
+    short_tables = jnp.pad(short_tables, ((0, 0), (0, mb - 3)))
+    short_pools = model.init_paged_cache(batch * 3 + 1, bs)
+    cs += [Contender("all-short: contiguous bf16",
+                     cstep, (tok0, pos_s, model.init_cache(batch)),
+                     (params,), n_hi=40, n_lo=8),
+           Contender("all-short: paged pallas kernel",
+                     pstep_impl("pallas"), (tok0, pos_s, short_pools),
+                     (params, short_tables), n_hi=40, n_lo=8)]
+    race(cs, rounds=3, scale=batch, unit="tokens/s")
+
+
 def bench_speculative(hi=192, lo=48, plen=64):
     """Speculative greedy decoding vs plain decode on a TRAINED
     target/draft byte-LM pair (training both on the repo's checked-in
@@ -472,5 +563,7 @@ if __name__ == "__main__":
         bench_multiturn()
     elif "engine" in sys.argv[1:]:
         bench_engine()
+    elif "paged" in sys.argv[1:]:
+        bench_paged()
     else:
         main()

@@ -271,10 +271,13 @@ class TinyGPT(Module):
         return [mha_init_paged_pool(blk.attn, n_blocks, block_size, dt)
                 for blk in self.blocks]
 
-    def decode_step_paged(self, params, tok_t, pos, pools, tables):
+    def decode_step_paged(self, params, tok_t, pos, pools, tables,
+                          impl=None):
         """One token per slot against the paged cache: ``tok_t`` [B]
         int32, ``pos`` [B] per-row positions, ``tables`` [B, mb] block
-        tables.  Returns ``(logits [B, vocab], new_pools)``."""
+        tables; ``impl`` selects the paged-attention implementation
+        (None → the pallas kernel).  Returns
+        ``(logits [B, vocab], new_pools)``."""
         from taper_tpu.nn.transformer import block_apply_decode_paged
         x = self.tok.apply(params["tok"], tok_t[:, None])  # [B, 1, E]
         if not self.rope:
@@ -284,7 +287,8 @@ class TinyGPT(Module):
             x = x.astype(self.compute_dtype)
         new_pools = []
         for blk, bp, pl in zip(self.blocks, params["blocks"], pools):
-            x, pl = block_apply_decode_paged(blk, bp, x, pl, tables, pos)
+            x, pl = block_apply_decode_paged(blk, bp, x, pl, tables,
+                                             pos, impl=impl)
             new_pools.append(pl)
         x = self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
         return self._logits(params, x)[:, 0], new_pools

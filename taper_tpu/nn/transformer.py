@@ -504,7 +504,7 @@ def mha_apply_decode(mha: MultiHeadAttention, params, x_t, cache, pos):
 
 
 def mha_apply_decode_paged(mha: MultiHeadAttention, params, x_t, pools,
-                           tables, pos):
+                           tables, pos, impl=None):
     """One decode step against a PAGED KV cache (block pool + table;
     see ops/pallas/paged_attention.py).  ``x_t`` [B, 1, E]; ``pools``
     {"k","v": [n_blocks, kvh, bs, D]}; ``tables`` [B, mb] int32;
@@ -536,17 +536,17 @@ def mha_apply_decode_paged(mha: MultiHeadAttention, params, x_t, pools,
     # the contiguous decode path); MHA is the G=1 case of the same form.
     qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
     o = paged_decode_attention(qg, kp, vp, tables, pos + 1,
-                               scale=mha.head_dim ** -0.5)
+                               scale=mha.head_dim ** -0.5, impl=impl)
     o2 = o.reshape(b, e).astype(x2.dtype)
     y = _proj(o2, params["wo"], params.get("bo"))
     return y.reshape(b, 1, e), new_pools
 
 
 def block_apply_decode_paged(blk: TransformerBlock, params, x_t, pools,
-                             tables, pos):
+                             tables, pos, impl=None):
     a, pools = mha_apply_decode_paged(
         blk.attn, params["attn"], blk.ln1.apply(params["ln1"], x_t),
-        pools, tables, pos)
+        pools, tables, pos, impl=impl)
     x_t = x_t + a
     m = blk.mlp.apply(params["mlp"], blk.ln2.apply(params["ln2"], x_t))
     return x_t + m, pools
