@@ -356,10 +356,11 @@ def bench_paged(smax=4096, batch=16, bs=128):
     "paged xla-gather" row prices the materialized gather the kernel
     avoids (impl="xla").
 
-    Measured (v5e, r3): mixed 256/4032 — contiguous 3849 tok/s, paged
-    pallas 3585 (0.93×, with the pool 1.8× smaller), paged xla-gather
+    Measured (v5e, r3): mixed 256/4032 — contiguous 3845 tok/s, paged
+    pallas 3585 (0.93×, with the pool 1.8× smaller), paged INT8
+    pallas **4497 (1.17×, pool ~3.5× smaller)**, paged xla-gather
     1003 (the gather is unusable; the kernel is what makes paging
-    viable).  All-short 256 — paged pallas **14060 vs 3840 = 3.7×**
+    viable).  All-short 256 — paged pallas **14017 vs 3841 = 3.7×**
     (and the pool is 18× smaller): when true lengths ≪ Smax the
     contiguous cache's fixed Smax-row read is pure waste."""
     import os
@@ -419,6 +420,13 @@ def bench_paged(smax=4096, batch=16, bs=128):
           Contender("mixed: paged pallas kernel", pstep_impl("pallas"),
                     (tok0, pos0, pools),
                     (params, tables), n_hi=40, n_lo=8)]
+    # int8 paged pools: the quantized cache's byte saving composes
+    # with paging (half the bf16 pool bytes + per-position scales)
+    q_pools = model.init_paged_cache(n_alloc + 1, bs, quantized=True)
+    cs.append(Contender("mixed: paged int8 kernel",
+                        pstep_impl("pallas"),
+                        (tok0, pos0, q_pools), (params, tables),
+                        n_hi=40, n_lo=8))
     # all-short scenario: every row holds 256 tokens — the contiguous
     # cache still reads Smax rows/step, the paged kernel only 3 blocks
     pos_s = jnp.full((batch,), 256, jnp.int32)

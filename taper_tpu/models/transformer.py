@@ -262,13 +262,16 @@ class TinyGPT(Module):
         return self._logits(params, x)[:, 0], new_caches
 
     def init_paged_cache(self, n_blocks: int, block_size: int = 128,
-                         dtype=None):
-        """Per-layer PAGED pools: {"k","v": [n_blocks, kvh, bs, D]}.
-        Block tables/lengths live OUTSIDE (the serving engine owns
+                         dtype=None, quantized: bool = False):
+        """Per-layer PAGED pools: {"k","v": [n_blocks, kvh, bs, D]}
+        (+ per-position "k_scale"/"v_scale" when ``quantized`` — the
+        int8 cache's 2× byte saving composes with paging).  Block
+        tables/lengths live OUTSIDE (the serving engine owns
         allocation); see ops/pallas/paged_attention.py."""
         from taper_tpu.nn.transformer import mha_init_paged_pool
         dt = dtype or self.compute_dtype or jnp.float32
-        return [mha_init_paged_pool(blk.attn, n_blocks, block_size, dt)
+        return [mha_init_paged_pool(blk.attn, n_blocks, block_size, dt,
+                                    quantized=quantized)
                 for blk in self.blocks]
 
     def decode_step_paged(self, params, tok_t, pos, pools, tables,
@@ -300,23 +303,30 @@ class TinyGPT(Module):
         them; pad-position rows land in the last block's tail and are
         masked by ``lengths`` at read time).  Returns
         ``(logits [B, P, vocab], new_pools)``."""
-        from taper_tpu.ops.pallas.paged_attention import \
-            paged_write_prefill
+        from taper_tpu.ops.pallas.paged_attention import (
+            paged_write_prefill, paged_write_prefill_scale)
         b, p = prompt.shape
+        quantized = "k_scale" in pools[0]
         tmp = [
             {k: (jnp.zeros((b,) + v.shape[1:2] + (p,) + v.shape[3:],
-                           v.dtype) if k in ("k", "v") else v)
+                           v.dtype) if k in ("k", "v") else
+                 jnp.zeros((b,) + v.shape[1:2] + (p,), v.dtype))
              for k, v in c.items()}
-            for c in self.init_cache(b)
+            for c in self.init_cache(b, quantized=quantized)
         ]
         logits, tmp = self.prefill(params, prompt, tmp)
         new_pools = []
         for pool, c in zip(pools, tmp):
-            kp, vp = pool["k"], pool["v"]
+            new = dict(pool)
             for i in range(b):          # engine admissions are 1-row
-                kp, vp = paged_write_prefill(kp, vp, c["k"][i],
-                                             c["v"][i], tables[i])
-            new_pools.append({"k": kp, "v": vp})
+                new["k"], new["v"] = paged_write_prefill(
+                    new["k"], new["v"], c["k"][i], c["v"][i], tables[i])
+                if quantized:
+                    new["k_scale"] = paged_write_prefill_scale(
+                        new["k_scale"], c["k_scale"][i], tables[i])
+                    new["v_scale"] = paged_write_prefill_scale(
+                        new["v_scale"], c["v_scale"][i], tables[i])
+            new_pools.append(new)
         return logits, new_pools
 
     def decode_chunk(self, params, toks, pos, caches):

@@ -511,7 +511,7 @@ def mha_apply_decode_paged(mha: MultiHeadAttention, params, x_t, pools,
     ``pos`` [B] per-row positions (paged serving is inherently ragged).
     Returns ``(y [B, 1, E], new_pools)``."""
     from taper_tpu.ops.pallas.paged_attention import (
-        paged_decode_attention, paged_write)
+        paged_decode_attention, paged_write, paged_write_scale)
     assert mha.window is None, \
         "paged caches are for full-attention models; window models " \
         "use the O(W) ring cache instead"
@@ -530,13 +530,24 @@ def mha_apply_decode_paged(mha: MultiHeadAttention, params, x_t, pools,
         cos, sin = mha._rope
         q = apply_rope(q, cos, sin, offset=pos)
         k = apply_rope(k, cos, sin, offset=pos)
+    scales = {}
+    if "k_scale" in pools:       # int8 paged pools
+        k, k_sc = kv_quantize(k)
+        v, v_sc = kv_quantize(v)
+        scales = {
+            "k_scale": paged_write_scale(pools["k_scale"],
+                                         k_sc[:, :, 0], tables, pos),
+            "v_scale": paged_write_scale(pools["v_scale"],
+                                         v_sc[:, :, 0], tables, pos)}
     kp, vp = paged_write(pools["k"], pools["v"], k, v, tables, pos)
-    new_pools = {"k": kp, "v": vp}
+    new_pools = {"k": kp, "v": vp, **scales}
     # GQA folds query groups against the kv-sized pool (same layout as
     # the contiguous decode path); MHA is the G=1 case of the same form.
     qg = q.reshape(b, mha.num_kv_heads, mha.kv_groups, mha.head_dim)
     o = paged_decode_attention(qg, kp, vp, tables, pos + 1,
-                               scale=mha.head_dim ** -0.5, impl=impl)
+                               scale=mha.head_dim ** -0.5, impl=impl,
+                               k_scales=scales.get("k_scale"),
+                               v_scales=scales.get("v_scale"))
     o2 = o.reshape(b, e).astype(x2.dtype)
     y = _proj(o2, params["wo"], params.get("bo"))
     return y.reshape(b, 1, e), new_pools
@@ -553,8 +564,14 @@ def block_apply_decode_paged(blk: TransformerBlock, params, x_t, pools,
 
 
 def mha_init_paged_pool(mha: MultiHeadAttention, n_blocks: int,
-                        block_size: int, dtype=jnp.float32):
+                        block_size: int, dtype=jnp.float32,
+                        quantized: bool = False):
     shape = (n_blocks, mha.num_kv_heads, block_size, mha.head_dim)
+    if quantized:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -77,6 +77,30 @@ def paged_write(k_pool, v_pool, k, v, tables, pos):
     return k_pool, v_pool
 
 
+def paged_write_scale(scale_pool, scale, tables, pos):
+    """Scatter one per-position quantization scale per slot into a
+    scale pool [n_blocks, kvh, bs] (int8 pools; the row itself goes
+    through :func:`paged_write`).  ``scale``: [B, kvh]."""
+    bs = scale_pool.shape[2]
+    blk = jnp.take_along_axis(tables, (pos[:, None] // bs), axis=1)[:, 0]
+    off = pos % bs
+    return scale_pool.at[blk, :, off].set(scale.astype(scale_pool.dtype))
+
+
+def paged_write_prefill_scale(scale_pool, scale, table_row):
+    """Prefill counterpart of :func:`paged_write_scale`:
+    ``scale`` [kvh, P] scattered block-wise into ``table_row``'s
+    blocks."""
+    kvh, p = scale.shape
+    bs = scale_pool.shape[2]
+    nb = -(-p // bs)
+    pad = nb * bs - p
+    if pad:
+        scale = jnp.pad(scale, ((0, 0), (0, pad)))
+    sb = scale.reshape(kvh, nb, bs).transpose(1, 0, 2)
+    return scale_pool.at[table_row[:nb]].set(sb.astype(scale_pool.dtype))
+
+
 def paged_write_prefill(k_pool, v_pool, k, v, table_row):
     """Scatter ONE sequence's prefill rows into its allocated blocks.
 
@@ -103,26 +127,35 @@ def paged_write_prefill(k_pool, v_pool, k, v, table_row):
 # Decode attention
 # ---------------------------------------------------------------------------
 
-def _xla_paged(q, k_pool, v_pool, tables, lengths, scale):
-    """Gather-then-attend oracle (materializes the gathered blocks)."""
+def _xla_paged(q, k_pool, v_pool, tables, lengths, scale,
+               k_scales=None, v_scales=None):
+    """Gather-then-attend oracle (materializes the gathered blocks).
+    int8 pools pass per-(block, head, position) ``k_scales``/
+    ``v_scales`` [n_blocks, kvh, bs]."""
     b, mb = tables.shape
     kvh, bs, d = k_pool.shape[1:]
-    kg = jnp.take(k_pool, tables, axis=0)        # [B, mb, kvh, bs, D]
-    vg = jnp.take(v_pool, tables, axis=0)
-    kg = kg.transpose(0, 2, 1, 3, 4).reshape(b, kvh, mb * bs, d)
-    vg = vg.transpose(0, 2, 1, 3, 4).reshape(b, kvh, mb * bs, d)
-    s = jnp.einsum("bhgd,bhkd->bhgk", q.astype(jnp.float32),
-                   kg.astype(jnp.float32),
+
+    def gather(pool):
+        g = jnp.take(pool, tables, axis=0)       # [B, mb, kvh, bs, ...]
+        g = jnp.moveaxis(g, 2, 1)
+        return g.reshape((b, kvh, mb * bs) + pool.shape[3:])
+
+    kg, vg = gather(k_pool).astype(jnp.float32), \
+        gather(v_pool).astype(jnp.float32)
+    if k_scales is not None:
+        kg = kg * gather(k_scales)[..., None]
+        vg = vg * gather(v_scales)[..., None]
+    s = jnp.einsum("bhgd,bhkd->bhgk", q.astype(jnp.float32), kg,
                    preferred_element_type=jnp.float32) * scale
     mask = jnp.arange(mb * bs)[None, :] < lengths[:, None]   # [B, S]
     s = jnp.where(mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgk,bhkd->bhgd", p, vg.astype(jnp.float32),
+    o = jnp.einsum("bhgk,bhkd->bhgd", p, vg,
                    preferred_element_type=jnp.float32)
     return o.astype(q.dtype)
 
 
-def _make_paged_kernel(nsub, bs, scale, lowp):
+def _make_paged_kernel(nsub, bs, scale, lowp, quant=False):
     """Kernel over grid (B, mb/nsub): each step streams ``nsub`` pool
     blocks — ALL kv heads each — through one online-softmax scratch.
 
@@ -133,10 +166,12 @@ def _make_paged_kernel(nsub, bs, scale, lowp):
     DMAs) beat XLA on mixed lengths; nsub=4 blocks per step (1 MB of
     K/V per step) also reaches parity on the all-long worst case:
     mixed 251 µs vs XLA 359 (1.43×), all-long 370 vs 367."""
+    per = 4 if quant else 2      # refs per sub-block: k, v [, ks, vs]
+
     def kernel(tables_ref, lengths_ref, q_ref, *rest):
-        kv_refs = rest[:2 * nsub]
-        o_ref = rest[2 * nsub]
-        m_sc, l_sc, acc_sc = rest[2 * nsub + 1:]
+        kv_refs = rest[:per * nsub]
+        o_ref = rest[per * nsub]
+        m_sc, l_sc, acc_sc = rest[per * nsub + 1:]
         b = pl.program_id(0)
         j = pl.program_id(1)
         length = lengths_ref[b]
@@ -147,12 +182,20 @@ def _make_paged_kernel(nsub, bs, scale, lowp):
             l_sc[:] = jnp.zeros_like(l_sc)
             acc_sc[:] = jnp.zeros_like(acc_sc)
 
-        def sub(k_ref, v_ref, col0):
+        def sub(k_ref, v_ref, ks_ref, vs_ref, col0):
             qt = _dot_in(q_ref[0], lowp)               # [kvh, G, D]
-            kt = _dot_in(k_ref[0], lowp)               # [kvh, bs, D]
+            kt = k_ref[0]                              # [kvh, bs, D]
+            # int8 pools: dot on the raw int8 rows cast to the compute
+            # dtype; the per-position k scale folds into the SCORES
+            # after the dot, the v scale into the softmax weights
+            # before theirs — same math as the contiguous quantized
+            # cache (_decode_attention).
+            kt = kt.astype(qt.dtype) if quant else _dot_in(kt, lowp)
             s = jax.lax.dot_general(                   # [kvh, G, bs]
                 qt, kt, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
+            if quant:
+                s = s * ks_ref[0][:, None, :]
             cols = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(cols < length, s, _NEG_INF)
             m_prev = m_sc[:, :, :1]
@@ -168,7 +211,12 @@ def _make_paged_kernel(nsub, bs, scale, lowp):
                 l_sc[:, :, :1] * corr
                 + jnp.sum(p, axis=2, keepdims=True), l_sc.shape)
             m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
-            vt = _dot_in(v_ref[0], lowp)               # [kvh, bs, D]
+            vt = v_ref[0]                              # [kvh, bs, D]
+            if quant:
+                p = p * vs_ref[0][:, None, :]
+                vt = vt.astype(qt.dtype)
+            else:
+                vt = _dot_in(vt, lowp)
             pv = jax.lax.dot_general(                  # [kvh, G, D]
                 p.astype(vt.dtype), vt, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
@@ -177,8 +225,9 @@ def _make_paged_kernel(nsub, bs, scale, lowp):
         for w in range(nsub):
             @pl.when((nsub * j + w) * bs < length)
             def _(w=w):
-                sub(kv_refs[2 * w], kv_refs[2 * w + 1],
-                    (nsub * j + w) * bs)
+                r = kv_refs[per * w:per * (w + 1)]
+                sub(r[0], r[1], r[2] if quant else None,
+                    r[3] if quant else None, (nsub * j + w) * bs)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _fin():
@@ -187,11 +236,13 @@ def _make_paged_kernel(nsub, bs, scale, lowp):
     return kernel
 
 
-def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4):
+def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4,
+                  k_scales=None, v_scales=None):
     b, kvh, g, d = q.shape
     mb = tables.shape[1]
     bs = k_pool.shape[2]
     nsub = max(1, min(nsub, mb))
+    quant = k_scales is not None
     # pad the (tiny) query-group dim up to a full sublane tile
     gp = max(8, -(-g // 8) * 8)
     if gp != g:
@@ -207,19 +258,26 @@ def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4):
     def q_idx(bi, j, tables, lengths):
         return (bi, 0, 0, 0)
 
-    def kv_idx(which):
+    def kv_idx(which, rank4=True):
         def f(bi, j, tables, lengths):
             # clamp past-the-end steps to the last valid block: Pallas
             # skips the DMA when the block index is unchanged, so short
             # sequences stream only their own blocks.
             nb = jnp.maximum((lengths[bi] + bs - 1) // bs, 1)
             jc = jnp.minimum(nsub * j + which, nb - 1)
-            return (tables[bi, jc], 0, 0, 0)
+            return ((tables[bi, jc], 0, 0, 0) if rank4
+                    else (tables[bi, jc], 0, 0))
         return f
 
     in_specs = [pl.BlockSpec((1, kvh, gp, d), q_idx)]
+    per_args = []
     for w in range(nsub):
         in_specs += [pl.BlockSpec((1, kvh, bs, d), kv_idx(w))] * 2
+        per_args += [k_pool, v_pool]
+        if quant:
+            in_specs += [pl.BlockSpec((1, kvh, bs),
+                                      kv_idx(w, rank4=False))] * 2
+            per_args += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, mb // nsub),
@@ -231,10 +289,9 @@ def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4):
             pltpu.VMEM((kvh, gp, d), jnp.float32),
         ],
     )
-    args = ([tables, lengths, q]
-            + [x for _ in range(nsub) for x in (k_pool, v_pool)])
     out = pl.pallas_call(
-        _make_paged_kernel(nsub, bs, scale, _dot_bf16_default()),
+        _make_paged_kernel(nsub, bs, scale, _dot_bf16_default(),
+                           quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, gp, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -245,27 +302,33 @@ def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4):
                             * bs * d),
             transcendentals=b * kvh * gp * mb * bs),
         interpret=_backend.pallas_interpret_mode(),
-    )(*args)
+    )(tables, lengths, q, *per_args)
     return out[:, :, :g] if gp != g else out
 
 
 def paged_decode_attention(q, k_pool, v_pool, tables, lengths, *,
-                           scale, impl=None, nsub=4):
+                           scale, impl=None, nsub=4,
+                           k_scales=None, v_scales=None):
     """Decode attention against a paged KV cache.
 
     ``q``: [B, kvh, G, D] (G = query heads per KV head — GQA folds its
     groups here, MHA passes G=1); pools [n_blocks, kvh, bs, D]; see
     module docstring for ``tables``/``lengths``.  Every ``lengths[b]``
     must be ≥ 1.  ``nsub``: pool blocks streamed per kernel grid step
-    (clamped to the table width).  Returns [B, kvh, G, D] in
-    ``q.dtype``."""
+    (clamped to the table width).  int8 pools pass ``k_scales``/
+    ``v_scales`` [n_blocks, kvh, bs] (one symmetric scale per stored
+    position — the paged form of the quantized contiguous cache).
+    Returns [B, kvh, G, D] in ``q.dtype``."""
     assert q.ndim == 4 and k_pool.ndim == 4, (q.shape, k_pool.shape)
     assert k_pool.shape == v_pool.shape
     assert q.shape[1] == k_pool.shape[1], (q.shape, k_pool.shape)
     assert q.shape[3] == k_pool.shape[3], (q.shape, k_pool.shape)
+    assert (k_scales is None) == (v_scales is None)
     if impl is None:
         impl = "pallas"
     if impl == "xla":
-        return _xla_paged(q, k_pool, v_pool, tables, lengths, scale)
+        return _xla_paged(q, k_pool, v_pool, tables, lengths, scale,
+                          k_scales, v_scales)
     return _pallas_paged(q, k_pool, v_pool, tables, lengths, scale,
-                         nsub=nsub)
+                         nsub=nsub, k_scales=k_scales,
+                         v_scales=v_scales)

@@ -259,8 +259,6 @@ class ServingEngine:
         self._paged = pool_blocks is not None
 
         if self._paged:
-            assert not quantized_cache, \
-                "paged pools are bf16/f32 (quantized paged cache: TODO)"
             bs = block_size
             self._block_size = bs
             self._max_blocks = -(-model.max_seq // bs)
@@ -301,7 +299,8 @@ class ServingEngine:
 
             self._admit = jax.jit(admit, donate_argnums=(1,))
             self._decode = jax.jit(decode, donate_argnums=(3,))
-            self._caches = model.init_paged_cache(pool_blocks, bs)
+            self._caches = model.init_paged_cache(
+                pool_blocks, bs, quantized=quantized_cache)
             # decode writes K/V for EVERY slot each step (frozen rows
             # rewrite their own last position; idle slots have nothing
             # to own) — idle/retired slots' table rows point at a

@@ -135,6 +135,27 @@ def test_garbage_blocks_never_leak():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_kernel_quantized_matches_oracle():
+    """int8 pools + per-position scales: kernel vs gather oracle."""
+    q, kp_f, vp_f, tb, ln = _rand_paged_case(jax.random.PRNGKey(11))
+    nb, kvh, bs, d = kp_f.shape
+    ks = jax.random.uniform(jax.random.PRNGKey(12), (nb, kvh, bs),
+                            minval=0.005, maxval=0.02)
+    vs = jax.random.uniform(jax.random.PRNGKey(13), (nb, kvh, bs),
+                            minval=0.005, maxval=0.02)
+    kp = jnp.clip(jnp.round(kp_f * 30), -127, 127).astype(jnp.int8)
+    vp = jnp.clip(jnp.round(vp_f * 30), -127, 127).astype(jnp.int8)
+    scale = d ** -0.5
+    o_k = PA.paged_decode_attention(q, kp, vp, tb, ln, scale=scale,
+                                    impl="pallas", k_scales=ks,
+                                    v_scales=vs)
+    o_x = PA.paged_decode_attention(q, kp, vp, tb, ln, scale=scale,
+                                    impl="xla", k_scales=ks,
+                                    v_scales=vs)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_x),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_paged_write_decode_rows():
     """paged_write puts each slot's row exactly at (table[pos//bs],
     pos%bs) and touches nothing else."""

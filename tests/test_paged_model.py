@@ -73,6 +73,41 @@ def test_paged_decode_matches_contiguous_gqa():
     assert diff < 2e-4, diff
 
 
+def test_paged_quantized_matches_contiguous_quantized():
+    """int8 paged pools vs the contiguous int8 cache: both quantize
+    identically per position, so greedy tokens must agree."""
+    model, params = _model()
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 11), 0, 61)
+    b, p = prompt.shape
+    steps, bs = 6, 8
+    mb = -(-(p + steps) // bs)
+    n_blocks = b * mb + 2
+    tables = _fragmented_tables(jax.random.PRNGKey(5), b, mb, n_blocks)
+
+    caches = model.init_cache(b, quantized=True)
+    lg_c, caches = model.prefill(params, prompt, caches)
+    pools = model.init_paged_cache(n_blocks, block_size=bs,
+                                   quantized=True)
+    assert pools[0]["k"].dtype == jnp.int8
+    lg_p, pools = model.prefill_paged(params, prompt, pools, tables)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
+                               rtol=2e-5, atol=2e-5)
+    tok_c = jnp.argmax(lg_c[:, -1], -1).astype(jnp.int32)
+    tok_p = jnp.argmax(lg_p[:, -1], -1).astype(jnp.int32)
+    pos = jnp.full((b,), p, jnp.int32)
+    for _ in range(steps):
+        lc, caches = model.decode_step(params, tok_c, pos, caches)
+        lp, pools = model.decode_step_paged(params, tok_p, pos, pools,
+                                            tables)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lc),
+                                   rtol=2e-4, atol=2e-4)
+        tok_c = jnp.argmax(lc, -1).astype(jnp.int32)
+        tok_p = jnp.argmax(lp, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok_p),
+                                      np.asarray(tok_c))
+        pos = pos + 1
+
+
 def test_paged_ragged_rows_match_per_row_decode():
     """Rows at DIFFERENT positions (mixed prompt lengths, the serving
     case): paged batch decode must equal each row decoded alone."""

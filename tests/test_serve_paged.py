@@ -101,6 +101,26 @@ def test_paged_impossible_request_rejected():
         eng.submit([1, 2, 3], max_new=20)
 
 
+def test_paged_quantized_engine_matches_quantized_generate():
+    """int8 paged pools in the engine vs standalone generate with the
+    contiguous int8 cache — same per-position quantization, so outputs
+    agree exactly."""
+    model, params = _model_and_params(seed=4)
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(0, 32, rng.integers(3, 8)))
+               for _ in range(4)]
+    eng = ServingEngine(model, params, slots=2, prompt_pad=8,
+                        decode_block=3, pool_blocks=9, block_size=8,
+                        quantized_cache=True)
+    ids = [eng.submit(p, max_new=6) for p in prompts]
+    out = eng.run()
+    for rid, p in zip(ids, prompts):
+        ref = model.generate(params, jnp.asarray(p, jnp.int32)[None],
+                             6, quantized_cache=True)
+        ref = list(map(int, np.asarray(ref)[0, len(p):]))
+        assert out[rid] == ref, (rid, out[rid], ref)
+
+
 def test_paged_slot_reuse_keeps_outputs_exact():
     """More requests than slots with staggered lengths — blocks free
     and get re-allocated across admissions; outputs stay exact."""
