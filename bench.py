@@ -184,6 +184,77 @@ def bench_transformer_mfu(b=8, s=2048):
     return mfu, t, n_params, tokens / t, peak, flops / t / peak
 
 
+def bench_paged_decode(batch=16, smax=4096, bs=128):
+    """Paged-KV-cache serving rows (compact version of
+    benchmarks/bench_serving.py paged): decode tokens/s for the
+    contiguous bf16 cache vs int8 paged pools at mixed true lengths
+    (256/4032), and bf16 paged at all-short true lengths (256), where
+    the contiguous cache's fixed Smax-row read is pure waste."""
+    import numpy as np
+    import jax.numpy as jnp
+    from benchmarks.timing import Contender, race
+    from taper_tpu import models
+
+    ops.set_backend("xla")
+    model = models.TinyGPT(vocab_size=4096, dim=1024, depth=8,
+                           num_heads=8, max_seq=smax, rope=True,
+                           compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    lens = np.asarray([256 if i % 2 == 0 else smax - 64
+                       for i in range(batch)], np.int32)
+    mb = smax // bs
+    n_alloc = int(sum(-(-(int(l) + 64) // bs) for l in lens))
+    tables_np = np.zeros((batch, mb), np.int32)
+    nxt = 1
+    for i, l in enumerate(lens):
+        nb = -(-(int(l) + 64) // bs)
+        tables_np[i, :nb] = np.arange(nxt, nxt + nb)
+        nxt += nb
+    tables = jnp.asarray(tables_np)
+
+    def cstep(carry, p):
+        tok, pos, caches = carry
+        logits, caches = model.decode_step(p, tok, pos, caches)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                caches)
+
+    def pstep(carry, p, tables):
+        tok, pos, pools = carry
+        logits, pools = model.decode_step_paged(p, tok, pos, pools,
+                                                tables)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), pos + 1,
+                pools)
+
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    pos0 = jnp.asarray(lens)
+    pos_s = jnp.full((batch,), 256, jnp.int32)
+    short_tables = jnp.asarray(np.pad(
+        np.arange(1, batch * 3 + 1, dtype=np.int32).reshape(batch, 3),
+        ((0, 0), (0, mb - 3))))
+    cs = [Contender("contig", cstep,
+                    (tok0, pos0, model.init_cache(batch)), (params,),
+                    n_hi=30, n_lo=6),
+          Contender("paged_int8_mixed", pstep,
+                    (tok0, pos0, model.init_paged_cache(
+                        n_alloc + 1, bs, quantized=True)),
+                    (params, tables), n_hi=30, n_lo=6),
+          Contender("contig_short", cstep,
+                    (tok0, pos_s, model.init_cache(batch)), (params,),
+                    n_hi=30, n_lo=6),
+          Contender("paged_short", pstep,
+                    (tok0, pos_s,
+                     model.init_paged_cache(batch * 3 + 1, bs)),
+                    (params, short_tables), n_hi=30, n_lo=6)]
+    race(cs, rounds=3, scale=batch, unit="tokens/s")
+    t = {c.name: c.per_iter() for c in cs}
+    return {"paged_int8_mixed_tok_s": round(batch / t["paged_int8_mixed"]),
+            "contig_decode_tok_s": round(batch / t["contig"]),
+            "paged_int8_mixed_speedup": round(
+                t["contig"] / t["paged_int8_mixed"], 2),
+            "paged_short_speedup": round(
+                t["contig_short"] / t["paged_short"], 2)}
+
+
 def main():
     enable_compilation_cache()
     train_ds = data.MNISTDataset(train=True)
@@ -284,6 +355,11 @@ def main():
         attn["mfu_vs_session_peak"] = round(mfu_rel, 4)
     except Exception as e:
         print(f"[bench] transformer mfu failed: {e}", file=sys.stderr)
+
+    try:
+        attn.update(bench_paged_decode())
+    except Exception as e:
+        print(f"[bench] paged decode failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mnist_cnn_epoch_time",
