@@ -40,6 +40,31 @@ import numpy as np
 from taper_tpu.models.transformer import _sample
 
 
+def _sample_per_row(logits, key, temps, top_ks, top_ps):
+    """PER-REQUEST sampling for a slot batch: row b draws at
+    ``temps[b]`` with top-k ``top_ks[b]`` (0 = off) and top-p
+    ``top_ps[b]`` (1.0 = off); ``temps[b] == 0`` rows take the argmax.
+    Vectorized static-shape counterpart of the scalar-config
+    ``models.transformer._sample``/``_filter_logits`` (same masking
+    semantics: the argmax token always survives the nucleus filter)."""
+    v = logits.shape[-1]
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    lt = logits / jnp.maximum(temps, 1e-6)[:, None]
+    order = jnp.argsort(-lt, axis=-1)
+    ranks = jnp.argsort(order, axis=-1)          # 0 = highest logit
+    k_eff = jnp.where(top_ks > 0, top_ks, v)[:, None]
+    lt = jnp.where(ranks < k_eff, lt, -jnp.inf)
+    sl = jnp.take_along_axis(lt, order, -1)      # sorted desc
+    probs = jax.nn.softmax(sl, axis=-1)
+    keep = (jnp.cumsum(probs, -1) - probs) < top_ps[:, None]
+    keep = keep | (jnp.arange(v)[None, :] == 0)  # argmax always kept
+    sl = jnp.where(keep, sl, -jnp.inf)
+    lt = jnp.take_along_axis(sl, jnp.argsort(order, -1), -1)
+    key, sk = jax.random.split(key)
+    sampled = jax.random.categorical(sk, lt).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy), key
+
+
 def offline_serve(model, params, prompts, lens, max_new, *,
                   slots: int = 8, eos_token: Optional[int] = None,
                   temperature: float = 0.0, top_k=None, top_p=None,
@@ -253,10 +278,18 @@ class ServingEngine:
         self._slot_req: List[Optional[tuple]] = [None] * slots
         self._quant = quantized_cache
 
-        sample_kw = dict(temperature=temperature, top_k=top_k,
-                         top_p=top_p)
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._paged = pool_blocks is not None
+        # engine-level sampling config = per-request DEFAULTS; submit()
+        # may override any of them per request
+        self._default_sampling = (float(temperature),
+                                  0 if top_k is None else int(top_k),
+                                  1.0 if top_p is None else float(top_p))
+        self._temps = np.full((slots,), temperature, np.float32)
+        self._topks = np.full((slots,), self._default_sampling[1],
+                              np.int32)
+        self._topps = np.full((slots,), self._default_sampling[2],
+                              np.float32)
 
         if self._paged:
             bs = block_size
@@ -269,25 +302,28 @@ class ServingEngine:
             self._tables = np.zeros((slots, self._max_blocks), np.int32)
 
             def admit(params, pools, prompt_1p, length, table_row,
-                      slot, last_tok, pos, active, key):
+                      slot, last_tok, pos, active, key, temp, topk,
+                      topp):
                 """One-row paged prefill: the row's K/V scatter into its
                 table's pool blocks."""
                 logits, pools = model.prefill_paged(
                     params, prompt_1p, pools, table_row[None])
                 lg = jax.lax.dynamic_index_in_dim(
                     logits[0], length - 1, 0, keepdims=False)
-                tok, key = _sample(lg[None], key, **sample_kw)
+                tok, key = _sample_per_row(lg[None], key, temp[None],
+                                           topk[None], topp[None])
                 return (pools, last_tok.at[slot].set(tok[0]),
                         pos.at[slot].set(length),
                         active.at[slot].set(True), key)
 
             def decode(params, last_tok, pos, pools, tables, active,
-                       key):
+                       key, temps, topks, topps):
                 def step(carry, _):
                     tok, pos, pools, key = carry
                     logits, pools = model.decode_step_paged(
                         params, tok, pos, pools, tables)
-                    nxt, key = _sample(logits, key, **sample_kw)
+                    nxt, key = _sample_per_row(logits, key, temps,
+                                               topks, topps)
                     nxt = jnp.where(active, nxt, tok)
                     pos = jnp.where(active, pos + 1, pos)
                     return (nxt, pos, pools, key), nxt
@@ -310,14 +346,15 @@ class ServingEngine:
             self._tables[:] = self._trash
         else:
             def admit(params, caches, prompt_1p, length, slot, last_tok,
-                      pos, active, key):
+                      pos, active, key, temp, topk, topp):
                 """One-row prefill of a padded prompt + scatter into
                 `slot`."""
                 c1 = model.init_cache(1, quantized=quantized_cache)
                 logits, c1 = model.prefill(params, prompt_1p, c1)
                 lg = jax.lax.dynamic_index_in_dim(logits[0], length - 1,
                                                   0, keepdims=False)
-                tok, key = _sample(lg[None], key, **sample_kw)
+                tok, key = _sample_per_row(lg[None], key, temp[None],
+                                           topk[None], topp[None])
                 caches = jax.tree.map(
                     lambda c, x: jax.lax.dynamic_update_index_in_dim(
                         c, x[0], slot, 0), caches, c1)
@@ -325,14 +362,16 @@ class ServingEngine:
                         pos.at[slot].set(length),
                         active.at[slot].set(True), key)
 
-            def decode(params, last_tok, pos, caches, active, key):
+            def decode(params, last_tok, pos, caches, active, key,
+                       temps, topks, topps):
                 """``decode_block`` steps for all slots; frozen rows
                 hold."""
                 def step(carry, _):
                     tok, pos, caches, key = carry
                     logits, caches = model.decode_step(params, tok, pos,
                                                        caches)
-                    nxt, key = _sample(logits, key, **sample_kw)
+                    nxt, key = _sample_per_row(logits, key, temps,
+                                               topks, topps)
                     nxt = jnp.where(active, nxt, tok)
                     pos = jnp.where(active, pos + 1, pos)
                     return (nxt, pos, caches, key), nxt
@@ -354,7 +393,14 @@ class ServingEngine:
 
     # -- request lifecycle --------------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_new: int) -> int:
+    def submit(self, prompt: Sequence[int], max_new: int,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
+        """Enqueue one request.  ``temperature``/``top_k``/``top_p``
+        override the engine defaults FOR THIS REQUEST (rows in the same
+        decode batch sample independently — greedy and sampled requests
+        mix freely)."""
         assert 1 <= len(prompt) <= self.prompt_pad, len(prompt)
         assert self.prompt_pad + max_new <= self.model.max_seq
         if self._paged:
@@ -365,7 +411,12 @@ class ServingEngine:
                 f"be admitted")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, list(map(int, prompt)), int(max_new)))
+        dt, dk, dp = self._default_sampling
+        samp = (dt if temperature is None else float(temperature),
+                dk if top_k is None else int(top_k),
+                dp if top_p is None else float(top_p))
+        self._queue.append((rid, list(map(int, prompt)), int(max_new),
+                            samp))
         return rid
 
     def _free_slots(self):
@@ -386,7 +437,11 @@ class ServingEngine:
                                           self._queue[0][2])
             if need > self._alloc.available:
                 return False          # FCFS: wait for blocks to free
-        rid, prompt, max_new = self._queue.popleft()
+        rid, prompt, max_new, (temp, topk, topp) = self._queue.popleft()
+        self._temps[slot] = temp
+        self._topks[slot] = topk
+        self._topps[slot] = topp
+        samp = (jnp.float32(temp), jnp.int32(topk), jnp.float32(topp))
         padded = np.zeros((1, self.prompt_pad), np.int32)
         padded[0, :len(prompt)] = prompt
         if self._paged:
@@ -400,7 +455,7 @@ class ServingEngine:
                 self.params, self._caches, jnp.asarray(padded),
                 jnp.int32(len(prompt)), jnp.asarray(row),
                 jnp.int32(slot), self._last_tok, self._pos,
-                self._active, self._key)
+                self._active, self._key, *samp)
             if need > keep:   # prompt-pad scatter overshoot: return it
                 self._alloc.free(ids[keep:])
                 self._tables[slot, keep:] = self._trash
@@ -410,7 +465,7 @@ class ServingEngine:
              self._key) = self._admit(
                 self.params, self._caches, jnp.asarray(padded),
                 jnp.int32(len(prompt)), jnp.int32(slot), self._last_tok,
-                self._pos, self._active, self._key)
+                self._pos, self._active, self._key, *samp)
         self._slot_req[slot] = (rid, max_new)
         self._emitted[slot] = 1          # prefill sampled the first token
         # the first token is on device in last_tok; harvest lazily with
@@ -444,17 +499,19 @@ class ServingEngine:
         if not any(r is not None for r in self._slot_req):
             return bool(self._queue)
 
+        samp = (jnp.asarray(self._temps), jnp.asarray(self._topks),
+                jnp.asarray(self._topps))
         if self._paged:
             (self._last_tok, self._pos, self._caches, self._key,
              toks) = self._decode(self.params, self._last_tok,
                                   self._pos, self._caches,
                                   jnp.asarray(self._tables),
-                                  self._active, self._key)
+                                  self._active, self._key, *samp)
         else:
             (self._last_tok, self._pos, self._caches, self._key,
              toks) = self._decode(self.params, self._last_tok,
                                   self._pos, self._caches,
-                                  self._active, self._key)
+                                  self._active, self._key, *samp)
         tile = np.asarray(toks)                       # [K, B] small
         for slot, req in enumerate(self._slot_req):
             if req is None:
