@@ -166,13 +166,19 @@ class TinyGPT(Module):
                 ks[-1], (self.vocab_size, self.dim), jnp.float32) * 0.02
         return p
 
-    def hidden(self, params, tokens, *, train=False, rng=None):
-        """Trunk forward: final-LN'd activations ``[B, S, D]`` (f32)."""
+    def hidden(self, params, tokens, *, train=False, rng=None,
+               segment_ids=None, positions=None):
+        """Trunk forward: final-LN'd activations ``[B, S, D]`` (f32).
+
+        ``segment_ids``/``positions`` [B, S] enable PACKED-sequence
+        training (see ``data/packing.py``): attention stays within each
+        document and RoPE/positional indices restart per document."""
         b, s = tokens.shape
         assert s <= self.max_seq, (s, self.max_seq)
         x = self.tok.apply(params["tok"], tokens)
         if not self.rope:
-            x = x + self.pos.apply(params["pos"], jnp.arange(s))
+            pos = (jnp.arange(s) if positions is None else positions)
+            x = x + self.pos.apply(params["pos"], pos)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         rngs = (jax.random.split(rng, self.depth)
@@ -180,15 +186,20 @@ class TinyGPT(Module):
         for blk, bp, r in zip(self.blocks, params["blocks"], rngs):
             if self.remat:
                 x = jax.checkpoint(
-                    functools.partial(blk.apply, train=train, rng=r))(
-                        bp, x)
+                    functools.partial(blk.apply, train=train, rng=r,
+                                      segment_ids=segment_ids,
+                                      positions=positions))(bp, x)
             else:
-                x = blk.apply(bp, x, train=train, rng=r)
+                x = blk.apply(bp, x, train=train, rng=r,
+                              segment_ids=segment_ids,
+                              positions=positions)
         return self.ln_f.apply(params["ln_f"], x).astype(jnp.float32)
 
-    def apply(self, params, tokens, *, train=False, rng=None):
-        return self._logits(params, self.hidden(params, tokens,
-                                                train=train, rng=rng))
+    def apply(self, params, tokens, *, train=False, rng=None,
+              segment_ids=None, positions=None):
+        return self._logits(params, self.hidden(
+            params, tokens, train=train, rng=rng,
+            segment_ids=segment_ids, positions=positions))
 
     def _head_weights(self, params):
         """Tied or untied head ``[V, D]``; PTQ'd heads dequantize inside
@@ -203,16 +214,20 @@ class TinyGPT(Module):
         return jnp.einsum("bse,ve->bsv", x, self._head_weights(params))
 
     def loss(self, params, tokens, targets, mask, *, train=False,
-             rng=None, chunk: int = 4096):
+             rng=None, chunk: int = 4096, segment_ids=None,
+             positions=None):
         """Masked next-token loss WITHOUT materializing ``[B, S, V]``
         logits: the trunk's hidden states stream through
         :func:`losses.fused_linear_cross_entropy` in vocab chunks (both
         passes), so peak head memory is O(B·S·chunk) — the large-vocab
         training path.  Semantics match ``masked_token_loss(apply(...))``
         exactly (equality-tested); returns ``(loss, accuracy)``.
+        ``segment_ids``/``positions``: packed-sequence training (the
+        packer's loss mask already zeroes cross-document targets).
         """
         from taper_tpu.losses import fused_linear_cross_entropy
-        x = self.hidden(params, tokens, train=train, rng=rng)
+        x = self.hidden(params, tokens, train=train, rng=rng,
+                        segment_ids=segment_ids, positions=positions)
         b, s, d = x.shape
         nll, pred = fused_linear_cross_entropy(
             x.reshape(b * s, d), self._head_weights(params),

@@ -153,7 +153,11 @@ class MultiHeadAttention(Module):
             p["bo"] = jnp.zeros((self.dim,), jnp.float32)
         return p
 
-    def apply(self, params, x, *, train=False, rng=None):
+    def apply(self, params, x, *, train=False, rng=None,
+              segment_ids=None, positions=None):
+        """``segment_ids`` [B, S] (packed sequences): attention is
+        masked to same-segment keys; ``positions`` [B, S] gives every
+        token its own RoPE position (restarting per document)."""
         b, s, e = x.shape
         x2 = x.reshape(b * s, e)
 
@@ -167,8 +171,9 @@ class MultiHeadAttention(Module):
         v = heads("wv", "bv", self.num_kv_heads)
         if self.rope:
             cos, sin = self._rope
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            off = 0 if positions is None else positions
+            q = apply_rope(q, cos, sin, offset=off)
+            k = apply_rope(k, cos, sin, offset=off)
         if self.kv_groups > 1:
             # training path: broadcast KV heads up to the Q heads (XLA
             # fuses the repeat into the reads); the CACHE stays at
@@ -177,7 +182,7 @@ class MultiHeadAttention(Module):
             k = jnp.repeat(k, self.kv_groups, axis=1)
             v = jnp.repeat(v, self.kv_groups, axis=1)
         o = ops.attention(q, k, v, causal=self.causal,
-                          window=self.window)
+                          window=self.window, segment_ids=segment_ids)
         o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
         out = _proj(o2, params["wo"], params.get("bo"))
         return out.reshape(b, s, e)
@@ -273,12 +278,14 @@ class TransformerBlock(Module):
         return {"ln1": self.ln1.init(ks[0]), "attn": self.attn.init(ks[1]),
                 "ln2": self.ln2.init(ks[2]), "mlp": self.mlp.init(ks[3])}
 
-    def apply(self, params, x, *, train=False, rng=None):
+    def apply(self, params, x, *, train=False, rng=None,
+              segment_ids=None, positions=None):
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
         a = self.attn.apply(params["attn"],
-                            self.ln1.apply(params["ln1"], x))
+                            self.ln1.apply(params["ln1"], x),
+                            segment_ids=segment_ids, positions=positions)
         if self.drop is not None:
             a = self.drop.apply({}, a, train=train, rng=r1)
         x = x + a
@@ -720,9 +727,13 @@ def apply_rope(x, cos, sin, offset=0):
     """Rotate ``x`` [B, H, S, D] by position; ``offset`` shifts the table
     (traced ok — KV-cache decode passes the running position).  A vector
     ``offset`` [B] gives each batch row its own position (ragged decode;
-    requires S == 1)."""
+    requires S == 1).  A matrix ``offset`` [B, S] gives every TOKEN its
+    own position (packed sequences: positions restart per document)."""
     s, half = x.shape[2], x.shape[3] // 2
-    if jnp.ndim(offset) == 1:
+    if jnp.ndim(offset) == 2:
+        c = jnp.take(cos, offset, axis=0)[:, None]    # [B, 1, S, half]
+        si = jnp.take(sin, offset, axis=0)[:, None]
+    elif jnp.ndim(offset) == 1:
         assert s == 1, "per-row rope offsets require single-token steps"
         c = jnp.take(cos, offset, axis=0)[:, None, None, :]   # [B,1,1,half]
         si = jnp.take(sin, offset, axis=0)[:, None, None, :]

@@ -184,16 +184,18 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
                               padding=padding)
 
 
-def attention(q, k, v, *, causal=False, scale=None, window=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None,
+              segment_ids=None):
     """Scaled dot-product attention over ``[B, H, S, D]`` (beyond-reference
     transformer extension — SURVEY.md §5.7 notes the reference has none).
     The pallas backend runs the flash kernel (O(S·D) HBM traffic); xla
     materializes the S×S score matrix.  ``window=W`` bounds the lookback
     to W positions; with ``causal=True`` that is sliding-window (local)
     attention over the last W positions — without causal, future
-    positions stay visible."""
+    positions stay visible.  ``segment_ids`` [B, S] (packed-sequence
+    training) masks attention to same-segment keys on both backends."""
     return _impl().attention(q, k, v, causal=causal, scale=scale,
-                             window=window)
+                             window=window, segment_ids=segment_ids)
 
 
 __all__ = [

@@ -175,9 +175,14 @@ def _mask(s, iq, ik, bq, bk, off, koff, causal, window):
     return jnp.where(ok, s, _NEG_INF)
 
 
-def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
-                l_sc, acc_sc, *, scale, causal, window, bq, bk, nk, lowp,
-                grid_banded=False, tri=None, chunk=None):
+def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
+                window, bq, bk, nk, lowp, grid_banded=False, tri=None,
+                chunk=None, has_seg=False):
+    if has_seg:
+        (sq_ref, sk_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc) = rest
+    else:
+        sq_ref = sk_ref = None
+        (o_ref, lse_ref, m_sc, l_sc, acc_sc) = rest
     nsteps = pl.num_programs(2)
     if tri is not None:
         # TRIANGULAR grid: the inner dim enumerates ONLY the causal
@@ -210,6 +215,10 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
             preferred_element_type=jnp.float32) * scale
         if causal or window is not None:
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
+        if has_seg:
+            # packed sequences: rows attend only their own segment
+            same = (sq_ref[0, 0, :][:, None] == sk_ref[0, 0, :][None, :])
+            s = jnp.where(same, s, _NEG_INF)
         m_prev = m_sc[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         # fully-masked rows (possible under a sliding window / per ring
@@ -295,9 +304,13 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc,
 
 
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-               dl_ref, dq_ref, delta_ref, dq_sc, dl_sc, *, scale, causal,
-               window, bq, bk, nk, lowp, grid_banded=False, tri=None,
-               chunk=None):
+               dl_ref, *rest, scale, causal, window, bq, bk, nk, lowp,
+               grid_banded=False, tri=None, chunk=None, has_seg=False):
+    if has_seg:
+        (sq_ref, sk_ref, dq_ref, delta_ref, dq_sc, dl_sc) = rest
+    else:
+        sq_ref = sk_ref = None
+        (dq_ref, delta_ref, dq_sc, dl_sc) = rest
     nsteps = pl.num_programs(2)
     if tri is not None:
         # triangular grid (see _fwd_kernel): q-major band enumeration
@@ -335,6 +348,9 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32) * scale
         if causal or window is not None:
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
+        if has_seg:
+            same = (sq_ref[0, 0, :][:, None] == sk_ref[0, 0, :][None, :])
+            s = jnp.where(same, s, _NEG_INF)
         # fully-masked rows saved lse = -inf (sliding window / ring
         # chunk); exp(s - (-inf)) would be exp(-inf + inf) = NaN.  A
         # finite stand-in makes p = exp(-inf - 0) = 0 for those rows
@@ -478,8 +494,14 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
 
 def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
-                dk_ref, dv_ref, dk_sc, dv_sc, *, scale, causal, window, bq, bk,
-                nq, lowp, grid_banded=False, tri=None, chunk=None):
+                *rest, scale, causal, window, bq, bk,
+                nq, lowp, grid_banded=False, tri=None, chunk=None,
+                has_seg=False):
+    if has_seg:
+        (sq_ref, sk_ref, dk_ref, dv_ref, dk_sc, dv_sc) = rest
+    else:
+        sq_ref = sk_ref = None
+        (dk_ref, dv_ref, dk_sc, dv_sc) = rest
     nsteps = pl.num_programs(2)
     partial = None
     if tri is not None:
@@ -518,6 +540,9 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             preferred_element_type=jnp.float32) * scale
         if causal or window is not None:
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
+        if has_seg:
+            same = (sq_ref[0, 0, :][:, None] == sk_ref[0, 0, :][None, :])
+            s = jnp.where(same, s, _NEG_INF)
         # same -inf lse guard as _dq_kernel (fully-masked rows)
         lse_row = lse_ref[0, 0, :]
         lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
@@ -677,7 +702,23 @@ def _q_band(j, i, *, bq, bk, nq, causal, window):
     return jnp.clip(i, lo, hi)
 
 
-def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
+def _seg_spec(base_spec, blk, h):
+    """Segment-id BlockSpec riding an existing q/k block spec: same
+    block coordinate, batch recovered from the fused (b·h) grid dim.
+    Segment inputs are 8-sublane-replicated like the lse rows (Mosaic
+    wants sublane dims divisible by 8)."""
+    im = base_spec.index_map
+    return pl.BlockSpec(
+        (1, 8, blk), lambda *a: (im(*a)[0] // h, 0, im(*a)[1]))
+
+
+def _seg8(seg, b, s):
+    return jnp.broadcast_to(
+        jnp.asarray(seg, jnp.int32)[:, None, :], (b, 8, s))
+
+
+def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
+               seg=None):
     # ``off``: f32[2] = (q_offset, k_offset)
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -735,20 +776,23 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
     # cost more than the ~25% masked compute they save.  Kept as a
     # documented experiment, off by default (same policy as
     # TAPER_ATTN_DKV_T).
-    chunk = (bq if tri is not None
+    chunk = (bq if tri is not None and seg is None
              and _os.environ.get("TAPER_ATTN_CHUNK", "0") == "1" else None)
+    q_spec = pl.BlockSpec((1, bq, d), q_idx)
+    kv_spec = pl.BlockSpec((1, bk, d), kv_idx)
+    in_specs = [_SMEM_SPEC, q_spec, kv_spec, kv_spec]
+    args = [off, q3, k3, v3]
+    if seg is not None:
+        in_specs += [_seg_spec(q_spec, bq, h), _seg_spec(kv_spec, bk, h)]
+        args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded, tri=tri, chunk=chunk),
+                          grid_banded=grid_banded, tri=tri, chunk=chunk,
+                          has_seg=seg is not None),
         grid=grid,
-        in_specs=[
-            _SMEM_SPEC,
-            pl.BlockSpec((1, bq, d), q_idx),
-            pl.BlockSpec((1, bk, d), kv_idx),
-            pl.BlockSpec((1, bk, d), kv_idx),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, d), q_idx),
             pl.BlockSpec((1, 8, bq), lse_idx),
@@ -769,12 +813,12 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False):
             bytes_accessed=q.dtype.itemsize * bh * (sq + 2 * sk + sq) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(off, q3, k3, v3)
+    )(*args)
     return o3.reshape(b, h, sq, d), lse
 
 
 def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
-                    dlse=None, window=None, banded=False):
+                    dlse=None, window=None, banded=False, seg=None):
     # (banded grids need statically-zero offsets; guaranteed by callers)
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -839,16 +883,22 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     import os as _os
     # TAPER_ATTN_CHUNK=1: chunk-skip the masked side of diagonal tiles
     # (see _flash_fwd) — measured NEGATIVE, off by default.
-    chunk = (bq if tri_q is not None
+    chunk = (bq if tri_q is not None and seg is None
              and _os.environ.get("TAPER_ATTN_CHUNK", "0") == "1" else None)
+    dq_in_specs = [_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_q,
+                   spec_r, spec_r]
+    dq_args = [off, q3, k3, v3, o3, do3, lse, dl_in]
+    if seg is not None:
+        dq_in_specs += [_seg_spec(spec_q, bq, h), _seg_spec(spec_k, bk, h)]
+        dq_args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nk=nk,
                           lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded, tri=tri_q, chunk=chunk),
+                          grid_banded=grid_banded, tri=tri_q, chunk=chunk,
+                          has_seg=seg is not None),
         grid=dq_grid,
-        in_specs=[_SMEM_SPEC, spec_q, spec_k, spec_k, spec_q, spec_q,
-                  spec_r, spec_r],
+        in_specs=dq_in_specs,
         out_specs=dq_out,
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -863,7 +913,7 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             bytes_accessed=q.dtype.itemsize * bh * (3 * sq + 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(off, q3, k3, v3, o3, do3, lse, dl_in)
+    )(*dq_args)
 
     # dK/dV: grid transposed — KV block is the revisited output, Q inner.
     if tri_k is not None:
@@ -899,19 +949,27 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     else:
         spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
         dkv_grid = (bh, nk, q_steps)
-    # the transposed experiment kernel has no triangular-grid support
+    # the transposed experiment kernel has no triangular-grid or
+    # segment support
     dkv = (_dkv_kernel_t if _os.environ.get("TAPER_ATTN_DKV_T") == "1"
-           and tri_k is None else _dkv_kernel)
+           and tri_k is None and seg is None else _dkv_kernel)
     dkv_kwargs = ({} if dkv is _dkv_kernel_t
-                  else {"tri": tri_k, "chunk": chunk})
+                  else {"tri": tri_k, "chunk": chunk,
+                        "has_seg": seg is not None})
+    dkv_in_specs = [_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
+                    spec_r_t, spec_r_t]
+    dkv_args = [off, q3, k3, v3, do3, lse, delta]
+    if seg is not None:
+        dkv_in_specs += [_seg_spec(spec_q_t, bq, h),
+                         _seg_spec(spec_k_t, bk, h)]
+        dkv_args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     dk, dv = pl.pallas_call(
         functools.partial(dkv, scale=scale, causal=causal,
                           window=window, bq=bq, bk=bk, nq=nq,
                           lowp=_dot_bf16_default(),
                           grid_banded=grid_banded, **dkv_kwargs),
         grid=dkv_grid,
-        in_specs=[_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
-                  spec_r_t, spec_r_t],
+        in_specs=dkv_in_specs,
         out_specs=[spec_k_t, spec_k_t],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
@@ -926,7 +984,7 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 4 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(off, q3, k3, v3, do3, lse, delta)
+    )(*dkv_args)
 
     shp = (b, h, sq, d)
     return dq.reshape(shp), dk.reshape(b, h, sk, d), dv.reshape(b, h, sk, d)
@@ -951,6 +1009,34 @@ def _flash_vjp_bwd(causal, scale, window, banded, res, do):
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_seg(q, k, v, seg, causal, scale, window, banded):
+    """Packed-sequence (segment-masked) flash attention — a separate
+    custom_vjp so the segment-free hot path stays untouched.  Offsets
+    are statically zero (packing is a whole-sequence training mode, not
+    an SP/ring shard)."""
+    o, _ = _flash_fwd(q, k, v, _off_pair(None, None), causal, scale, window, banded,
+                      seg=seg)
+    return o
+
+
+def _flash_seg_vjp_fwd(q, k, v, seg, causal, scale, window, banded):
+    o, lse = _flash_fwd(q, k, v, _off_pair(None, None), causal, scale, window,
+                        banded, seg=seg)
+    return o, (q, k, v, seg, o, lse)
+
+
+def _flash_seg_vjp_bwd(causal, scale, window, banded, res, do):
+    q, k, v, seg, o, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, _off_pair(None, None), o, lse, do, causal,
+                                 scale, window=window, banded=banded,
+                                 seg=seg)
+    return dq, dk, dv, jnp.zeros_like(seg)
+
+
+_flash_seg.defvjp(_flash_seg_vjp_fwd, _flash_seg_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -983,18 +1069,32 @@ def _off_pair(q_offset, k_offset):
 
 
 def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
-                    k_offset=None, window=None):
+                    k_offset=None, window=None, segment_ids=None):
     """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D].
 
     ``q_offset``/``k_offset`` (traced scalars ok) are the global
     positions of this Q shard's first row / K chunk's first column —
     used by sequence parallelism (all-gather: q_offset only) and ring
     attention (both).  Offsets must be multiples of 128 so causal block
-    boundaries stay aligned."""
+    boundaries stay aligned.
+
+    ``segment_ids`` [B, S] (packed-sequence training): rows attend only
+    keys with the SAME id — multiple documents share one sequence with
+    no cross-contamination.  Requires Sq == Sk and no offsets/window."""
     import os
 
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if segment_ids is not None:
+        assert q_offset is None and k_offset is None and window is None,\
+            "segment_ids compose with plain (optionally causal) " \
+            "attention only"
+        assert q.shape[2] == k.shape[2], (q.shape, k.shape)
+        banded = ("tri" if causal
+                  and os.environ.get("TAPER_ATTN_GRID", "tri") == "tri"
+                  else False)
+        return _flash_seg(q, k, v, jnp.asarray(segment_ids, jnp.int32),
+                          causal, scale, None, banded)
     # banded fetch schedules need statically-zero offsets (the band is
     # computed in index maps, which cannot see the runtime offsets).
     # Grid modes for the masked cases:
@@ -1032,13 +1132,16 @@ def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
                       scale, window)
 
 
-def attention(q, k, v, *, causal=False, scale=None, window=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None,
+              segment_ids=None):
     """Backend entry: flash kernel when shapes qualify, XLA oracle
     otherwise.  ``window=W`` bounds how far BACK a row attends (blocks
     fully behind the window are skipped, so compute scales O(S·W)
     instead of O(S²)); combine with ``causal=True`` for the usual
     sliding-window "last W positions" semantics — without causal, future
-    positions remain visible (both backends agree).
+    positions remain visible (both backends agree).  ``segment_ids``
+    [B, S] masks attention to same-segment keys (packed sequences);
+    requires Sq == Sk and excludes ``window``.
 
     Requirements: lane-aligned sequences (multiples of 128), Sq == Sk for
     causal.  Measured dispatch threshold (benchmarks/bench_attention.py,
@@ -1055,9 +1158,11 @@ def attention(q, k, v, *, causal=False, scale=None, window=None):
           # the oracle bottom-aligns windowed rows when sq != sk; the
           # kernel uses absolute positions — only equal lengths agree
           and (window is None or sq == sk)
+          and (segment_ids is None or (sq == sk and window is None))
           and sk >= min_sk)
     if not ok:
         from taper_tpu.ops import xla as _xla
         return _xla.attention(q, k, v, causal=causal, scale=scale,
-                              window=window)
-    return flash_attention(q, k, v, causal, scale, window=window)
+                              window=window, segment_ids=segment_ids)
+    return flash_attention(q, k, v, causal, scale, window=window,
+                           segment_ids=segment_ids)

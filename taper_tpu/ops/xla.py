@@ -172,12 +172,15 @@ def avg_pool2d(x, *, kernel=(2, 2), stride=None, padding=(0, 0)):
     return summed / counts
 
 
-def attention(q, k, v, *, causal=False, scale=None, window=None):
+def attention(q, k, v, *, causal=False, scale=None, window=None,
+              segment_ids=None):
     """Scaled dot-product attention (oracle path).
 
     ``q, k, v``: ``[B, H, S, D]``.  Softmax statistics are computed in f32
     regardless of input dtype (bf16 inputs keep f32 logits/weights), the
-    output is cast back to the input dtype.
+    output is cast back to the input dtype.  ``segment_ids`` [B, S]
+    (packed sequences): rows attend only same-id keys (requires
+    Sq == Sk).
 
     Beyond-reference scope: the reference has no attention anywhere
     (SURVEY.md §5.7); this is the framework's transformer extension.  XLA
@@ -199,6 +202,11 @@ def attention(q, k, v, *, causal=False, scale=None, window=None):
             # row attends cols in [row-window+1, row]
             mask &= cols > rows - window
         s = jnp.where(mask, s, -jnp.inf)
+    if segment_ids is not None:
+        assert q.shape[2] == k.shape[2], (q.shape, k.shape)
+        seg = jnp.asarray(segment_ids)
+        same = seg[:, None, :, None] == seg[:, None, None, :]
+        s = jnp.where(same, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
     return out.astype(q.dtype)
