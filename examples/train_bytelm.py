@@ -13,6 +13,13 @@ Run: python examples/train_bytelm.py [--steps 2000] [--bf16]
 the corpus first and models the merged tokens instead of raw bytes —
 the same text at ~2x fewer positions; bits/byte stays the comparable
 metric (per-token loss / learned bytes-per-token).
+
+``--packed`` switches training to PACKED paragraphs (data/packing.py):
+the corpus splits into blank-line documents, multiple documents share
+each row under segment-masked attention with per-document positions,
+and the loss mask keeps targets inside documents — the padding-free
+pretraining data path (cf. benchmarks/bench_packing.py: 5.6× real
+tokens/s over right-padding at a web-like length mix).
 """
 
 import argparse
@@ -63,12 +70,16 @@ def main():
     ap.add_argument("--bpe", type=int, default=0, metavar="VOCAB",
                     help="train a BPE tokenizer to this vocab size and "
                          "model tokens instead of raw bytes")
+    ap.add_argument("--packed", action="store_true",
+                    help="train on packed paragraph documents "
+                         "(segment-masked attention, per-doc positions)")
     args = ap.parse_args()
 
     enable_compilation_cache()
     ops.set_backend(args.backend)
 
     corpus = load_corpus()
+    raw_all = bytes(corpus.astype(np.uint8))
     n_bytes = len(corpus)
     tok = None
     vocab = 256
@@ -108,7 +119,37 @@ def main():
         idx = starts[:, None] + jnp.arange(seq + 1)[None, :]
         return jnp.take(c, idx, axis=0)
 
+    packed_rows = None
+    if args.packed:
+        from taper_tpu.data.packing import (pack_documents,
+                                            packing_efficiency)
+        # paragraph documents from the train portion's raw text
+        # (raw_all survives above whether or not BPE re-encoded corpus)
+        cut = int(len(raw_all) * 0.9)
+        paras = [d for d in raw_all[:cut].split(b"\n\n") if len(d) >= 2]
+        if tok is None:
+            docs = [np.frombuffer(d, np.uint8).astype(np.int32).tolist()
+                    for d in paras]
+        else:
+            docs = [tok.encode(d) for d in paras]
+        docs = [d for d in docs if len(d) >= 2]
+        pk = pack_documents(docs, args.seq)
+        packed_rows = {k: jnp.asarray(v) for k, v in pk.items()}
+        n_rows = pk["tokens"].shape[0]
+        print(f"packed: {len(docs)} paragraph docs -> {n_rows} rows "
+              f"({packing_efficiency(pk):.1%} full)")
+
     def loss_fn(params, c, key):
+        if args.packed and c is train_c:
+            rows = jax.random.randint(key, (args.batch,), 0,
+                                      packed_rows["tokens"].shape[0])
+            tokb = jnp.take(packed_rows["tokens"], rows, 0)
+            tgtb = jnp.take(packed_rows["targets"], rows, 0)
+            maskb = jnp.take(packed_rows["loss_mask"], rows, 0)
+            segb = jnp.take(packed_rows["segment_ids"], rows, 0)
+            posb = jnp.take(packed_rows["positions"], rows, 0)
+            return model.loss(params, tokb, tgtb, maskb,
+                              segment_ids=segb, positions=posb)[0]
         w = windows(c, key, args.batch, args.seq)
         logits = model.apply(params, w[:, :-1])
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
