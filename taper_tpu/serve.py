@@ -390,6 +390,22 @@ class ServingEngine:
         self._active = jnp.zeros((slots,), bool)
         # host mirror of how many tokens each slot has emitted
         self._emitted = [0] * slots
+        self._stats = {"admitted": 0, "completed": 0,
+                       "decode_blocks": 0, "tokens_emitted": 0,
+                       "admission_deferrals": 0}
+
+    def stats(self):
+        """Engine observability snapshot (host counters only — no
+        device sync): request lifecycle counts, live slot/queue
+        occupancy, and (paged) pool occupancy."""
+        out = dict(self._stats)
+        out["queued"] = len(self._queue)
+        out["active_slots"] = sum(r is not None for r in self._slot_req)
+        out["slots"] = self.slots
+        if self._paged:
+            out["pool_blocks_total"] = self._alloc.n_blocks - 1
+            out["pool_blocks_free"] = self._alloc.available
+        return out
 
     # -- request lifecycle --------------------------------------------------
 
@@ -436,6 +452,7 @@ class ServingEngine:
             _, _, need = self._paged_need(len(self._queue[0][1]),
                                           self._queue[0][2])
             if need > self._alloc.available:
+                self._stats["admission_deferrals"] += 1
                 return False          # FCFS: wait for blocks to free
         rid, prompt, max_new, (temp, topk, topp) = self._queue.popleft()
         self._temps[slot] = temp
@@ -467,6 +484,8 @@ class ServingEngine:
                 jnp.int32(len(prompt)), jnp.int32(slot), self._last_tok,
                 self._pos, self._active, self._key, *samp)
         self._slot_req[slot] = (rid, max_new)
+        self._stats["admitted"] += 1
+        self._stats["tokens_emitted"] += 1
         self._emitted[slot] = 1          # prefill sampled the first token
         # the first token is on device in last_tok; harvest lazily with
         # the next decode block (or immediately if max_new == 1)
@@ -483,6 +502,7 @@ class ServingEngine:
             self._slot_req[slot] = None
             self._active = self._active.at[slot].set(False)
             self._done_ids.append(rid)
+            self._stats["completed"] += 1
             if self._paged:
                 self._alloc.free(self._slot_blocks[slot])
                 self._slot_blocks[slot] = []
@@ -499,6 +519,7 @@ class ServingEngine:
         if not any(r is not None for r in self._slot_req):
             return bool(self._queue)
 
+        self._stats["decode_blocks"] += 1
         samp = (jnp.asarray(self._temps), jnp.asarray(self._topks),
                 jnp.asarray(self._topps))
         if self._paged:
@@ -523,6 +544,7 @@ class ServingEngine:
                 t = int(tile[k, slot])
                 self._outputs[rid].append(t)
                 self._emitted[slot] += 1
+                self._stats["tokens_emitted"] += 1
                 self._maybe_retire(slot, t)
         return bool(self._queue) or any(r is not None
                                         for r in self._slot_req)

@@ -121,6 +121,26 @@ def test_paged_quantized_engine_matches_quantized_generate():
         assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_engine_stats():
+    model, params = _model_and_params(seed=5)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(0, 32, 7)) for _ in range(3)]
+    eng = ServingEngine(model, params, slots=4, prompt_pad=8,
+                        decode_block=2, pool_blocks=4, block_size=8)
+    for p in prompts:
+        eng.submit(p, max_new=8)
+    st0 = eng.stats()
+    assert st0["queued"] == 3 and st0["admitted"] == 0
+    eng.run()
+    st = eng.stats()
+    assert st["admitted"] == 3 and st["completed"] == 3
+    assert st["queued"] == 0 and st["active_slots"] == 0
+    assert st["tokens_emitted"] >= 3 * 8
+    # the 3-usable-block pool forced serialized admissions
+    assert st["admission_deferrals"] >= 1
+    assert st["pool_blocks_free"] == st["pool_blocks_total"] == 3
+
+
 def test_paged_slot_reuse_keeps_outputs_exact():
     """More requests than slots with staggered lengths — blocks free
     and get re-allocated across admissions; outputs stay exact."""
