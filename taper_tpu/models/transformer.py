@@ -344,6 +344,68 @@ class TinyGPT(Module):
             new_pools.append(new)
         return logits, new_pools
 
+    def prefill_paged_continued(self, params, toks, pools, tables,
+                                past_len: int):
+        """Chunk-prefill ``toks`` [B, C] at offset ``past_len`` (static
+        int) against paged pools whose ``tables`` [B, mb] already hold
+        the first ``past_len`` positions — e.g. a SHARED system-prompt
+        prefix: many tables may alias the same prefix blocks, whose K/V
+        is stored ONCE (the paged form of prefix caching).
+
+        Each row's new K/V rows land in its own blocks.  Caller
+        guarantees the blocks covering [past_len//bs, ...) are
+        exclusively owned by that row — with ``past_len % block_size
+        == 0`` the new range starts on a block boundary, so shared
+        prefix blocks are never written (the serving engine enforces
+        this).  Returns ``(logits [B, C, vocab], new_pools)``.
+
+        Implementation: gather each table's blocks into a transient
+        full-length contiguous cache (one admission-sized buffer — the
+        same footprint the contiguous engine's admission pays), run the
+        existing chunked-decode path, scatter the touched blocks back.
+        """
+        from taper_tpu.ops.pallas.paged_attention import (
+            paged_write_prefill, paged_write_prefill_scale)
+        b, c = toks.shape
+        bs = pools[0]["k"].shape[2]
+        quantized = "k_scale" in pools[0]
+        nb_used = -(-(past_len + c) // bs)
+        j0 = past_len // bs
+
+        def gathered(arr):                   # pool -> [B, kvh, L, ...]
+            g = jnp.take(arr, tables[:, :nb_used], axis=0)
+            g = jnp.moveaxis(g, 2, 1)        # [B, kvh, nb, bs(, d)]
+            flat = g.reshape((b, arr.shape[1], nb_used * bs)
+                             + arr.shape[3:])
+            pad = self.max_seq - nb_used * bs
+            if pad > 0:
+                width = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (
+                    flat.ndim - 3)
+                flat = jnp.pad(flat, width)
+            return flat
+
+        tmp = [{k2: gathered(v2) for k2, v2 in pool.items()}
+               for pool in pools]
+        logits, tmp = self.decode_chunk(params, toks, past_len, tmp)
+        new_pools = []
+        for pool, cch in zip(pools, tmp):
+            new = dict(pool)
+            lo, hi = j0 * bs, nb_used * bs
+            for i in range(b):               # admissions are 1-row
+                row = tables[i, j0:nb_used]
+                new["k"], new["v"] = paged_write_prefill(
+                    new["k"], new["v"], cch["k"][i, :, lo:hi],
+                    cch["v"][i, :, lo:hi], row)
+                if quantized:
+                    new["k_scale"] = paged_write_prefill_scale(
+                        new["k_scale"], cch["k_scale"][i, :, lo:hi],
+                        row)
+                    new["v_scale"] = paged_write_prefill_scale(
+                        new["v_scale"], cch["v_scale"][i, :, lo:hi],
+                        row)
+            new_pools.append(new)
+        return logits, new_pools
+
     def decode_chunk(self, params, toks, pos, caches):
         """Multi-token cache-backed step: ``toks`` [B, C] at positions
         [pos, pos+C) (traced scalar ``pos``).  Returns

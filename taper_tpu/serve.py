@@ -248,6 +248,13 @@ class ServingEngine:
     pool of ``N`` blocks of ``block_size`` positions, allocated per
     request by a host-side :class:`BlockAllocator` and addressed
     through per-slot block tables (ops/pallas/paged_attention.py).
+    A ``system_prompt`` (paged mode; token list, length a multiple of
+    ``block_size``) is prefilled ONCE at engine construction into
+    shared prefix blocks that EVERY slot's table aliases — the prefix
+    KV is stored once regardless of slot count, admission only
+    chunk-prefills each request's own tokens at the offset, and the
+    shared blocks are never written (new ranges start on a block
+    boundary).  Request prompts are then the per-request continuation.
     Admission reserves ``ceil((len + max_new)/bs)`` blocks — the
     request's true worst case, NOT the ``prompt_pad + max_new`` static
     bucket — so a pool much smaller than ``slots × max_seq`` serves
@@ -263,7 +270,8 @@ class ServingEngine:
                  temperature: float = 0.0, top_k=None, top_p=None,
                  quantized_cache: bool = False, key=None,
                  pool_blocks: Optional[int] = None,
-                 block_size: int = 128):
+                 block_size: int = 128,
+                 system_prompt: Optional[Sequence[int]] = None):
         self.model = model
         self.params = params
         self.slots = slots
@@ -280,6 +288,10 @@ class ServingEngine:
 
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._paged = pool_blocks is not None
+        assert system_prompt is None or self._paged, \
+            "system_prompt sharing requires the paged cache " \
+            "(pool_blocks=...)"
+        self._prefix_len = 0
         # engine-level sampling config = per-request DEFAULTS; submit()
         # may override any of them per request
         self._default_sampling = (float(temperature),
@@ -300,20 +312,32 @@ class ServingEngine:
                                                   range(slots)]
             # host-side tables; pushed to device per call (tiny int32)
             self._tables = np.zeros((slots, self._max_blocks), np.int32)
+            self._prefix_len = (0 if system_prompt is None
+                                else len(system_prompt))
+            assert self._prefix_len % bs == 0, (
+                f"system_prompt length ({self._prefix_len}) must be a "
+                f"multiple of block_size ({bs}) so shared prefix "
+                f"blocks are never written by per-request prefills")
+            pref = self._prefix_len
 
             def admit(params, pools, prompt_1p, length, table_row,
                       slot, last_tok, pos, active, key, temp, topk,
                       topp):
-                """One-row paged prefill: the row's K/V scatter into its
-                table's pool blocks."""
-                logits, pools = model.prefill_paged(
-                    params, prompt_1p, pools, table_row[None])
+                """One-row paged prefill of the request's OWN tokens —
+                at offset ``pref`` when a shared system prefix exists
+                (its blocks are aliased in ``table_row``, read-only)."""
+                if pref:
+                    logits, pools = model.prefill_paged_continued(
+                        params, prompt_1p, pools, table_row[None], pref)
+                else:
+                    logits, pools = model.prefill_paged(
+                        params, prompt_1p, pools, table_row[None])
                 lg = jax.lax.dynamic_index_in_dim(
                     logits[0], length - 1, 0, keepdims=False)
                 tok, key = _sample_per_row(lg[None], key, temp[None],
                                            topk[None], topp[None])
                 return (pools, last_tok.at[slot].set(tok[0]),
-                        pos.at[slot].set(length),
+                        pos.at[slot].set(pref + length),
                         active.at[slot].set(True), key)
 
             def decode(params, last_tok, pos, pools, tables, active,
@@ -344,6 +368,17 @@ class ServingEngine:
             # touch a live request's blocks.
             self._trash = self._alloc.alloc(1)[0]
             self._tables[:] = self._trash
+            self._prefix_blocks: List[int] = []
+            if pref:
+                assert pref + prompt_pad <= model.max_seq
+                self._prefix_blocks = self._alloc.alloc(pref // bs)
+                row = jnp.asarray(self._prefix_blocks, jnp.int32)
+                sp = jnp.asarray([list(map(int, system_prompt))],
+                                 jnp.int32)
+                _, self._caches = jax.jit(
+                    lambda p, t, po: model.prefill_paged(
+                        p, t, po, row[None]),
+                    donate_argnums=(2,))(params, sp, self._caches)
         else:
             def admit(params, caches, prompt_1p, length, slot, last_tok,
                       pos, active, key, temp, topk, topp):
@@ -418,7 +453,8 @@ class ServingEngine:
         decode batch sample independently — greedy and sampled requests
         mix freely)."""
         assert 1 <= len(prompt) <= self.prompt_pad, len(prompt)
-        assert self.prompt_pad + max_new <= self.model.max_seq
+        assert (self._prefix_len + self.prompt_pad + max_new
+                <= self.model.max_seq)
         if self._paged:
             _, _, need = self._paged_need(len(prompt), int(max_new))
             assert need <= self._alloc.n_blocks - 1, (
@@ -439,12 +475,15 @@ class ServingEngine:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
     def _paged_need(self, prompt_len: int, max_new: int):
-        """(scatter, keep, alloc) block counts for one admission: the
-        prefill scatters ceil(prompt_pad/bs) blocks (static program),
-        the request only ever dereferences ceil((len + max_new)/bs)."""
-        bs = self._block_size
-        scatter = -(-self.prompt_pad // bs)
-        keep = -(-(prompt_len + max_new) // bs)
+        """(scatter, keep, alloc) NEW-block counts for one admission
+        (beyond any shared prefix blocks): the prefill scatters
+        ceil(prompt_pad/bs) blocks past the prefix (static program),
+        the request only ever dereferences what covers
+        prefix + len + max_new."""
+        bs, pref = self._block_size, self._prefix_len
+        nbp = pref // bs
+        scatter = -(-(pref + self.prompt_pad) // bs) - nbp
+        keep = -(-(pref + prompt_len + max_new) // bs) - nbp
         return scatter, keep, max(scatter, keep)
 
     def _admit_one(self, slot: int) -> bool:
@@ -463,9 +502,11 @@ class ServingEngine:
         padded[0, :len(prompt)] = prompt
         if self._paged:
             _, keep, need = self._paged_need(len(prompt), max_new)
+            nbp = self._prefix_len // self._block_size
             ids = self._alloc.alloc(need)
             row = np.full((self._max_blocks,), self._trash, np.int32)
-            row[:need] = ids
+            row[:nbp] = self._prefix_blocks       # shared, read-only
+            row[nbp:nbp + need] = ids
             self._tables[slot] = row
             (self._caches, self._last_tok, self._pos, self._active,
              self._key) = self._admit(
@@ -475,7 +516,7 @@ class ServingEngine:
                 self._active, self._key, *samp)
             if need > keep:   # prompt-pad scatter overshoot: return it
                 self._alloc.free(ids[keep:])
-                self._tables[slot, keep:] = self._trash
+                self._tables[slot, nbp + keep:] = self._trash
             self._slot_blocks[slot] = ids[:keep]
         else:
             (self._caches, self._last_tok, self._pos, self._active,

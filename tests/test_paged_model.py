@@ -108,6 +108,66 @@ def test_paged_quantized_matches_contiguous_quantized():
         pos = pos + 1
 
 
+def test_paged_shared_prefix_chunk_prefill():
+    """Two slots ALIAS the same prefix blocks (system prompt stored
+    once); each chunk-prefills its own continuation at the offset and
+    decodes — logits must equal the plain full-prompt path, and the
+    shared blocks must remain byte-identical (never written)."""
+    model, params = _model()
+    bs = 8
+    prefix = jax.random.randint(jax.random.PRNGKey(10), (1, 2 * bs),
+                                0, 61)                  # block-aligned
+    conts = [jax.random.randint(jax.random.PRNGKey(11 + i), (1, 5),
+                                0, 61) for i in range(2)]
+    plen = prefix.shape[1]
+    steps = 4
+    mb = -(-(plen + 5 + steps) // bs)
+    n_blocks = 2 + 2 * (mb - 2) + 3
+    pools = model.init_paged_cache(n_blocks, block_size=bs)
+    prefix_blocks = jnp.asarray([1, 2], jnp.int32)
+    _, pools = model.prefill_paged(params, prefix, pools,
+                                   prefix_blocks[None])
+    shared_before = np.asarray(pools[0]["k"][1:3]).copy()
+
+    tables = np.zeros((2, mb), np.int32)
+    nxt = 3
+    for i in range(2):
+        tables[i, :2] = [1, 2]
+        tables[i, 2:] = np.arange(nxt, nxt + mb - 2)
+        nxt += mb - 2
+    tables = jnp.asarray(tables)
+
+    toks = jnp.concatenate(conts, axis=0)               # [2, 5]
+    lg, pools = model.prefill_paged_continued(params, toks, pools,
+                                              tables, plen)
+    for i in range(2):
+        full = jnp.concatenate([prefix, conts[i]], axis=1)
+        ref = model.apply(params, full)
+        np.testing.assert_allclose(np.asarray(lg[i]),
+                                   np.asarray(ref[0, plen:]),
+                                   rtol=2e-4, atol=2e-4)
+    # decode a few greedy steps, compare with contiguous path
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    pos = jnp.full((2,), plen + 5, jnp.int32)
+    oracle_caches = model.init_cache(2)
+    full_b = jnp.concatenate([jnp.tile(prefix, (2, 1)), toks], axis=1)
+    olg, oracle_caches = model.prefill(params, full_b, oracle_caches)
+    otok = jnp.argmax(olg[:, -1], -1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(otok))
+    for _ in range(steps):
+        lg2, pools = model.decode_step_paged(params, tok, pos, pools,
+                                             tables)
+        og2, oracle_caches = model.decode_step(params, otok, pos,
+                                               oracle_caches)
+        tok = jnp.argmax(lg2, -1).astype(jnp.int32)
+        otok = jnp.argmax(og2, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(otok))
+        pos = pos + 1
+    # the shared prefix blocks were never written
+    np.testing.assert_array_equal(np.asarray(pools[0]["k"][1:3]),
+                                  shared_before)
+
+
 def test_paged_ragged_rows_match_per_row_decode():
     """Rows at DIFFERENT positions (mixed prompt lengths, the serving
     case): paged batch decode must equal each row decoded alone."""

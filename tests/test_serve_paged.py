@@ -121,6 +121,39 @@ def test_paged_quantized_engine_matches_quantized_generate():
         assert out[rid] == ref, (rid, out[rid], ref)
 
 
+def test_paged_engine_shared_system_prompt():
+    """system_prompt prefix blocks are allocated ONCE and aliased by
+    every slot; outputs equal standalone generate(system + user)."""
+    model, params = _model_and_params(seed=6)
+    rng = np.random.default_rng(6)
+    system = list(rng.integers(0, 32, 16))      # 2 blocks of 8
+    users = [list(rng.integers(0, 32, rng.integers(2, 8)))
+             for _ in range(5)]
+    eng = ServingEngine(model, params, slots=2, prompt_pad=8,
+                        decode_block=3, pool_blocks=12, block_size=8,
+                        system_prompt=system)
+    # prefix takes 2 blocks + 1 trash -> 9 usable for requests
+    assert eng._alloc.available == 9
+    assert len(eng._prefix_blocks) == 2
+    ids = [eng.submit(u, max_new=6) for u in users]
+    out = eng.run()
+    for rid, u in zip(ids, users):
+        full = jnp.asarray(system + u, jnp.int32)[None]
+        ref = model.generate(params, full, 6)
+        ref = list(map(int, np.asarray(ref)[0, len(system) + len(u):]))
+        assert out[rid] == ref, (rid, out[rid], ref)
+    # prefix blocks still allocated (engine-lifetime), slots' freed
+    assert eng._alloc.available == 9
+
+
+def test_paged_engine_system_prompt_alignment_enforced():
+    model, params = _model_and_params()
+    with pytest.raises(AssertionError, match="multiple of block_size"):
+        ServingEngine(model, params, slots=2, prompt_pad=8,
+                      pool_blocks=12, block_size=8,
+                      system_prompt=[1, 2, 3])
+
+
 def test_engine_stats():
     model, params = _model_and_params(seed=5)
     rng = np.random.default_rng(5)
