@@ -143,6 +143,30 @@ def main():
     show("offline_serve (on-device)",
          len(reqs) * m / (time.perf_counter() - t0))
 
+    # 3b. paged-pool engine (oversubscribed shared block pool)
+    bs = 8
+    mb = -(-model.max_seq // bs)
+    # paged_impl="xla" pins the numerics to the contiguous path so the
+    # greedy tokens match exactly on TPU too (the default pallas kernel
+    # carries the documented ~1e-4 bf16-dot difference, which can flip
+    # near-tied argmaxes on a trained model)
+    peng = ServingEngine(model, params, slots=4, prompt_pad=prompt_pad,
+                         decode_block=16, pool_blocks=4 * mb // 2 + 1,
+                         block_size=bs, paged_impl="xla")
+    ids = [peng.submit(p, m) for p in reqs]
+    got = peng.run()                     # warm (compiles)
+    for rid, ref in zip(ids, refs):
+        assert got[rid] == ref, "paged engine tokens != generate"
+    t0 = time.perf_counter()
+    ids = [peng.submit(p, m) for p in reqs]
+    peng.run()
+    show("ServingEngine (paged pool)",
+         len(reqs) * m / (time.perf_counter() - t0))
+    st = peng.stats()
+    print(f"    pool: {st['pool_blocks_total']} blocks "
+          f"(vs {4 * mb} contiguous-equivalent), "
+          f"{st['admitted']} admitted / {st['completed']} completed")
+
     # 4. two-turn chat with prefix caching
     p0 = jnp.asarray(padded[:1, :lens[0]])
     t1, cache = model.generate(params, p0, m, return_cache=True)

@@ -248,6 +248,13 @@ class ServingEngine:
     pool of ``N`` blocks of ``block_size`` positions, allocated per
     request by a host-side :class:`BlockAllocator` and addressed
     through per-slot block tables (ops/pallas/paged_attention.py).
+    ``paged_impl`` selects the paged decode-attention implementation:
+    None → the Pallas kernel (fastest; its MXU dots run single-pass
+    bf16, so logits can differ from the contiguous path by ~1e-4 — on a
+    trained model a near-tied greedy argmax may flip); ``"xla"`` → the
+    gather oracle, numerically matching the contiguous engine
+    bit-for-near-bit (the exact-token guarantee the tests assert holds
+    on CPU for both, and on TPU for "xla").
     A ``system_prompt`` (paged mode; token list, length a multiple of
     ``block_size``) is prefilled ONCE at engine construction into
     shared prefix blocks that EVERY slot's table aliases — the prefix
@@ -271,7 +278,8 @@ class ServingEngine:
                  quantized_cache: bool = False, key=None,
                  pool_blocks: Optional[int] = None,
                  block_size: int = 128,
-                 system_prompt: Optional[Sequence[int]] = None):
+                 system_prompt: Optional[Sequence[int]] = None,
+                 paged_impl: Optional[str] = None):
         self.model = model
         self.params = params
         self.slots = slots
@@ -345,7 +353,8 @@ class ServingEngine:
                 def step(carry, _):
                     tok, pos, pools, key = carry
                     logits, pools = model.decode_step_paged(
-                        params, tok, pos, pools, tables)
+                        params, tok, pos, pools, tables,
+                        impl=paged_impl)
                     nxt, key = _sample_per_row(logits, key, temps,
                                                topks, topps)
                     nxt = jnp.where(active, nxt, tok)
