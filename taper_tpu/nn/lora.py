@@ -169,3 +169,70 @@ class LoRA:
 
     def param_count(self, lora_params) -> int:
         return sum(l.size for l in jax.tree_util.tree_leaves(lora_params))
+
+    # -- multi-adapter (banked) serving -------------------------------------
+
+    def stack_adapters(self, adapters):
+        """Stack N factor trees into a BANK tree: matched leaves become
+        ``{"a": [N, r, in], "b": [N, out, r]}`` — the weight store for
+        multi-tenant serving (:meth:`bank_patch`)."""
+        assert adapters, "need at least one adapter"
+
+        def stack(*leaves):
+            if leaves[0] is None:
+                return None
+            return {"a": jnp.stack([l["a"] for l in leaves]),
+                    "b": jnp.stack([l["b"] for l in leaves])}
+
+        return jax.tree.map(stack, *adapters,
+                            is_leaf=lambda x: x is None
+                            or self._is_factor(x))
+
+    def bank_patch(self, base_params, bank, row_ids):
+        """Params tree whose matched leaves are :class:`BankedLoRA`
+        wrappers: each INPUT ROW of every adapted projection applies its
+        own adapter ``row_ids[row]`` (−1 = base weights only) — S-LoRA
+        style multi-tenant decoding, one batched program for all
+        tenants.  ``row_ids`` must align with the flattened row dim of
+        the projections' inputs (decode: [B]; a one-row prefill of
+        length P: ``jnp.full((P,), id)``).  The base matmul runs once
+        for the whole batch; each adapter adds two rank-r contractions
+        per row (negligible at decode batch sizes)."""
+        row_ids = jnp.asarray(row_ids, jnp.int32)
+
+        def wrap(f, w):
+            if f is None:
+                return w
+            return BankedLoRA(w, f["a"], f["b"], row_ids, self.scale)
+
+        return jax.tree.map(wrap, bank, base_params,
+                            is_leaf=lambda x: x is None
+                            or self._is_factor(x))
+
+
+@jax.tree_util.register_pytree_node_class
+class BankedLoRA:
+    """A projection weight carrying PER-ROW LoRA adapters (see
+    :meth:`LoRA.bank_patch`).  Consumed by ``nn.transformer._proj``,
+    which computes ``x@Wᵀ + scale·(x@a[id]ᵀ)@b[id]ᵀ`` row-wise;
+    ``ids`` < 0 rows get the base weight only.  A pytree node so it
+    flows through jit/scan like any other params leaf."""
+
+    def __init__(self, w, a, b, ids, scale):
+        self.w, self.a, self.b, self.ids = w, a, b, ids
+        self.scale = float(scale)
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    def tree_flatten(self):
+        return (self.w, self.a, self.b, self.ids), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])

@@ -96,7 +96,25 @@ def _proj(x2, w, b):
     therefore returns f32 even for bf16 inputs; cast back so a bf16
     trunk stays bf16 end-to-end.  ``w`` may be a PTQ
     :class:`QuantizedTensor` — it goes to ``ops.linear`` untouched so
-    the int8 dequant-on-load path applies (serving)."""
+    the int8 dequant-on-load path applies (serving) — or a
+    :class:`~taper_tpu.nn.lora.BankedLoRA` (per-row multi-tenant
+    adapters: base matmul once, plus two rank-r contractions gathering
+    each row's own adapter)."""
+    from taper_tpu.nn.lora import BankedLoRA
+    if isinstance(w, BankedLoRA):
+        assert w.ids.shape[0] == x2.shape[0], (
+            f"BankedLoRA row ids ({w.ids.shape[0]}) must match the "
+            f"projection's input rows ({x2.shape[0]})")
+        y = _proj(x2, w.w, b)
+        ids = jnp.clip(w.ids, 0, w.a.shape[0] - 1)
+        af = jnp.take(w.a, ids, axis=0).astype(x2.dtype)  # [R, r, in]
+        bf = jnp.take(w.b, ids, axis=0).astype(x2.dtype)  # [R, out, r]
+        u = jnp.einsum("be,bre->br", x2, af,
+                       preferred_element_type=jnp.float32)
+        delta = jnp.einsum("br,bor->bo", u.astype(x2.dtype), bf,
+                           preferred_element_type=jnp.float32)
+        live = (w.ids >= 0).astype(delta.dtype)[:, None]
+        return (y + w.scale * delta * live).astype(x2.dtype)
     if _is_qt(w):
         y = ops.linear(x2.astype(jnp.float32), w, b)
     else:

@@ -279,7 +279,8 @@ class ServingEngine:
                  pool_blocks: Optional[int] = None,
                  block_size: int = 128,
                  system_prompt: Optional[Sequence[int]] = None,
-                 paged_impl: Optional[str] = None):
+                 paged_impl: Optional[str] = None,
+                 lora=None, lora_bank=None):
         self.model = model
         self.params = params
         self.slots = slots
@@ -296,6 +297,16 @@ class ServingEngine:
 
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._paged = pool_blocks is not None
+        # multi-tenant LoRA: `lora` is a nn.lora.LoRA instance, `bank`
+        # the stack_adapters() tree; submit(..., adapter=k) routes each
+        # request through its own adapter inside the shared batch
+        assert (lora is None) == (lora_bank is None), \
+            "pass lora (LoRA instance) and lora_bank together"
+        self._lora, self._bank = lora, lora_bank
+        use_lora = lora_bank is not None
+
+        def _wrap_rows(params, bank, row_ids):
+            return lora.bank_patch(params, bank, row_ids)
         assert system_prompt is None or self._paged, \
             "system_prompt sharing requires the paged cache " \
             "(pool_blocks=...)"
@@ -330,10 +341,14 @@ class ServingEngine:
 
             def admit(params, pools, prompt_1p, length, table_row,
                       slot, last_tok, pos, active, key, temp, topk,
-                      topp):
+                      topp, *lx):
                 """One-row paged prefill of the request's OWN tokens —
                 at offset ``pref`` when a shared system prefix exists
                 (its blocks are aliased in ``table_row``, read-only)."""
+                if use_lora:
+                    params = _wrap_rows(
+                        params, lx[0],
+                        jnp.full((prompt_pad,), lx[1], jnp.int32))
                 if pref:
                     logits, pools = model.prefill_paged_continued(
                         params, prompt_1p, pools, table_row[None], pref)
@@ -349,7 +364,9 @@ class ServingEngine:
                         active.at[slot].set(True), key)
 
             def decode(params, last_tok, pos, pools, tables, active,
-                       key, temps, topks, topps):
+                       key, temps, topks, topps, *lx):
+                if use_lora:
+                    params = _wrap_rows(params, lx[0], lx[1])
                 def step(carry, _):
                     tok, pos, pools, key = carry
                     logits, pools = model.decode_step_paged(
@@ -390,9 +407,13 @@ class ServingEngine:
                     donate_argnums=(2,))(params, sp, self._caches)
         else:
             def admit(params, caches, prompt_1p, length, slot, last_tok,
-                      pos, active, key, temp, topk, topp):
+                      pos, active, key, temp, topk, topp, *lx):
                 """One-row prefill of a padded prompt + scatter into
                 `slot`."""
+                if use_lora:
+                    params = _wrap_rows(
+                        params, lx[0],
+                        jnp.full((prompt_pad,), lx[1], jnp.int32))
                 c1 = model.init_cache(1, quantized=quantized_cache)
                 logits, c1 = model.prefill(params, prompt_1p, c1)
                 lg = jax.lax.dynamic_index_in_dim(logits[0], length - 1,
@@ -407,9 +428,11 @@ class ServingEngine:
                         active.at[slot].set(True), key)
 
             def decode(params, last_tok, pos, caches, active, key,
-                       temps, topks, topps):
+                       temps, topks, topps, *lx):
                 """``decode_block`` steps for all slots; frozen rows
                 hold."""
+                if use_lora:
+                    params = _wrap_rows(params, lx[0], lx[1])
                 def step(carry, _):
                     tok, pos, caches, key = carry
                     logits, caches = model.decode_step(params, tok, pos,
@@ -437,6 +460,10 @@ class ServingEngine:
         self._stats = {"admitted": 0, "completed": 0,
                        "decode_blocks": 0, "tokens_emitted": 0,
                        "admission_deferrals": 0}
+        self._adapters = np.full((slots,), -1, np.int32)
+
+    def _lora_extras(self, ids):
+        return (self._bank, ids) if self._bank is not None else ()
 
     def stats(self):
         """Engine observability snapshot (host counters only — no
@@ -456,11 +483,14 @@ class ServingEngine:
     def submit(self, prompt: Sequence[int], max_new: int,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> int:
+               top_p: Optional[float] = None,
+               adapter: Optional[int] = None) -> int:
         """Enqueue one request.  ``temperature``/``top_k``/``top_p``
         override the engine defaults FOR THIS REQUEST (rows in the same
         decode batch sample independently — greedy and sampled requests
-        mix freely)."""
+        mix freely).  ``adapter`` selects this request's LoRA adapter
+        from the engine's bank (None = base model) — multi-tenant
+        serving in one shared decode batch."""
         assert 1 <= len(prompt) <= self.prompt_pad, len(prompt)
         assert (self._prefix_len + self.prompt_pad + max_new
                 <= self.model.max_seq)
@@ -476,8 +506,12 @@ class ServingEngine:
         samp = (dt if temperature is None else float(temperature),
                 dk if top_k is None else int(top_k),
                 dp if top_p is None else float(top_p))
+        if adapter is not None:
+            assert self._bank is not None, \
+                "submit(adapter=...) needs lora/lora_bank at init"
         self._queue.append((rid, list(map(int, prompt)), int(max_new),
-                            samp))
+                            samp, -1 if adapter is None else
+                            int(adapter)))
         return rid
 
     def _free_slots(self):
@@ -502,7 +536,9 @@ class ServingEngine:
             if need > self._alloc.available:
                 self._stats["admission_deferrals"] += 1
                 return False          # FCFS: wait for blocks to free
-        rid, prompt, max_new, (temp, topk, topp) = self._queue.popleft()
+        (rid, prompt, max_new, (temp, topk, topp),
+         adapter) = self._queue.popleft()
+        self._adapters[slot] = adapter
         self._temps[slot] = temp
         self._topks[slot] = topk
         self._topps[slot] = topp
@@ -522,7 +558,8 @@ class ServingEngine:
                 self.params, self._caches, jnp.asarray(padded),
                 jnp.int32(len(prompt)), jnp.asarray(row),
                 jnp.int32(slot), self._last_tok, self._pos,
-                self._active, self._key, *samp)
+                self._active, self._key, *samp, *self._lora_extras(
+                    jnp.int32(adapter)))
             if need > keep:   # prompt-pad scatter overshoot: return it
                 self._alloc.free(ids[keep:])
                 self._tables[slot, nbp + keep:] = self._trash
@@ -532,7 +569,8 @@ class ServingEngine:
              self._key) = self._admit(
                 self.params, self._caches, jnp.asarray(padded),
                 jnp.int32(len(prompt)), jnp.int32(slot), self._last_tok,
-                self._pos, self._active, self._key, *samp)
+                self._pos, self._active, self._key, *samp,
+                *self._lora_extras(jnp.int32(adapter)))
         self._slot_req[slot] = (rid, max_new)
         self._stats["admitted"] += 1
         self._stats["tokens_emitted"] += 1
@@ -552,6 +590,7 @@ class ServingEngine:
             self._slot_req[slot] = None
             self._active = self._active.at[slot].set(False)
             self._done_ids.append(rid)
+            self._adapters[slot] = -1
             self._stats["completed"] += 1
             if self._paged:
                 self._alloc.free(self._slot_blocks[slot])
@@ -577,12 +616,16 @@ class ServingEngine:
              toks) = self._decode(self.params, self._last_tok,
                                   self._pos, self._caches,
                                   jnp.asarray(self._tables),
-                                  self._active, self._key, *samp)
+                                  self._active, self._key, *samp,
+                                  *self._lora_extras(
+                                      jnp.asarray(self._adapters)))
         else:
             (self._last_tok, self._pos, self._caches, self._key,
              toks) = self._decode(self.params, self._last_tok,
                                   self._pos, self._caches,
-                                  self._active, self._key, *samp)
+                                  self._active, self._key, *samp,
+                                  *self._lora_extras(
+                                      jnp.asarray(self._adapters)))
         tile = np.asarray(toks)                       # [K, B] small
         for slot, req in enumerate(self._slot_req):
             if req is None:
