@@ -29,6 +29,7 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from taper_tpu import models, ops, optim
@@ -179,6 +180,38 @@ def main():
     if ft_acc >= 0.95 and asc_acc >= 0.95:
         print("LoRA adaptation SOLVED (>=95% on both tasks, "
               f"{100.0 * n_lora / n_base:.2f}% params trained)")
+
+    # ---- 4. multi-tenant serving: base + adapter in ONE batch ---------
+    # The continuous-batching engine routes each request through its own
+    # adapter (BankedLoRA rows): ascending requests on the BASE model,
+    # descending requests on the fine-tuned adapter — sharing slots and
+    # decode dispatches.  (A QLoRA base stays quantized; skip there —
+    # the bank rides the float base.)
+    if args.qlora:
+        return
+    from taper_tpu.serve import ServingEngine
+
+    bank = lora.stack_adapters([lp])
+    rng = np.random.default_rng(0)
+    L = args.length          # the (learned-positional) training length
+    eng = ServingEngine(model, params, slots=4, prompt_pad=L + 2,
+                        decode_block=4, lora=lora, lora_bank=bank)
+    reqs = []
+    for i in range(6):
+        digits = list(rng.integers(0, 10, L))
+        prompt = [11] + digits + [10]            # [BOS] d.. [SEP]
+        adapter = 0 if i % 2 else None           # even: base (asc)
+        rid = eng.submit(prompt, max_new=L, adapter=adapter)
+        reqs.append((rid, digits, adapter))
+    out = eng.run()
+    hit = tot = 0
+    for rid, digits, adapter in reqs:
+        want = sorted(digits, reverse=adapter is not None)
+        hit += sum(a == b for a, b in zip(out[rid], want))
+        tot += len(want)
+    print(f"multi-tenant serving: {hit}/{tot} tokens correctly sorted "
+          f"(base rows ASCENDING, adapter rows DESCENDING, one shared "
+          f"decode batch — each request rode its own adapter)")
 
 
 if __name__ == "__main__":
