@@ -174,6 +174,28 @@ def test_engine_stats():
     assert st["pool_blocks_free"] == st["pool_blocks_total"] == 3
 
 
+def test_paged_engine_with_ptq_weights():
+    """int8 PTQ'd weights (dequant-on-load) + paged pools compose: the
+    engine's outputs equal standalone generate over the SAME quantized
+    params."""
+    from taper_tpu.quantization import ptq
+    from taper_tpu.quantization.config import QuantizationConfig
+
+    model, params = _model_and_params(seed=7)
+    qparams = ptq.quantize_params(params, QuantizationConfig.int8())
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, 32, 6)) for _ in range(3)]
+    eng = ServingEngine(model, qparams, slots=2, prompt_pad=8,
+                        decode_block=3, pool_blocks=9, block_size=8)
+    ids = [eng.submit(p, max_new=5) for p in prompts]
+    out = eng.run()
+    for rid, p in zip(ids, prompts):
+        ref = model.generate(qparams, jnp.asarray(p, jnp.int32)[None],
+                             5)
+        ref = list(map(int, np.asarray(ref)[0, len(p):]))
+        assert out[rid] == ref, (rid, out[rid], ref)
+
+
 def test_paged_slot_reuse_keeps_outputs_exact():
     """More requests than slots with staggered lengths — blocks free
     and get re-allocated across admissions; outputs stay exact."""
