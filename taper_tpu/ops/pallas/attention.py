@@ -81,15 +81,20 @@ def _dot_in(x, lowp):
         else x
 
 
-def _blocks(sq: int, sk: int, window=None):
+def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
     """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk.
 
     Swept on v5e (benchmarks/tune_attention.py, S=2048 D=64 f32): bigger
     is better until VMEM pressure — (512, 2048) runs 28 TFLOP/s vs 16 at
     round-1's (256, 512); KV blocks of 2048·128 lanes are ~1 MB(bf16)–
     2 MB(f32), comfortably double-buffered.  Re-swept at bf16 S=4096
-    (benchmarks/sweep_attn_fwd.py): (512, 2048) still wins.
-    ``TAPER_ATTN_FWD_BLOCKS=bq,bk`` overrides (trace time)."""
+    (benchmarks/sweep_attn_fwd.py): (512, 2048) still wins among
+    bq ≤ 512.  Post-triangular-grid re-sweep (r3, /tmp races):
+    **bq = 1024** beats 512 for bf16 inputs (S4096 854→836 µs, S2048
+    321→283 — taller q tiles amortize the per-grid-step cost) but hits
+    the scoped-VMEM compile cliff at f32 S=4096, so it is enabled for
+    bf16 inputs only.  ``TAPER_ATTN_FWD_BLOCKS=bq,bk`` overrides
+    (trace time)."""
     import os
 
     ov = os.environ.get("TAPER_ATTN_FWD_BLOCKS")
@@ -117,7 +122,8 @@ def _blocks(sq: int, sk: int, window=None):
         wcap = max(128, 1 << (int(window) - 1).bit_length())
         caps = tuple(c for c in caps if c <= wcap) or (128,)
     bk = best(sk, caps)
-    bq = best(sq, tuple(c for c in (512, 256, 128) if c <= bk))
+    bq_caps = (1024, 512, 256, 128) if bf16_inputs else (512, 256, 128)
+    bq = best(sq, tuple(c for c in bq_caps if c <= bk))
     return bq, bk
 
 
@@ -726,7 +732,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         f"flash_attention needs lane-aligned sequence lengths "
         f"(multiples of 128); got Sq={sq}, Sk={sk} — use ops.attention, "
         f"which falls back to the XLA oracle for these shapes")
-    bq, bk = _blocks(sq, sk, window)
+    bq, bk = _blocks(sq, sk, window,
+                     bf16_inputs=q.dtype == jnp.bfloat16)
     assert bk % bq == 0, (
         f"internal: bk={bk} must be a multiple of bq={bq} (the causal "
         f"no-fully-masked-row invariant)")

@@ -42,7 +42,7 @@ def test_flash_multiblock_online_softmax(causal, monkeypatch):
     # Force 4x4 blocks so the running max/sum and causal block-skip paths
     # are actually exercised (default caps would fit S=512 in one block).
     monkeypatch.setattr(A, "_blocks",
-                        lambda sq, sk, window=None: (128, 128))
+                        lambda sq, sk, window=None, **kw: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(1), 1, 2, 512, 16)
     ref = X.attention(q, k, v, causal=causal)
     got = A.flash_attention(q, k, v, causal)
@@ -67,7 +67,7 @@ def test_flash_grads_match_oracle():
 
 def test_flash_bwd_multiblock(monkeypatch):
     monkeypatch.setattr(A, "_blocks",
-                        lambda sq, sk, window=None: (128, 128))
+                        lambda sq, sk, window=None, **kw: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(3), 1, 1, 384, 16)
 
     def f(att):
@@ -90,9 +90,9 @@ def test_flash_causal_grid_variants_match_oracle(grid, chunk, monkeypatch):
     monkeypatch.setenv("TAPER_ATTN_GRID", grid)
     monkeypatch.setenv("TAPER_ATTN_CHUNK", chunk)
     monkeypatch.setattr(A, "_blocks",
-                        lambda sq, sk, window=None: (128, 256))
+                        lambda sq, sk, window=None, **kw: (128, 256))
     monkeypatch.setattr(A, "_blocks_bwd",
-                        lambda sq, sk, window=None: (128, 256))
+                        lambda sq, sk, window=None, **kw: (128, 256))
     q, k, v = _qkv(jax.random.PRNGKey(7), 1, 2, 512, 16)
 
     def f(att):
@@ -958,7 +958,7 @@ def test_tinygpt_moe_trains_and_checkpoints(tmp_path):
 def test_sliding_window_flash_matches_oracle(window, monkeypatch):
     # small blocks force both skip edges (behind-window and above-diag)
     monkeypatch.setattr(A, "_blocks",
-                        lambda sq, sk, window=None: (128, 128))
+                        lambda sq, sk, window=None, **kw: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(11), 1, 2, 512, 16)
     ref = X.attention(q, k, v, causal=True, window=window)
     got = A.flash_attention(q, k, v, True, None, window=window)
@@ -967,7 +967,7 @@ def test_sliding_window_flash_matches_oracle(window, monkeypatch):
 
 def test_sliding_window_grads_match(monkeypatch):
     monkeypatch.setattr(A, "_blocks",
-                        lambda sq, sk, window=None: (128, 128))
+                        lambda sq, sk, window=None, **kw: (128, 128))
     q, k, v = _qkv(jax.random.PRNGKey(12), 1, 1, 384, 16)
 
     def f(att):
