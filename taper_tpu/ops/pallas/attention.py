@@ -127,7 +127,7 @@ def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
     return bq, bk
 
 
-def _blocks_bwd(sq, sk, window=None):
+def _blocks_bwd(sq, sk, window=None, bf16_inputs=False):
     """Backward block sizes, tuned independently of the forward.
 
     The bwd kernels keep ~4 live (bq, bk) f32 intermediates per tile
@@ -136,8 +136,11 @@ def _blocks_bwd(sq, sk, window=None):
     pipeline.  Swept on v5e (benchmarks/sweep_attn_bwd.py, S=4096 D=64
     bf16, full fwd+bwd): 256×256 4776 µs, 256×512 3269, 512×512 2787,
     **512×1024 2712**, 1024×1024 2712, 512×2048 (fwd's choice) 2907 —
-    (512, 1024) is the default.  ``TAPER_ATTN_BWD_BLOCKS=bq,bk``
-    overrides (read at trace time, like the other TAPER_* knobs)."""
+    (512, 1024) is the f32 default.  Post-triangular-grid bf16 re-race
+    (r3): **1024×1024** edges 512×1024 (2670 vs 2728 µs full fwd+bwd),
+    enabled for bf16 inputs like the forward's tall tiles.
+    ``TAPER_ATTN_BWD_BLOCKS=bq,bk`` overrides (read at trace time,
+    like the other TAPER_* knobs)."""
     import os
 
     ov = os.environ.get("TAPER_ATTN_BWD_BLOCKS")
@@ -160,7 +163,8 @@ def _blocks_bwd(sq, sk, window=None):
         wcap = max(128, 1 << (int(window) - 1).bit_length())
         caps = tuple(c for c in caps if c <= wcap) or (128,)
     bk = best(sk, caps)
-    bq = best(sq, tuple(c for c in (512, 256, 128) if c <= bk))
+    bq_caps = (1024, 512, 256, 128) if bf16_inputs else (512, 256, 128)
+    bq = best(sq, tuple(c for c in bq_caps if c <= bk))
     return bq, bk
 
 
@@ -829,7 +833,8 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     # (banded grids need statically-zero offsets; guaranteed by callers)
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    bq, bk = _blocks_bwd(sq, sk, window)
+    bq, bk = _blocks_bwd(sq, sk, window,
+                         bf16_inputs=q.dtype == jnp.bfloat16)
     nq, nk = sq // bq, sk // bk
     bh = b * h
     # d(lse)/ds = p, so an lse cotangent folds into the same
