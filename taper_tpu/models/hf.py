@@ -1,4 +1,4 @@
-"""HuggingFace GPT-2 interop: load transformer weights into TinyGPT.
+"""HuggingFace interop: load GPT-2 / Llama weights into TinyGPT.
 
 Beyond-reference scope (the reference has no sequence models): a user
 switching to this framework can bring pretrained GPT-2-family
@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from taper_tpu.models.transformer import TinyGPT
 
 __all__ = ["tinygpt_from_gpt2_config", "params_from_gpt2_state_dict",
-           "from_hf_gpt2"]
+           "from_hf_gpt2", "tinygpt_from_llama_config",
+           "params_from_llama_state_dict", "from_hf_llama"]
 
 
 def tinygpt_from_gpt2_config(cfg) -> TinyGPT:
@@ -91,3 +92,84 @@ def from_hf_gpt2(hf_model):
     model = tinygpt_from_gpt2_config(hf_model.config)
     return model, params_from_gpt2_state_dict(model,
                                               hf_model.state_dict())
+
+
+# ---------------------------------------------------------------------------
+# Llama family (RoPE + RMSNorm + SwiGLU + GQA — all native TinyGPT
+# options; torch Linear weights are already [out, in], no transposes)
+# ---------------------------------------------------------------------------
+
+def tinygpt_from_llama_config(cfg) -> TinyGPT:
+    """TinyGPT shaped like a ``transformers.LlamaConfig`` (the Llama
+    recipe maps onto the framework's ``norm="rms"``/``mlp_act="swiglu"``
+    options; ``intermediate_size`` must be a multiple of ``n_embd`` —
+    the framework's ``mlp_ratio`` is integer)."""
+    assert cfg.hidden_act in ("silu",), cfg.hidden_act
+    assert cfg.intermediate_size % cfg.hidden_size == 0, (
+        cfg.intermediate_size, cfg.hidden_size)
+    model = TinyGPT(
+        vocab_size=cfg.vocab_size, dim=cfg.hidden_size,
+        depth=cfg.num_hidden_layers, num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        max_seq=cfg.max_position_embeddings, rope=True,
+        mlp_ratio=cfg.intermediate_size // cfg.hidden_size,
+        tied_head=bool(getattr(cfg, "tie_word_embeddings", False)),
+        norm="rms", mlp_act="swiglu", dropout=0.0)
+    # HF eps/rope-base are config knobs; retune the constructed modules
+    from taper_tpu.nn.transformer import rope_angles
+    eps = float(cfg.rms_norm_eps)
+    base = float(getattr(cfg, "rope_theta", 10000.0))
+    model.ln_f.eps = eps
+    for blk in model.blocks:
+        blk.ln1.eps = blk.ln2.eps = eps
+        if base != 10000.0:
+            blk.attn._rope = rope_angles(blk.attn.head_dim,
+                                         model.max_seq, base)
+    return model
+
+
+def params_from_llama_state_dict(model: TinyGPT, state_dict):
+    """TinyGPT params pytree from a ``LlamaForCausalLM.state_dict()``.
+    Llama projections carry no biases — the keys are simply omitted
+    (``_proj`` treats missing biases as zero)."""
+    def t(name):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(v, np.float32))
+
+    params = {
+        "tok": {"w": t("model.embed_tokens.weight")},
+        # rope models never read the positional table; keep the tree
+        # shape with an all-zeros stand-in
+        "pos": {"w": jnp.zeros((model.max_seq, model.dim), jnp.float32)},
+        "ln_f": {"g": t("model.norm.weight")},
+        "blocks": [],
+    }
+    for i in range(model.depth):
+        p = f"model.layers.{i}."
+        params["blocks"].append({
+            "ln1": {"g": t(p + "input_layernorm.weight")},
+            "ln2": {"g": t(p + "post_attention_layernorm.weight")},
+            "attn": {
+                "wq": t(p + "self_attn.q_proj.weight"),
+                "wk": t(p + "self_attn.k_proj.weight"),
+                "wv": t(p + "self_attn.v_proj.weight"),
+                "wo": t(p + "self_attn.o_proj.weight"),
+            },
+            "mlp": {
+                "w1": t(p + "mlp.gate_proj.weight"),   # silu branch
+                "w3": t(p + "mlp.up_proj.weight"),
+                "w2": t(p + "mlp.down_proj.weight"),
+            },
+        })
+    if not model.tied_head:
+        params["head"] = t("lm_head.weight")
+    return params
+
+
+def from_hf_llama(hf_model):
+    """``(TinyGPT, params)`` from a ``transformers.LlamaForCausalLM``."""
+    model = tinygpt_from_llama_config(hf_model.config)
+    return model, params_from_llama_state_dict(model,
+                                               hf_model.state_dict())

@@ -67,3 +67,39 @@ def test_converted_model_serves_with_kv_cache_and_ptq():
     qparams = ptq.quantize_params(params, QuantizationConfig.int8())
     out = model.generate(qparams, prompt, 4)
     assert out.shape == (1, 9)
+
+
+def _hf_llama(seed=0, **kw):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(vocab_size=89, hidden_size=48,
+                      intermediate_size=96, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=64, rms_norm_eps=1e-6,
+                      attention_dropout=0.0, **kw)
+    return LlamaForCausalLM(cfg).eval()
+
+
+def test_llama_logits_match_torch_reference():
+    from taper_tpu.models.hf import from_hf_llama
+    ops.set_backend("xla")
+    hf = _hf_llama()
+    model, params = from_hf_llama(hf)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 89, (2, 13))
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)).logits.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(toks, jnp.int32)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_llama_greedy_generate_matches_torch():
+    from taper_tpu.models.hf import from_hf_llama
+    hf = _hf_llama(seed=3)
+    model, params = from_hf_llama(hf)
+    prompt = [[7, 2, 31, 8, 44]]
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor(prompt), max_new_tokens=8,
+                          do_sample=False, pad_token_id=0)
+    got = model.generate(params, jnp.asarray(prompt, jnp.int32), 8)
+    np.testing.assert_array_equal(np.asarray(got), ref.numpy())
