@@ -310,6 +310,11 @@ class ServingEngine:
         assert system_prompt is None or self._paged, \
             "system_prompt sharing requires the paged cache " \
             "(pool_blocks=...)"
+        assert system_prompt is None or lora_bank is None, \
+            "system_prompt + per-request adapters don't compose: the " \
+            "shared prefix KV is computed once with the BASE weights, " \
+            "but an adapter-k request's prefix KV should use adapter " \
+            "k — give adapter traffic its own engine (or prefix)"
         self._prefix_len = 0
         # engine-level sampling config = per-request DEFAULTS; submit()
         # may override any of them per request
