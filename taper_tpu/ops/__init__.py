@@ -85,6 +85,7 @@ def _dequant(w):
 # tri-state: "1" forces the hand q8 kernel at every shape, "0" forces
 # the XLA fused-dequant path, unset -> shape-aware measured dispatch.
 _Q8_KERNEL = os.environ.get("TAPER_Q8_KERNEL")
+_W8A8 = os.environ.get("TAPER_W8A8")
 
 
 def linear(x, w, b=None, *, activation=None):
@@ -112,6 +113,19 @@ def linear(x, w, b=None, *, activation=None):
         # single-token decode matvec (M=8: 675us vs 501us for XLA's
         # fused dequant) — so it engages from M>=64 under the pallas
         # backend; TAPER_Q8_KERNEL=1 forces it at any shape.
+        # W8A8 (opt-in, TAPER_W8A8=1): dynamic per-row activation quant
+        # + the MXU's NATIVE int8 path (285 vs 157 TOP/s on v5e) for
+        # COMPUTE-bound shapes; decode matvecs stay dequant-on-load
+        # (bandwidth-bound — int8 compute buys nothing there).  Opt-in
+        # because activation rounding changes numerics (~0.4%/element).
+        if (w.qtype == QuantizationType.INT8 and _W8A8 == "1"
+                and x.shape[0] >= 256):
+            from taper_tpu.ops.pallas import quant as _q
+            name8 = (activation if isinstance(activation, str)
+                     else "none" if activation is None
+                     else getattr(activation, "__name__", "none"))
+            return _q.linear_w8a8(x, w.values, w.scale, w.zero_point,
+                                  b, epilogue=name8)
         if (w.qtype == QuantizationType.INT8
                 and get_backend() == "pallas"
                 and (_Q8_KERNEL == "1"

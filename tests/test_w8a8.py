@@ -1,0 +1,49 @@
+"""W8A8 int8-MXU matmul (ops/pallas/quant.py: matmul_int8 /
+linear_w8a8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from taper_tpu.ops.pallas import quant as Q
+from taper_tpu.quantization.config import (QuantizationConfig,
+                                            QuantizationSchema)
+from taper_tpu.quantization.qtensor import quantize as qt_quantize
+
+
+def test_matmul_int8_exact_integer_arithmetic():
+    rng = np.random.default_rng(0)
+    xq = rng.integers(-127, 128, (37, 100), dtype=np.int8)
+    q = rng.integers(-127, 128, (53, 100), dtype=np.int8)
+    got = np.asarray(Q.matmul_int8(jnp.asarray(xq), jnp.asarray(q)))
+    ref = xq.astype(np.int64) @ q.astype(np.int64).T
+    np.testing.assert_array_equal(got, ref.astype(np.int32))
+
+
+def test_linear_w8a8_close_to_f32_linear():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (64, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (48, 96)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (48,)).astype(np.float32))
+    qt = qt_quantize(w, QuantizationConfig.int8())
+    ref = x @ qt.dequantize().T + b       # weight error already priced
+    got = Q.linear_w8a8(x, qt.values, qt.scale, qt.zero_point, b)
+    # the remaining error is activation rounding (~0.4%/element over a
+    # 96-term contraction)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 2e-2, err
+
+
+def test_linear_w8a8_relu_epilogue_and_per_channel():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (32, 64)).astype(np.float32))
+    w = jnp.asarray((rng.normal(0, 0.1, (16, 64))
+                     * rng.uniform(0.1, 4.0, (16, 1))).astype(np.float32))
+    qt = qt_quantize(w, QuantizationConfig.int8(schema=QuantizationSchema.PER_CHANNEL))
+    ref = jnp.maximum(x @ qt.dequantize().T, 0.0)
+    got = Q.linear_w8a8(x, qt.values, qt.scale, qt.zero_point,
+                        epilogue="relu")
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
+    assert float(jnp.min(got)) >= 0.0
