@@ -122,6 +122,12 @@ def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
         wcap = max(128, 1 << (int(window) - 1).bit_length())
         caps = tuple(c for c in caps if c <= wcap) or (128,)
     bk = best(sk, caps)
+    if bf16_inputs and window is None and sk >= 2048:
+        # bf16 re-race: at S=2048 a 1024-wide KV block beats 2048 (326
+        # vs 356 µs — halved causal overcompute on the tri grid); at
+        # S=4096 the wider block still wins (849 vs 898).  Net rule:
+        # bk ≤ max(1024, sk/2).
+        bk = min(bk, max(1024, sk // 2))
     bq_caps = (1024, 512, 256, 128) if bf16_inputs else (512, 256, 128)
     bq = best(sq, tuple(c for c in bq_caps if c <= bk))
     return bq, bk
