@@ -298,7 +298,14 @@ def _i8mm_kernel(x_ref, q_ref, o_ref, acc_ref, *, n_k):
     128 (1.64×) vs bf16 dense 185 (1.14×)** with 1.0% max relative
     error (activation rounding over the K=8192 contraction).  All
     scaling/zero-point/bias algebra happens OUTSIDE at the XLA level
-    (cheap elementwise, fused into the consumer)."""
+    (cheap elementwise, fused into the consumer).
+
+    Model-level honesty (measured): a dim-2048 TinyGPT PTQ prefill is
+    a WASH (32.6 vs 33.3 ms for a 4×1024 forward) — at K=2048 the
+    dynamic activation-quant passes (two extra sweeps over x per
+    linear) cancel the MXU gain; the win needs large contractions
+    (K ≳ 4-8K, i.e. genuinely large models).  Hence opt-in
+    (TAPER_W8A8=1), not a default."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
