@@ -36,9 +36,13 @@ __all__ = ["tinygpt_from_gpt2_config", "params_from_gpt2_state_dict",
 
 def tinygpt_from_gpt2_config(cfg) -> TinyGPT:
     """TinyGPT shaped like a ``transformers.GPT2Config``."""
-    assert getattr(cfg, "activation_function",
-                   "gelu_new") in ("gelu_new", "gelu", "gelu_pytorch_tanh"), \
-        cfg.activation_function
+    # only the tanh-approximate GELU family matches TinyGPT's MLP
+    # (jax.nn.gelu approximate=True); HF's exact-erf "gelu" would
+    # silently break the promised logit parity
+    act = getattr(cfg, "activation_function", "gelu_new")
+    assert act in ("gelu_new", "gelu_pytorch_tanh"), (
+        f"activation_function={act!r} is not the tanh-approximate GELU "
+        f"TinyGPT computes — logit parity would not hold")
     return TinyGPT(vocab_size=cfg.vocab_size, dim=cfg.n_embd,
                    depth=cfg.n_layer, num_heads=cfg.n_head,
                    max_seq=cfg.n_positions, rope=False,

@@ -243,16 +243,9 @@ class TinyGPT(Module):
         naive = (chunk == 0 or
                  (chunk is None and b * s * self.vocab_size <= 2 ** 28))
         if naive:
-            logits = self._logits(params, x)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            nll = -jnp.take_along_axis(logp, targets[..., None],
-                                       axis=-1)[..., 0]
-            pred = jnp.argmax(logits, axis=-1)
-            m = jnp.broadcast_to(mask, nll.shape)
-            denom = jnp.maximum(jnp.sum(m), 1.0)
-            loss = jnp.sum(nll * m) / denom
-            acc = jnp.sum((pred == targets) * m) / denom
-            return loss, acc
+            from taper_tpu.data.seq import masked_token_loss
+            return masked_token_loss(self._logits(params, x), targets,
+                                     mask)
         nll, pred = fused_linear_cross_entropy(
             x.reshape(b * s, d), self._head_weights(params),
             targets.reshape(-1), chunk=chunk or 4096)

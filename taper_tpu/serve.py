@@ -59,7 +59,7 @@ def _sample_per_row(logits, key, temps, top_ks, top_ps):
     keep = (jnp.cumsum(probs, -1) - probs) < top_ps[:, None]
     keep = keep | (jnp.arange(v)[None, :] == 0)  # argmax always kept
     sl = jnp.where(keep, sl, -jnp.inf)
-    lt = jnp.take_along_axis(sl, jnp.argsort(order, -1), -1)
+    lt = jnp.take_along_axis(sl, ranks, -1)
     key, sk = jax.random.split(key)
     sampled = jax.random.categorical(sk, lt).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy), key
@@ -479,7 +479,8 @@ class ServingEngine:
         out["active_slots"] = sum(r is not None for r in self._slot_req)
         out["slots"] = self.slots
         if self._paged:
-            out["pool_blocks_total"] = self._alloc.n_blocks - 1
+            out["pool_blocks_total"] = (self._alloc.n_blocks - 1
+                                        - len(self._prefix_blocks))
             out["pool_blocks_free"] = self._alloc.available
         return out
 
@@ -501,10 +502,12 @@ class ServingEngine:
                 <= self.model.max_seq)
         if self._paged:
             _, _, need = self._paged_need(len(prompt), int(max_new))
-            assert need <= self._alloc.n_blocks - 1, (
+            usable = (self._alloc.n_blocks - 1
+                      - len(self._prefix_blocks))
+            assert need <= usable, (
                 f"request needs {need} blocks but the pool only has "
-                f"{self._alloc.n_blocks - 1} usable — it could never "
-                f"be admitted")
+                f"{usable} usable (trash + shared prefix reserved) — "
+                f"it could never be admitted")
         rid = self._next_id
         self._next_id += 1
         dt, dk, dp = self._default_sampling

@@ -146,6 +146,28 @@ def test_paged_engine_shared_system_prompt():
     assert eng._alloc.available == 9
 
 
+def test_paged_submit_rejects_requests_that_never_fit_past_prefix():
+    """Regression: a request needing more blocks than remain after the
+    trash + shared-prefix reservations must be rejected at submit()
+    (previously it passed the guard and run() busy-looped forever)."""
+    model, params = _model_and_params(seed=8)
+    rng = np.random.default_rng(8)
+    system = list(rng.integers(0, 32, 16))       # 2 prefix blocks
+    # pool 12 -> 1 trash + 2 prefix = 9 usable
+    eng = ServingEngine(model, params, slots=2, prompt_pad=8,
+                        decode_block=2, pool_blocks=12, block_size=4,
+                        system_prompt=None)
+    # without prefix: 11 usable; boundary request is accepted
+    eng.submit([1] * 8, max_new=36)              # need 11 <= 11
+    eng2 = ServingEngine(model, params, slots=2, prompt_pad=8,
+                         decode_block=2, pool_blocks=12, block_size=4,
+                         system_prompt=system)
+    with pytest.raises(AssertionError, match="prefix"):
+        # prefix = 4 blocks of 4, usable = 12 - 1 - 4 = 7;
+        # need = ceil((16+8+40)/4) - 4 = 12 > 7 (and 64 <= max_seq)
+        eng2.submit([1] * 8, max_new=40)
+
+
 def test_paged_engine_system_prompt_alignment_enforced():
     model, params = _model_and_params()
     with pytest.raises(AssertionError, match="multiple of block_size"):
