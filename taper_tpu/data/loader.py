@@ -106,11 +106,16 @@ class PrefetchLoader:
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self.loader:
+                    if stop.is_set():      # consumer exited early
+                        return
                     q.put(self._stage(batch))
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in the consumer thread
                 q.put(e)
                 return
@@ -127,8 +132,10 @@ class PrefetchLoader:
                     raise item
                 yield item
         finally:
-            # On early exit, drain so the worker can finish and the
-            # thread never blocks forever on a full queue.
+            # On early exit: signal the worker to stop AFTER at most one
+            # more batch (no stage-everything-to-device drain), then
+            # unblock it if it is parked on the full queue.
+            stop.set()
             while t.is_alive():
                 try:
                     q.get_nowait()

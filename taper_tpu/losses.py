@@ -160,7 +160,12 @@ def _fused_bwd(chunk, res, cts):
 
     def step(dx, inp):
         h_c, c0 = inp
-        logits = (xf @ h_c.T.astype(jnp.float32))
+        # recompute logits EXACTLY as the forward did (input-dtype
+        # matmul, then the f32 cast): the saved lse came from that
+        # computation, so a full-f32 recompute would make
+        # p = exp(logits − lse) inconsistent by the bf16 rounding of
+        # the dominant logit and per-row p would no longer sum to 1
+        logits = (x @ h_c.T).astype(jnp.float32)
         valid = (c0 + cols) < v
         p = jnp.where(valid[None, :],
                       jnp.exp(logits - lse[:, None]), 0.0)

@@ -619,6 +619,13 @@ class TinyGPT(Module):
         ``[B, C + max_new]`` (``return_cache=True``: plus the cache,
         filled through ``past_len + C + max_new − 1``, ready for the
         next turn)."""
+        if return_cache and eos_token is not None:
+            # same contract as generate(): an early eos exit leaves the
+            # cache filled only to the exit position, so the "ready for
+            # the next turn" promise would be false
+            raise ValueError(
+                "return_cache with eos_token is not supported: early "
+                "exit leaves the cache partially filled")
         b, clen = prompt.shape
         past_len = int(past_len)
         total = past_len + clen + max_new
@@ -685,8 +692,9 @@ class TinyGPT(Module):
         Beams that emit ``eos_token`` freeze: their single candidate
         keeps the score unchanged, so finished hypotheses compete with
         live ones.  Final ranking divides by ``len(generated) **
-        length_penalty`` (1.0 = pure average-free sum; < 1 favors
-        longer sequences).
+        length_penalty``: 0 = raw log-prob sum (favors SHORT — fewer
+        negative terms), 1.0 = per-token average, and LARGER exponents
+        penalize length less (favor longer hypotheses).
 
         Returns the best sequence per prompt ``[B, P + max_new]``
         (``return_all=True``: ``(tokens [B, W, P+max_new],
@@ -750,10 +758,9 @@ class TinyGPT(Module):
             any_eos = jnp.any(hit, axis=2)
             first = jnp.argmax(hit, axis=2)                # [B, W]
             lens = jnp.where(any_eos, first + 1, max_new)
-            after = (jnp.cumsum(hit.astype(jnp.int32), axis=2)
-                     - hit.astype(jnp.int32)) > 0
-            tokens = jnp.concatenate(
-                [tokens[:, :, :plen], jnp.where(after, pad, gen)], axis=2)
+            tokens = _mask_after_eos(
+                tokens.reshape(b * w, -1), plen, eos_token, pad
+            ).reshape(b, w, -1)
         else:
             lens = jnp.full((b, w), max_new)
         norm = scores / (lens.astype(jnp.float32) ** length_penalty)
@@ -877,6 +884,19 @@ class TinyGPT(Module):
                     tgt, jnp.full((b, 1), n_acc), axis=1)[:, 0]
             tokens = jax.lax.dynamic_update_index_in_dim(
                 tokens, nxt, cur + n_acc, 1)
+            # full acceptance (n_acc == γ): the next round starts
+            # drafting at cur+γ, so position cur+γ-1 (the last accepted
+            # draft) would never be written into the DRAFT cache — a
+            # permanent zero-K/V row every subsequent draft step
+            # attends, degrading q and the acceptance rate over long
+            # generations.  Backfill it with one draft decode step.
+            def backfill(cd):
+                tok = jax.lax.dynamic_index_in_dim(
+                    tokens, cur + gamma - 1, 1, keepdims=False)
+                _, cd = draft_model.decode_step(
+                    draft_params, tok, cur + gamma - 1, cd)
+                return cd
+            cd = jax.lax.cond(n_acc == gamma, backfill, lambda c: c, cd)
             return tokens, cur + n_acc + 1, ct, cd, rounds + 1, key
 
         def cond(carry):

@@ -583,8 +583,10 @@ class ServingEngine:
         self._stats["admitted"] += 1
         self._stats["tokens_emitted"] += 1
         self._emitted[slot] = 1          # prefill sampled the first token
-        # the first token is on device in last_tok; harvest lazily with
-        # the next decode block (or immediately if max_new == 1)
+        # fetch the first token NOW (one small device->host sync per
+        # admission): retirement must see it before the next decode
+        # block in case max_new == 1 or it already hit eos — otherwise
+        # the slot would decode past its budget
         first = int(np.asarray(self._last_tok)[slot])
         self._outputs[rid] = [first]
         self._maybe_retire(slot, first)

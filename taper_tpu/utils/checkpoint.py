@@ -121,6 +121,7 @@ class CheckpointManager:
         self.async_save = async_save
         self._lock = threading.Lock()
         self._pending: Optional[threading.Thread] = None
+        self._pending_error: Optional[BaseException] = None
         os.makedirs(directory, exist_ok=True)
         self._manifest: Dict[str, Dict] = self._read_manifest()
 
@@ -175,14 +176,18 @@ class CheckpointManager:
         path = self._step_path(step)
 
         def commit():
-            save_checkpoint(path, host_tree, metadata)
-            with self._lock:
-                self._manifest[str(step)] = {
-                    "file": os.path.basename(path),
-                    "metric": None if metric is None else float(metric),
-                }
-                self._rotate_locked()
-                self._write_manifest()
+            try:
+                save_checkpoint(path, host_tree, metadata)
+                with self._lock:
+                    self._manifest[str(step)] = {
+                        "file": os.path.basename(path),
+                        "metric": (None if metric is None
+                                   else float(metric)),
+                    }
+                    self._rotate_locked()
+                    self._write_manifest()
+            except BaseException as e:     # surfaced by wait()/next save
+                self._pending_error = e
 
         if self.async_save:
             self.wait()                       # one in-flight write at a time
@@ -190,13 +195,24 @@ class CheckpointManager:
             self._pending.start()
         else:
             commit()
+            self._raise_pending_error()
         return path
 
+    def _raise_pending_error(self) -> None:
+        e, self._pending_error = self._pending_error, None
+        if e is not None:
+            raise RuntimeError(
+                "checkpoint save failed (no manifest entry was "
+                "written for that step)") from e
+
     def wait(self) -> None:
-        """Block until any in-flight async save has committed."""
+        """Block until any in-flight async save has committed; re-raises
+        a worker-thread failure instead of swallowing it (a silently
+        missing checkpoint is discovered at restore time — too late)."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        self._raise_pending_error()
 
     def _rotate_locked(self) -> None:
         steps = sorted(int(s) for s in self._manifest)
@@ -344,6 +360,13 @@ def load_checkpoint_sharded(directory: str, template: Any,
         out = np.empty(tuple(entry["shape"]), dtype=entry["dtype"])
         for s in entry["shards"]:
             piece = np.load(os.path.join(directory, s["file"]))
+            if piece.dtype != out.dtype:
+                # ml_dtypes leaves (bfloat16/float8) round-trip through
+                # np.save as raw void records (|V2/|V1) — reinterpret
+                # the bytes; itemsizes must agree
+                assert piece.dtype.itemsize == out.dtype.itemsize, (
+                    key, piece.dtype, out.dtype)
+                piece = piece.view(out.dtype)
             sl = tuple(slice(a, b) for a, b in s["index"])
             out[sl] = piece
         out = out.astype(np.asarray(tmpl).dtype)

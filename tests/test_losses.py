@@ -204,3 +204,34 @@ def test_tinygpt_fused_loss_trains():
         params, state, l = step(params, state, k)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_fused_ce_bf16_grads_match_naive_oracle():
+    """Regression: the backward must recompute logits in the FORWARD's
+    dtype flow (bf16 matmul then f32 cast) — a full-f32 recompute makes
+    p = exp(logits - lse) inconsistent with the saved lse and biases
+    dx/dhead beyond rounding noise."""
+    from taper_tpu.losses import fused_linear_cross_entropy
+    rng = np.random.default_rng(0)
+    n, d, v = 32, 64, 50
+    x = jnp.asarray(rng.normal(0, 1, (n, d)), jnp.bfloat16)
+    head = jnp.asarray(rng.normal(0, 0.2, (v, d)), jnp.bfloat16)
+    tgt = jnp.asarray(rng.integers(0, v, (n,)), jnp.int32)
+
+    def fused(x, h):
+        return jnp.mean(fused_linear_cross_entropy(x, h, tgt,
+                                                   chunk=16)[0])
+
+    def naive(x, h):
+        logits = (x @ h.T).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits, -1)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[:, None], 1))
+
+    gx_f, gh_f = jax.grad(fused, argnums=(0, 1))(x, head)
+    gx_n, gh_n = jax.grad(naive, argnums=(0, 1))(x, head)
+    np.testing.assert_allclose(np.asarray(gx_f, np.float32),
+                               np.asarray(gx_n, np.float32),
+                               rtol=0.05, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh_f, np.float32),
+                               np.asarray(gh_n, np.float32),
+                               rtol=0.05, atol=1e-4)

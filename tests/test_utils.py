@@ -185,3 +185,44 @@ def test_sharded_checkpoint_roundtrip_and_reshard(tmp_path):
         ckpt.load_checkpoint_sharded(d, {**tree,
                                          "w": np.zeros((4, 4),
                                                        np.float32)})
+
+
+def test_sharded_checkpoint_bf16_and_fp8_leaves(tmp_path):
+    """Regression: ml_dtypes leaves (bfloat16/float8) round-trip through
+    the sharded per-device format — np.load returns them as raw void
+    records, which the loader must reinterpret (previously crashed with
+    'No cast function available')."""
+    import jax.numpy as jnp
+    from taper_tpu.utils.checkpoint import (save_checkpoint_sharded,
+                                            load_checkpoint_sharded)
+    tree = {
+        "bf16": jnp.arange(12, dtype=jnp.bfloat16).reshape(3, 4) * 0.5,
+        "f8": jnp.asarray([[1.0, -2.0], [0.5, 4.0]],
+                          jnp.float8_e4m3fn),
+        "f32": jnp.ones((2, 2), jnp.float32),
+    }
+    d = str(tmp_path / "ck")
+    save_checkpoint_sharded(d, tree)
+    back, _ = load_checkpoint_sharded(d, tree)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(tree[k]))
+        assert back[k].dtype == tree[k].dtype, k
+
+
+def test_checkpoint_manager_surfaces_async_save_failure(tmp_path):
+    """Regression: a failed background save must raise from wait()
+    instead of silently leaving no checkpoint."""
+    import pytest
+    from taper_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "mgr"), async_save=True)
+    mgr.save(1, {"w": np.ones(3)})
+    mgr.wait()
+    # point the next save under a path whose parent is a FILE, so the
+    # worker's makedirs/open raises
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    mgr.directory = str(blocker / "sub")
+    mgr.save(2, {"w": np.ones(3)})
+    with pytest.raises(RuntimeError, match="checkpoint save failed"):
+        mgr.wait()
