@@ -37,14 +37,22 @@ def _filter_logits(logits, temperature, top_k=None, top_p=None):
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p is not None and top_p < 1.0:
+        v = logits.shape[-1]
         idx = jnp.argsort(-logits, axis=-1)
         sl = jnp.take_along_axis(logits, idx, -1)
         probs = jax.nn.softmax(sl, axis=-1)
-        # exclusive prefix mass < p keeps the token; the first (argmax)
-        # token's prefix is 0, so it always survives
+        # exclusive prefix mass < p keeps the token; forcing column 0
+        # keeps the argmax even at top_p <= 0 (otherwise every token
+        # masks to -inf and categorical degenerates to token id 0)
         keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        keep = keep.at[..., 0].set(True)
         sl = jnp.where(keep, sl, -jnp.inf)
-        logits = jnp.take_along_axis(sl, jnp.argsort(idx, axis=-1), -1)
+        # O(V) inverse permutation via scatter (a second argsort would
+        # be a full extra sort on the per-token decode hot path)
+        arange = jnp.broadcast_to(jnp.arange(v), idx.shape)
+        inv = jnp.put_along_axis(jnp.zeros_like(idx), idx, arange,
+                                 axis=-1, inplace=False)
+        logits = jnp.take_along_axis(sl, inv, -1)
     return logits
 
 
@@ -123,6 +131,7 @@ class TinyGPT(Module):
                  dropout: float = 0.0, rope: bool = False,
                  num_kv_heads: Optional[int] = None,
                  n_experts: int = 0, top_k: int = 2,
+                 capacity_factor: Optional[float] = None,
                  window: Optional[int] = None,
                  compute_dtype: Optional[jnp.dtype] = None,
                  remat: bool = False,
@@ -149,7 +158,9 @@ class TinyGPT(Module):
                                         rope=rope, max_seq=max_seq,
                                         num_kv_heads=num_kv_heads,
                                         n_experts=n_experts,
-                                        top_k=top_k, window=window,
+                                        top_k=top_k,
+                                        capacity_factor=capacity_factor,
+                                        window=window,
                                         norm=norm, mlp_act=mlp_act)
                        for _ in range(depth)]
         from taper_tpu.nn.transformer import RMSNorm
@@ -935,6 +946,16 @@ class TinyGPT(Module):
         assert total <= self.max_seq, (total, self.max_seq)
         if key is None:
             key = jax.random.PRNGKey(0)
+        # loud validation when lengths are concrete (the usual host-side
+        # list/ndarray) — out-of-range rows would otherwise clamp into
+        # pad positions and silently emit garbage
+        if not isinstance(prompt_lens, jax.core.Tracer):
+            _l = jnp.asarray(prompt_lens)
+            import numpy as _np
+            _ln = _np.asarray(_l)
+            assert _ln.min() >= 1 and _ln.max() <= plen, (
+                f"prompt_lens must be in [1, {plen}], got "
+                f"[{_ln.min()}, {_ln.max()}]")
         lens = jnp.asarray(prompt_lens, jnp.int32)
         rows = jnp.arange(b)
         tokens = jnp.concatenate(

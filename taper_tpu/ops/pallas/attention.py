@@ -81,6 +81,25 @@ def _dot_in(x, lowp):
         else x
 
 
+def _blocks_env(var: str, sq: int, sk: int):
+    """Parse a ``bq,bk`` override env var; loud on invalid combinations
+    (a silent fallback would make sweep rows report the wrong config's
+    time).  Returns None when the var is unset."""
+    import os
+
+    ov = os.environ.get(var)
+    if not ov:
+        return None
+    bq, bk = (int(x) for x in ov.split(","))
+    bq, bk = min(bq, sq), min(bk, sk)
+    if not (sq % bq == 0 and sk % bk == 0 and bk % bq == 0):
+        raise ValueError(
+            f"{var}={ov!r} invalid for Sq={sq}, Sk={sk}: need "
+            f"sq%bq==0, sk%bk==0, bk%bq==0 "
+            f"(after clipping to ({bq}, {bk}))")
+    return bq, bk
+
+
 def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
     """Pick (bq, bk) — divisors of the sequence lengths with bq ≤ bk.
 
@@ -95,20 +114,9 @@ def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
     the scoped-VMEM compile cliff at f32 S=4096, so it is enabled for
     bf16 inputs only.  ``TAPER_ATTN_FWD_BLOCKS=bq,bk`` overrides
     (trace time)."""
-    import os
-
-    ov = os.environ.get("TAPER_ATTN_FWD_BLOCKS")
+    ov = _blocks_env("TAPER_ATTN_FWD_BLOCKS", sq, sk)
     if ov:
-        bq, bk = (int(x) for x in ov.split(","))
-        bq, bk = min(bq, sq), min(bk, sk)
-        if not (sq % bq == 0 and sk % bk == 0 and bk % bq == 0):
-            # loud, not a silent default fallback — a sweep row would
-            # otherwise report the wrong config's time
-            raise ValueError(
-                f"TAPER_ATTN_FWD_BLOCKS={ov!r} invalid for Sq={sq}, "
-                f"Sk={sk}: need sq%bq==0, sk%bk==0, bk%bq==0 "
-                f"(after clipping to ({bq}, {bk}))")
-        return bq, bk
+        return ov
     def best(s, caps):
         for c in caps:
             if s % c == 0:
@@ -147,18 +155,9 @@ def _blocks_bwd(sq, sk, window=None, bf16_inputs=False):
     enabled for bf16 inputs like the forward's tall tiles.
     ``TAPER_ATTN_BWD_BLOCKS=bq,bk`` overrides (read at trace time,
     like the other TAPER_* knobs)."""
-    import os
-
-    ov = os.environ.get("TAPER_ATTN_BWD_BLOCKS")
+    ov = _blocks_env("TAPER_ATTN_BWD_BLOCKS", sq, sk)
     if ov:
-        bq, bk = (int(x) for x in ov.split(","))
-        bq, bk = min(bq, sq), min(bk, sk)
-        if not (sq % bq == 0 and sk % bk == 0 and bk % bq == 0):
-            raise ValueError(
-                f"TAPER_ATTN_BWD_BLOCKS={ov!r} invalid for Sq={sq}, "
-                f"Sk={sk}: need sq%bq==0, sk%bk==0, bk%bq==0 "
-                f"(after clipping to ({bq}, {bk}))")
-        return bq, bk
+        return ov
     def best(s, caps):
         for c in caps:
             if s % c == 0:
