@@ -884,9 +884,7 @@ def test_sparse_moe_capacity_drops_tokens():
 def test_tinygpt_sparse_moe_trains():
     model = models.TinyGPT(vocab_size=sort_task_vocab(), dim=32, depth=1,
                            num_heads=2, max_seq=16, n_experts=4,
-                           top_k=2)
-    # flip the block's MoE to sparse dispatch (same params pytree)
-    model.blocks[0].mlp.capacity_factor = 1.5
+                           top_k=2, capacity_factor=1.5)
     params = model.init(jax.random.PRNGKey(0))
     opt = optim.Adam(3e-3)
     state = opt.init(params)
