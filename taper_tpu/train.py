@@ -327,6 +327,7 @@ class Trainer:
         """
         model, optimizer, loss_fn = self.model, self.optimizer, self.loss_fn
         stateful = self._stateful
+        augment = self.augment
         compute = _make_grad_step(model, loss_fn, self.train_uses_rng,
                                   stateful)
 
