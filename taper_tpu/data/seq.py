@@ -60,16 +60,25 @@ def sort_task_batch(key, batch: int, length: int, base: int = 10,
     return tokens, targets, mask
 
 
-def masked_token_loss(logits, targets, mask):
+def masked_token_loss(logits, targets, mask, z_loss: float = 0.0):
     """Mean next-token CE over masked positions.
 
     ``logits [B, S, V]``, ``targets [B, S]`` int, ``mask [S]`` or
     ``[B, S]`` float.  Returns ``(loss, accuracy)`` over the masked set.
+
+    ``z_loss > 0`` adds the PaLM-style logit regularizer
+    ``z_loss · mean(logsumexp(logits)²)`` over the masked positions —
+    keeps the softmax normalizer Z near 1 so logits don't drift (large-
+    scale LM training stability; bf16 benefits most).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    lf = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    nll = lse - jnp.take_along_axis(lf, targets[..., None],
+                                    axis=-1)[..., 0]
     m = jnp.broadcast_to(mask, nll.shape)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     loss = jnp.sum(nll * m) / denom
+    if z_loss:
+        loss = loss + z_loss * jnp.sum(lse * lse * m) / denom
     acc = jnp.sum((jnp.argmax(logits, -1) == targets) * m) / denom
     return loss, acc

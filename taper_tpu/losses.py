@@ -104,8 +104,8 @@ def _pad_head(head, chunk):
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_linear_ce(chunk, x, head, targets):
-    nll, pred, _ = _fused_fwd_scan(chunk, x, head, targets)
-    return nll, pred
+    nll, pred, lse = _fused_fwd_scan(chunk, x, head, targets)
+    return nll, pred, lse
 
 
 def _fused_fwd_scan(chunk, x, head, targets):
@@ -148,12 +148,15 @@ def _fused_fwd_scan(chunk, x, head, targets):
 
 def _fused_fwd(chunk, x, head, targets):
     nll, pred, lse = _fused_fwd_scan(chunk, x, head, targets)
-    return (nll, pred), (x, head, targets, lse)
+    return (nll, pred, lse), (x, head, targets, lse)
 
 
 def _fused_bwd(chunk, res, cts):
     x, head, targets, lse = res
     g = cts[0].astype(jnp.float32)            # d/d nll; pred ct is float0
+    # d/d lse (z-loss etc.): d lse / d logits = softmax p, so it simply
+    # adds to p's coefficient in the shared chunk recompute below
+    gl = cts[2].astype(jnp.float32)
     hc, v = _pad_head(head, chunk)
     cols = jnp.arange(chunk)
     xf = x.astype(jnp.float32)
@@ -171,7 +174,7 @@ def _fused_bwd(chunk, res, cts):
                       jnp.exp(logits - lse[:, None]), 0.0)
         onehot = ((targets[:, None] - c0) == cols[None, :]) \
             .astype(jnp.float32)
-        gd = g[:, None] * (p - onehot)                    # [N, chunk]
+        gd = (g + gl)[:, None] * p - g[:, None] * onehot  # [N, chunk]
         dx = dx + gd @ h_c.astype(jnp.float32)
         dh_c = gd.T @ xf                                  # [chunk, D]
         return dx, dh_c
@@ -185,7 +188,8 @@ def _fused_bwd(chunk, res, cts):
 _fused_linear_ce.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_linear_cross_entropy(x, head, targets, chunk: int = 4096):
+def fused_linear_cross_entropy(x, head, targets, chunk: int = 4096,
+                               return_lse: bool = False):
     """Per-token NLL of ``logits = x @ headᵀ`` WITHOUT materializing the
     ``[N, V]`` logits — the large-vocab head optimization (beyond the
     reference, which has no LM head at all).
@@ -207,7 +211,11 @@ def fused_linear_cross_entropy(x, head, targets, chunk: int = 4096):
     speed-up at small V.
 
     Returns ``(nll [N], pred [N])`` — ``pred`` is the online argmax
-    (not differentiable).
+    (not differentiable).  ``return_lse=True`` adds the per-token
+    ``logsumexp(logits)`` as a third output — DIFFERENTIABLE through the
+    same chunked backward (its cotangent adds ``softmax`` to the chunk
+    recompute), which is what z-loss regularization needs.
     """
     targets = targets.reshape(-1).astype(jnp.int32)
-    return _fused_linear_ce(int(chunk), x, head, targets)
+    nll, pred, lse = _fused_linear_ce(int(chunk), x, head, targets)
+    return (nll, pred, lse) if return_lse else (nll, pred)

@@ -226,7 +226,7 @@ class TinyGPT(Module):
 
     def loss(self, params, tokens, targets, mask, *, train=False,
              rng=None, chunk=None, segment_ids=None,
-             positions=None):
+             positions=None, z_loss: float = 0.0):
         """Masked next-token loss WITHOUT materializing ``[B, S, V]``
         logits: the trunk's hidden states stream through
         :func:`losses.fused_linear_cross_entropy` in vocab chunks (both
@@ -246,6 +246,11 @@ class TinyGPT(Module):
         ``chunk=None`` (default) auto-dispatches; an explicit ``chunk``
         forces the fused path with that vocab-chunk size; ``chunk=0``
         forces naive.
+
+        ``z_loss > 0`` adds the PaLM-style logit regularizer
+        ``z_loss · mean(logsumexp²)`` over masked positions (identical
+        on both paths — the fused form differentiates through its saved
+        online logsumexp, still never materializing ``[N, V]``).
         """
         from taper_tpu.losses import fused_linear_cross_entropy
         x = self.hidden(params, tokens, train=train, rng=rng,
@@ -256,15 +261,18 @@ class TinyGPT(Module):
         if naive:
             from taper_tpu.data.seq import masked_token_loss
             return masked_token_loss(self._logits(params, x), targets,
-                                     mask)
-        nll, pred = fused_linear_cross_entropy(
+                                     mask, z_loss=z_loss)
+        nll, pred, lse = fused_linear_cross_entropy(
             x.reshape(b * s, d), self._head_weights(params),
-            targets.reshape(-1), chunk=chunk or 4096)
+            targets.reshape(-1), chunk=chunk or 4096, return_lse=True)
         nll = nll.reshape(b, s)
         pred = pred.reshape(b, s)
         m = jnp.broadcast_to(mask, nll.shape)
         denom = jnp.maximum(jnp.sum(m), 1.0)
         loss = jnp.sum(nll * m) / denom
+        if z_loss:
+            lse = lse.reshape(b, s)
+            loss = loss + z_loss * jnp.sum(lse * lse * m) / denom
         acc = jnp.sum((pred == targets) * m) / denom
         return loss, acc
 

@@ -235,3 +235,81 @@ def test_fused_ce_bf16_grads_match_naive_oracle():
     np.testing.assert_allclose(np.asarray(gh_f, np.float32),
                                np.asarray(gh_n, np.float32),
                                rtol=0.05, atol=1e-4)
+
+
+def test_zloss_fused_matches_naive_values_and_grads():
+    """z-loss differentiates through the fused path's saved online
+    logsumexp: (CE + z·lse²) values and grads must equal the naive
+    [N, V]-logits formulation."""
+    from taper_tpu.losses import fused_linear_cross_entropy
+
+    rng = np.random.default_rng(3)
+    n, d, v, z = 24, 16, 50, 1e-2
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    head = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+
+    def naive(x, h):
+        logits = x @ h.T
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        nll = lse - jnp.take_along_axis(logits, tgt[:, None], 1)[:, 0]
+        return jnp.mean(nll) + z * jnp.mean(lse * lse)
+
+    def fused(x, h):
+        nll, _, lse = fused_linear_cross_entropy(x, h, tgt, chunk=16,
+                                                 return_lse=True)
+        return jnp.mean(nll) + z * jnp.mean(lse * lse)
+
+    np.testing.assert_allclose(float(fused(x, head)),
+                               float(naive(x, head)), rtol=1e-6)
+    gx_f, gh_f = jax.grad(fused, argnums=(0, 1))(x, head)
+    gx_n, gh_n = jax.grad(naive, argnums=(0, 1))(x, head)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh_f), np.asarray(gh_n),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tinygpt_zloss_paths_agree_and_shrink_logits():
+    """TinyGPT.loss(z_loss=...) is identical on the naive and fused
+    paths, and a few z-regularized steps shrink mean logsumexp² vs
+    plain CE training (the regularizer does its job)."""
+    from taper_tpu import models, optim
+    from taper_tpu.data.seq import sort_task_batch
+
+    model = models.TinyGPT(vocab_size=12, dim=32, depth=1, num_heads=2,
+                           max_seq=16)
+    params = model.init(jax.random.PRNGKey(0))
+    toks, tgts, mask = sort_task_batch(jax.random.PRNGKey(1), 8, 7)
+
+    l1, _ = model.loss(params, toks, tgts, mask, chunk=0, z_loss=1e-2)
+    l2, _ = model.loss(params, toks, tgts, mask, chunk=5, z_loss=1e-2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    g1 = jax.grad(lambda p: model.loss(p, toks, tgts, mask, chunk=0,
+                                       z_loss=1e-2)[0])(params)
+    g2 = jax.grad(lambda p: model.loss(p, toks, tgts, mask, chunk=5,
+                                       z_loss=1e-2)[0])(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+    def train(z):
+        p = model.init(jax.random.PRNGKey(0))
+        opt = optim.Adam(3e-2)
+        s = opt.init(p)
+
+        @jax.jit
+        def step(p, s, key):
+            toks, tgts, mask = sort_task_batch(key, 16, 7)
+            g = jax.grad(lambda p: model.loss(p, toks, tgts, mask,
+                                              z_loss=z)[0])(p)
+            return opt.update(g, s, p)
+
+        key = jax.random.PRNGKey(2)
+        for _ in range(60):
+            key, k = jax.random.split(key)
+            p, s = step(p, s, k)
+        lse = jax.nn.logsumexp(model.apply(p, toks), axis=-1)
+        return float(jnp.mean(lse * lse))
+
+    assert train(1e-1) < train(0.0)
