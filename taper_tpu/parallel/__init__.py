@@ -22,12 +22,13 @@ __all__ += ["make_dp_train_step", "replicate_to_mesh",
             "expert_parallel_moe", "ulysses_attention"]
 
 from taper_tpu.parallel.pipeline import (  # noqa: E402
-    pipeline_apply, stack_layer_params, unstack_layer_params,
-    stage_sharding,
+    pipeline_apply, pipeline_apply_circular, stack_layer_params,
+    unstack_layer_params, stage_sharding,
 )
 
-__all__ += ["pipeline_apply", "stack_layer_params",
-            "unstack_layer_params", "stage_sharding"]
+__all__ += ["pipeline_apply", "pipeline_apply_circular",
+            "stack_layer_params", "unstack_layer_params",
+            "stage_sharding"]
 
 from taper_tpu.parallel.overlap import (  # noqa: E402
     allgather_matmul, matmul_reducescatter,

@@ -102,3 +102,100 @@ def pipeline_apply(mesh: Mesh, layer_fn, stacked_params, x_mb, *,
                        in_specs=(spec_p, P()), out_specs=P(),
                        check_vma=False)
     return fn(stacked_params, x_mb)
+
+
+def pipeline_apply_circular(mesh: Mesh, layer_fn, stacked_params, x_mb,
+                            *, repeats: int, axis: str = "model"):
+    """Circular (interleaved) pipeline schedule: each device holds
+    ``repeats`` round-robin layer spans instead of one contiguous span,
+    so the warm-up/drain bubble amortizes over ``repeats×`` more
+    schedule steps.
+
+    Layer assignment (R = ``repeats``, n = stages, L = depth/(R·n)):
+    global layers ``(r·n + s)·L .. +L`` run on stage ``s`` as its
+    repeat-``r`` span — a microbatch flows around the ring R times
+    (``ppermute`` wraps stage n−1 → 0), visiting the devices in order
+    ``0..n−1, 0..n−1, ...`` which is exactly the sequential stack.
+
+    Schedule: stage ``s`` at step ``t`` works stream position
+    ``u = t − s``, i.e. microbatch ``m = u mod M`` of repeat
+    ``r = u ÷ M``; total steps ``T = R·M + n − 1`` vs GPipe's
+    ``R·(M + n − 1)`` step-equivalents for the same layer count —
+    the bubble fraction drops from ``(n−1)/(M+n−1)`` to
+    ``(n−1)/(R·M+n−1)``, at the cost of R× more ppermute hops per
+    microbatch (the classic interleaved-schedule trade; profitable
+    when activations are small relative to ICI bandwidth).
+
+    Activations that wrap (leave stage n−1 before their last repeat)
+    wait in an ``[M, ...]`` buffer until their next-repeat slot comes
+    up, which is why ``n_micro ≥ n`` is required (with M < n the wrap
+    would arrive after its scheduled re-entry).  ``repeats=1``
+    degenerates to :func:`pipeline_apply`'s schedule.  Differentiable
+    end-to-end (the repeat-span select is a gather autodiff transposes
+    to a scatter-add).
+    """
+    n = int(mesh.shape[axis])
+    R = int(repeats)
+    M = x_mb.shape[0]
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert depth % (R * n) == 0, (depth, R, n)
+    assert M >= n, (f"circular schedule needs n_micro >= stages "
+                    f"(got {M} < {n})")
+    # [depth, ...] -> [R, n, L, ...]: repeat-major round-robin spans
+    grouped = jax.tree.map(
+        lambda a: a.reshape((R, n, depth // (R * n)) + a.shape[1:]),
+        stacked_params)
+
+    def local(params_local, x_mb):
+        s = jax.lax.axis_index(axis)
+        # ring WITH wraparound: stage n-1's output lands at stage 0
+        perm = [(d, (d + 1) % n) for d in range(n)]
+        pl = jax.tree.map(lambda a: a[:, 0], params_local)  # [R, L, ...]
+
+        def span(x, r):
+            lp = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, r, 0, keepdims=False), pl)
+            def body(h, one):
+                return layer_fn(one, h), None
+            return jax.lax.scan(body, x, lp)[0]
+
+        T = R * M + n - 1
+
+        def step(carry, t):
+            buf, wrap, outs = carry
+            u = t - s                       # this stage's stream pos
+            uc = jnp.clip(u, 0, R * M - 1)
+            r, m = uc // M, uc % M
+            # wrapped activations: what stage n-1 computed at t-1
+            # arrived in buf via the (n-1 -> 0) edge; park it in its
+            # microbatch slot until its next repeat is scheduled
+            u_prev = t - 1 - (n - 1)
+            upc = jnp.clip(u_prev, 0, R * M - 1)
+            wrote = (u_prev >= 0) & (upc // M < R - 1)
+            wrap = wrap.at[upc % M].set(
+                jnp.where(wrote & (s == 0), buf, wrap[upc % M]))
+            # stage 0 input: fresh injection on repeat 0, parked wrap
+            # after; other stages take the ring handoff
+            x0 = jnp.where(r == 0, x_mb[m], wrap[m])
+            x_in = jnp.where(s == 0, x0, buf)
+            y = span(x_in, r)
+            valid_out = (s == n - 1) & (u >= 0) & (r == R - 1)
+            outs = outs.at[m].set(jnp.where(valid_out, y, outs[m]))
+            buf = jax.lax.ppermute(y, axis, perm) if n > 1 else y
+            return (buf, wrap, outs), None
+
+        buf0 = jnp.zeros_like(x_mb[0])
+        carry0 = (buf0, jnp.zeros_like(x_mb), jnp.zeros_like(x_mb))
+        (buf, wrap, outs), _ = jax.lax.scan(step, carry0,
+                                            jnp.arange(T))
+        outs = jax.lax.psum(
+            jnp.where(s == n - 1, outs, jnp.zeros_like(outs)), axis)
+        return outs
+
+    spec_p = jax.tree.map(
+        lambda leaf: P(None, axis, *(None,) * (leaf.ndim - 2)), grouped)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(spec_p, P()), out_specs=P(),
+                       check_vma=False)
+    return fn(grouped, x_mb)

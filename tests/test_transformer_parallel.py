@@ -552,3 +552,80 @@ def test_tp_generate_moe_experts_sharded():
     ref = jax.jit(lambda p, q: model.generate(p, q, 8))(params, prompt)
     got = serving.tp_generate(mesh, model, params, prompt, 8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_circular_pipeline_matches_sequential_stack():
+    # interleaved schedule: 4 stages x 2 repeats over an 8-layer stack
+    from taper_tpu.nn.transformer import TransformerBlock
+    mesh = parallel.make_mesh(data=2, model=4)
+    depth, dim = 8, 32
+    blk = TransformerBlock(dim, num_heads=2, causal=True)
+    layer_params = [blk.init(k)
+                    for k in jax.random.split(jax.random.PRNGKey(0), depth)]
+    stacked = parallel.stack_layer_params(layer_params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, dim))
+
+    ref = x
+    for p in layer_params:
+        ref = blk.apply(p, ref)
+
+    x_mb = x.reshape(4, 2, 16, dim)        # M=4 microbatches (M >= n)
+    got = parallel.pipeline_apply_circular(mesh, blk.apply, stacked,
+                                           x_mb, repeats=2, axis="model")
+    np.testing.assert_allclose(np.asarray(got.reshape(8, 16, dim)),
+                               np.asarray(ref), atol=2e-5)
+
+    # repeats=1 degenerates to the GPipe schedule
+    got1 = parallel.pipeline_apply_circular(mesh, blk.apply, stacked,
+                                            x_mb, repeats=1, axis="model")
+    ref1 = parallel.pipeline_apply(mesh, blk.apply, stacked, x_mb,
+                                   axis="model")
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               atol=2e-5)
+
+
+def test_circular_pipeline_multilayer_spans_and_grads():
+    # depth 16 = 4 stages x 2 repeats x L=2 layers per span; grads of a
+    # loss through the circular schedule == sequential autodiff
+    from taper_tpu.nn.transformer import TransformerBlock
+    mesh = parallel.make_mesh(data=2, model=4)
+    depth, dim = 16, 16
+    blk = TransformerBlock(dim, num_heads=2, causal=True)
+    layer_params = [blk.init(k)
+                    for k in jax.random.split(jax.random.PRNGKey(0), depth)]
+    stacked = parallel.stack_layer_params(layer_params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, dim))
+    x_mb = x.reshape(4, 1, 8, dim)
+
+    def loss_pp(stacked):
+        y = parallel.pipeline_apply_circular(mesh, blk.apply, stacked,
+                                             x_mb, repeats=2)
+        return jnp.sum(y ** 2)
+
+    def loss_seq(stacked):
+        h = x
+        for i in range(depth):
+            p = jax.tree.map(lambda a, i=i: a[i], stacked)
+            h = blk.apply(p, h)
+        return jnp.sum(h ** 2)
+
+    np.testing.assert_allclose(float(loss_pp(stacked)),
+                               float(loss_seq(stacked)), rtol=1e-5)
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
+
+
+def test_circular_pipeline_rejects_too_few_microbatches():
+    from taper_tpu.nn.transformer import TransformerBlock
+    mesh = parallel.make_mesh(data=2, model=4)
+    blk = TransformerBlock(8, num_heads=2, causal=True)
+    stacked = parallel.stack_layer_params(
+        [blk.init(k) for k in jax.random.split(jax.random.PRNGKey(0), 8)])
+    x_mb = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 8, 8))
+    import pytest
+    with pytest.raises(AssertionError):
+        parallel.pipeline_apply_circular(mesh, blk.apply, stacked, x_mb,
+                                         repeats=2)
