@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 trunk (params/softmax/logits stay f32)")
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--z-loss", type=float, default=0.0,
+                    help="PaLM-style logit regularizer coefficient")
     ap.add_argument("--rope", action="store_true",
                     help="rotary position embeddings (drops the learned "
                          "position table)")
@@ -96,7 +98,7 @@ def main():
     def loss_fn(params, key):
         toks, tgts, mask = sort_task_batch(key, args.batch, args.length)
         logits = model.apply(params, toks)
-        return masked_token_loss(logits, tgts, mask)
+        return masked_token_loss(logits, tgts, mask, z_loss=args.z_loss)
 
     def train_chunk(params, opt_state, key, n):
         """n steps in one scanned program; returns last loss/acc."""
