@@ -36,6 +36,10 @@ from taper_tpu.parallel.overlap import (  # noqa: E402
 
 __all__ += ["allgather_matmul", "matmul_reducescatter"]
 
+from taper_tpu.parallel import multihost  # noqa: E402
+
+__all__ += ["multihost"]
+
 from taper_tpu.parallel.serving import (  # noqa: E402
     tp_sharding, tp_place, make_tp_generate, tp_generate,
 )

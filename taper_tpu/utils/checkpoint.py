@@ -274,8 +274,19 @@ def save_checkpoint_sharded(directory: str, tree: Any,
 
     ``manifest.json`` is committed atomically LAST, so a partial write
     is never loadable.
+
+    Multi-host correct: the manifest is built from the sharding's GLOBAL
+    index map (known on every process without touching data), each
+    process writes only the replica-0 shards it can address, shard
+    filenames are keyed by the shard's global offsets (deterministic
+    across processes), and only process 0 writes the manifest — behind
+    barriers so it lands after every host's shards and no host returns
+    before it exists.  At one process this reduces exactly to the
+    single-host behavior.
     """
     import concurrent.futures
+
+    from taper_tpu.parallel import multihost
 
     os.makedirs(directory, exist_ok=True)
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -284,34 +295,44 @@ def save_checkpoint_sharded(directory: str, tree: Any,
     for path, leaf in leaves:
         key = _leaf_key(path)
         arr = leaf
-        entry = {"shape": list(np.shape(arr)),
+        shape = tuple(np.shape(arr))
+        entry = {"shape": list(shape),
                  "dtype": str(getattr(arr, "dtype", None)
                               or np.asarray(arr).dtype),
                  "shards": []}
-        shards = (list(arr.addressable_shards)
-                  if isinstance(arr, jax.Array)
-                  and len(arr.sharding.device_set) > 1 else None)
-        if shards:
-            seen = set()
-            for shard in shards:
-                idx = tuple(
-                    (0 if s.start is None else int(s.start),
-                     dim if s.stop is None else int(s.stop))
-                    for s, dim in zip(shard.index, arr.shape))
-                if idx in seen:      # replicated copies: write once
-                    continue
-                seen.add(idx)
-                fname = f"{key}.shard{len(entry['shards'])}.npy"
-                entry["shards"].append({"file": fname,
+
+        def norm(ix):
+            return tuple((0 if s.start is None else int(s.start),
+                          dim if s.stop is None else int(s.stop))
+                         for s, dim in zip(ix, shape))
+
+        def shard_file(idx):
+            tag = "_".join(str(s) for s, _ in idx) or "0"
+            return f"{key}.shard{tag}.npy"
+
+        if isinstance(arr, jax.Array) and len(arr.sharding.device_set) > 1:
+            # global enumeration — every process computes the SAME list
+            idx_map = arr.sharding.devices_indices_map(shape)
+            for idx in sorted(set(norm(ix) for ix in idx_map.values())):
+                entry["shards"].append({"file": shard_file(idx),
                                         "index": [list(p) for p in idx]})
-                jobs.append((os.path.join(directory, fname),
-                             shard.data))
+            # write only what this process owns, one copy per index
+            for shard in arr.addressable_shards:
+                if shard.replica_id != 0:
+                    continue
+                jobs.append((os.path.join(
+                    directory, shard_file(norm(shard.index))), shard.data))
         else:
             fname = f"{key}.npy"
             entry["shards"].append({
                 "file": fname,
-                "index": [[0, d] for d in np.shape(arr)]})
-            jobs.append((os.path.join(directory, fname), arr))
+                "index": [[0, d] for d in shape]})
+            # host-replicated (non-jax) leaves: primary writes once;
+            # a single-device jax.Array: its owning process writes
+            owns = (arr.is_fully_addressable if isinstance(arr, jax.Array)
+                    else multihost.is_primary())
+            if owns:
+                jobs.append((os.path.join(directory, fname), arr))
         manifest["leaves"][key] = entry
 
     def write(job):
@@ -322,10 +343,13 @@ def save_checkpoint_sharded(directory: str, tree: Any,
     with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
         list(ex.map(write, jobs))
 
-    tmp = os.path.join(directory, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(directory, "manifest.json"))
+    multihost.sync("ckpt_shards_written")   # all hosts' shards on disk
+    if multihost.is_primary():
+        tmp = os.path.join(directory, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(directory, "manifest.json"))
+    multihost.sync("ckpt_manifest_written")  # nobody returns pre-manifest
 
 
 def load_checkpoint_sharded(directory: str, template: Any,
