@@ -13,13 +13,14 @@ __all__ = [
 from taper_tpu.parallel.spmd import (  # noqa: E402
     make_dp_train_step, replicate_to_mesh, shard_batch_to_mesh,
     sharded_attention, sequence_parallel_attention, ring_attention,
-    expert_parallel_moe, ulysses_attention,
+    expert_parallel_moe, ulysses_attention, vocab_parallel_cross_entropy,
 )
 
 __all__ += ["make_dp_train_step", "replicate_to_mesh",
             "shard_batch_to_mesh", "sharded_attention",
             "sequence_parallel_attention", "ring_attention",
-            "expert_parallel_moe", "ulysses_attention"]
+            "expert_parallel_moe", "ulysses_attention",
+            "vocab_parallel_cross_entropy"]
 
 from taper_tpu.parallel.pipeline import (  # noqa: E402
     pipeline_apply, pipeline_apply_circular, stack_layer_params,

@@ -258,3 +258,64 @@ def ulysses_attention(mesh: Mesh, q, k, v, *, causal=False, scale=None,
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)
+
+
+def vocab_parallel_cross_entropy(mesh: Mesh, logits, targets, *,
+                                 axis="model", valid=None):
+    """Cross-entropy over VOCAB-SHARDED logits — no logits all-gather.
+
+    With a Megatron column-parallel LM head (``parallel/serving.py``
+    shards the tied head over vocab), the natural training loss would
+    all-gather the ``[N, V]`` logits to every model shard before the
+    softmax — at production vocabs that single collective dwarfs the
+    loss math.  This computes mean NLL directly on the shards: each
+    device reduces its local ``[N, V/t]`` slab, then two scalar-per-row
+    collectives (``pmax`` for the stable max, ``psum`` for the exp-sum
+    and for the target logit, which lives on exactly one shard) produce
+    the exact same loss as the replicated softmax.  Communication is
+    ``O(N)`` instead of ``O(N·V)``.
+
+    ``logits``: ``[N, V]`` global, sharded over ``axis`` on the last
+    dim (pass the global array; ``shard_map`` hands each device its
+    slab).  ``targets``: ``[N]`` int, replicated.  ``valid``: optional
+    ``[N]`` bool/float mask — loss averages over valid rows only (the
+    padded-token idiom).  Differentiable: the backward is the usual
+    ``softmax − onehot``, computed shard-locally.
+
+    The reference has no distributed anything (SURVEY.md §2.9); this is
+    the TP counterpart of ``losses.cross_entropy_loss`` and composes
+    with ``losses.fused_linear_cross_entropy``'s role the way
+    Megatron-LM's vocab-parallel loss does with its fused head.
+    """
+    t = int(mesh.shape[axis])
+    n, v_total = logits.shape
+    assert v_total % t == 0, (logits.shape, t)
+    chunk = v_total // t
+
+    def local(lg, tgt, w):
+        idx = jax.lax.axis_index(axis)
+        # stable max over the full vocab.  NOT pmax: it has no JAX
+        # differentiation rule; all_gather of the [N] per-device maxima
+        # is O(N·t) bytes and transposes cleanly (the max's gradient
+        # contribution cancels in lse − tl anyway).
+        m = jnp.max(jax.lax.all_gather(jnp.max(lg, axis=-1), axis),
+                    axis=0)
+        se = jax.lax.psum(
+            jnp.sum(jnp.exp(lg - m[:, None]), axis=-1), axis)
+        lse = m + jnp.log(se)
+        # the target's logit lives on exactly one shard: gather it
+        # locally where in-range, zero elsewhere, and psum
+        loc = tgt - idx * chunk
+        in_range = (loc >= 0) & (loc < chunk)
+        safe = jnp.clip(loc, 0, chunk - 1)
+        tl = jnp.take_along_axis(lg, safe[:, None], axis=1)[:, 0]
+        tl = jax.lax.psum(jnp.where(in_range, tl, 0.0), axis)
+        return jnp.sum((lse - tl) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    w = (jnp.ones((n,), logits.dtype) if valid is None
+         else valid.astype(logits.dtype))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None), P(None)),
+        out_specs=P(), check_vma=False)
+    return fn(logits, targets, w)

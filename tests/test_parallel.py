@@ -293,3 +293,46 @@ def test_allgather_matmul_column_sharded_w():
     with pytest.raises(ValueError, match="divisible"):
         parallel.matmul_reducescatter(
             mesh, jnp.zeros((30, 16)), jnp.zeros((16, 8)), axis="model")
+
+
+def test_vocab_parallel_cross_entropy_matches_replicated():
+    """Value AND grad of the vocab-sharded loss == the replicated CE."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from taper_tpu import losses as L
+    mesh = parallel.make_mesh(data=2, model=4)
+    rng = np.random.default_rng(11)
+    n, v = 24, 32
+    logits = jnp.asarray(rng.normal(size=(n, v)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, v, size=(n,)))
+
+    ls = jax.device_put(logits, NamedSharding(mesh, P(None, "model")))
+    loss_fn = jax.jit(lambda lg: parallel.vocab_parallel_cross_entropy(
+        mesh, lg, targets))
+    got, got_g = jax.value_and_grad(loss_fn)(ls)
+    want, want_g = jax.value_and_grad(
+        lambda lg: L.cross_entropy_loss(lg, targets))(logits)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_vocab_parallel_cross_entropy_masked():
+    """`valid` mask averages over valid rows only — the padded-token
+    idiom — and masked rows get zero gradient."""
+    from taper_tpu import losses as L
+    mesh = parallel.make_mesh(data=1, model=8)
+    rng = np.random.default_rng(12)
+    n, v = 16, 64
+    logits = jnp.asarray(rng.normal(size=(n, v)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, v, size=(n,)))
+    valid = jnp.asarray(rng.integers(0, 2, size=(n,)) > 0)
+
+    got, g = jax.value_and_grad(
+        lambda lg: parallel.vocab_parallel_cross_entropy(
+            mesh, lg, targets, valid=valid))(logits)
+    keep = np.asarray(valid)
+    want = float(jnp.mean(jax.vmap(
+        lambda lg, t: L.cross_entropy_loss(lg[None], t[None]))(
+            logits, targets)[keep]))
+    np.testing.assert_allclose(float(got), want, rtol=1e-6)
+    assert np.all(np.asarray(g)[~keep] == 0.0)
