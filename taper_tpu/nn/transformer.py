@@ -192,13 +192,10 @@ class MultiHeadAttention(Module):
             off = 0 if positions is None else positions
             q = apply_rope(q, cos, sin, offset=off)
             k = apply_rope(k, cos, sin, offset=off)
-        if self.kv_groups > 1:
-            # training path: broadcast KV heads up to the Q heads (XLA
-            # fuses the repeat into the reads); the CACHE stays at
-            # num_kv_heads — the memory saving lands where it matters,
-            # in serving (see mha_apply_decode).
-            k = jnp.repeat(k, self.kv_groups, axis=1)
-            v = jnp.repeat(v, self.kv_groups, axis=1)
+        # GQA (kv_groups > 1) passes the COMPACT K/V straight through:
+        # the flash kernels read each kv head across its query group via
+        # index maps (no repeated-K/V materialization, residuals stay at
+        # num_kv_heads width) and the XLA oracle broadcasts internally.
         o = ops.attention(q, k, v, causal=self.causal,
                           window=self.window, segment_ids=segment_ids)
         o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
@@ -629,9 +626,8 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
     # matvecs differ in the last ulp).
     new_cache = _cache_write(cache, k, v, 0,
                              ring=cache["k"].shape[2] < mha.max_seq)
-    if mha.kv_groups > 1:
-        k = jnp.repeat(k, mha.kv_groups, axis=1)
-        v = jnp.repeat(v, mha.kv_groups, axis=1)
+    # GQA: compact K/V go straight through (the flash kernels read them
+    # natively; the XLA oracle broadcasts internally)
     o = ops.attention(q, k, v, causal=True, window=mha.window)
     o2 = o.transpose(0, 2, 1, 3).reshape(b * s, e)
     y = _proj(o2, params["wo"], params.get("bo"))

@@ -741,6 +741,14 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         f"flash_attention needs lane-aligned sequence lengths "
         f"(multiples of 128); got Sq={sq}, Sk={sk} — use ops.attention, "
         f"which falls back to the XLA oracle for these shapes")
+    # GQA/MQA: fewer K/V heads than Q heads, read NATIVELY — the KV
+    # BlockSpec index maps divide the fused (b·h) grid coordinate by the
+    # group size (q heads kvh·g..kvh·g+g−1 share kv head kvh), so the
+    # compact K/V are never materialized at q-head width in HBM (the
+    # jnp.repeat the module layer used to do).
+    hkv = k.shape[1]
+    assert h % hkv == 0 and v.shape[1] == hkv, (q.shape, k.shape, v.shape)
+    kvg = h // hkv
     bq, bk = _blocks(sq, sk, window,
                      bf16_inputs=q.dtype == jnp.bfloat16)
     assert bk % bq == 0, (
@@ -749,8 +757,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     nq, nk = sq // bq, sk // bk
     bh = b * h
     q3 = q.reshape(bh, sq, d)
-    k3 = k.reshape(bh, sk, d)
-    v3 = v.reshape(bh, sk, d)
+    k3 = k.reshape(b * hkv, sk, d)
+    v3 = v.reshape(b * hkv, sk, d)
 
     # banded GRIDS assume causal geometry (no future blocks); a
     # non-causal window keeps the full sweep with clipped fetches.
@@ -762,7 +770,7 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         tri = _tri_counts_fwd(nq, bk // bq)
         steps = sum(tri)
         q_idx = lambda g, i, t: (g, _tri_unrank(t, tri)[0], 0)
-        kv_idx = lambda g, i, t: (g, _tri_unrank(t, tri)[1], 0)
+        kv_idx = lambda g, i, t: (g // kvg, _tri_unrank(t, tri)[1], 0)
         lse_idx = lambda g, i, t: (g, 0, _tri_unrank(t, tri)[0])
         grid = (bh, 1, steps)
     elif grid_banded:
@@ -770,14 +778,14 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         steps = min(_nkb(bq, bk, window), nk)
         start = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
                                   window=window, steps=steps)
-        kv_idx = lambda g, i, j: (g, start(i) + j, 0)
+        kv_idx = lambda g, i, j: (g // kvg, start(i) + j, 0)
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
-        kv_idx = lambda g, i, j: (g, kvmap(i, j), 0)
+        kv_idx = lambda g, i, j: (g // kvg, kvmap(i, j), 0)
         steps = nk
     else:
-        kv_idx = lambda g, i, j: (g, j, 0)
+        kv_idx = lambda g, i, j: (g // kvg, j, 0)
         steps = nk
     if tri is None:
         q_idx = lambda g, i, j: (g, i, 0)
@@ -799,7 +807,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     in_specs = [_SMEM_SPEC, q_spec, kv_spec, kv_spec]
     args = [off, q3, k3, v3]
     if seg is not None:
-        in_specs += [_seg_spec(q_spec, bq, h), _seg_spec(kv_spec, bk, h)]
+        # the kv spec's rows run over b·hkv, so its batch divisor is hkv
+        in_specs += [_seg_spec(q_spec, bq, h), _seg_spec(kv_spec, bk, hkv)]
         args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     o3, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
@@ -838,6 +847,13 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     # (banded grids need statically-zero offsets; guaranteed by callers)
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    # GQA (see _flash_fwd): K/V are read compactly via g//kvg index
+    # maps; dK/dV are produced at q-head width (each q head of a group
+    # contributes an independent partial) and group-summed after the
+    # kernel — the same reduction jnp.repeat's VJP would do, without
+    # ever materializing repeated K/V on the forward side.
+    hkv = k.shape[1]
+    kvg = h // hkv
     bq, bk = _blocks_bwd(sq, sk, window,
                          bf16_inputs=q.dtype == jnp.bfloat16)
     nq, nk = sq // bq, sk // bk
@@ -851,7 +867,9 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             dlse.reshape(bh, 1, sq).astype(jnp.float32), (bh, 8, sq))
     else:
         dl_in = jnp.zeros((bh, 8, sq), jnp.float32)
-    q3, k3, v3 = (t.reshape(bh, -1, d) for t in (q, k, v))
+    q3 = q.reshape(bh, sq, d)
+    k3 = k.reshape(b * hkv, sk, d)
+    v3 = v.reshape(b * hkv, sk, d)
     do3 = do.reshape(bh, sq, d)
     o3 = o.reshape(bh, sq, d)
 
@@ -868,22 +886,24 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         row = lambda t: _tri_unrank(t, tri_q)[0]
         loc = lambda t: _tri_unrank(t, tri_q)[1]
         spec_q = pl.BlockSpec((1, bq, d), lambda g, i, t: (g, row(t), 0))
-        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, t: (g, loc(t), 0))
+        spec_k = pl.BlockSpec((1, bk, d),
+                              lambda g, i, t: (g // kvg, loc(t), 0))
         kv_steps = sum(tri_q)
     elif grid_banded:
         kv_steps = min(_nkb(bq, bk, window), nk)
         kstart = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
                                    window=window, steps=kv_steps)
         spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, j: (g, kstart(i) + j, 0))
+                              lambda g, i, j: (g // kvg, kstart(i) + j, 0))
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
         spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, j: (g, kvmap(i, j), 0))
+                              lambda g, i, j: (g // kvg, kvmap(i, j), 0))
         kv_steps = nk
     else:
-        spec_k = pl.BlockSpec((1, bk, d), lambda g, i, j: (g, j, 0))
+        spec_k = pl.BlockSpec((1, bk, d),
+                              lambda g, i, j: (g // kvg, j, 0))
         kv_steps = nk
     if tri_q is not None:
         spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, t: (g, 0, row(t)))
@@ -906,7 +926,8 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
                    spec_r, spec_r]
     dq_args = [off, q3, k3, v3, o3, do3, lse, dl_in]
     if seg is not None:
-        dq_in_specs += [_seg_spec(spec_q, bq, h), _seg_spec(spec_k, bk, h)]
+        dq_in_specs += [_seg_spec(spec_q, bq, h),
+                        _seg_spec(spec_k, bk, hkv)]
         dq_args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     dq, delta = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
@@ -962,9 +983,13 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         q_steps = nq
     if tri_k is not None:
         spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, t: (g, krow(t), 0))
+        spec_k_in = pl.BlockSpec((1, bk, d),
+                                 lambda g, j, t: (g // kvg, krow(t), 0))
         dkv_grid = (bh, 1, q_steps)
     else:
         spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+        spec_k_in = pl.BlockSpec((1, bk, d),
+                                 lambda g, j, i: (g // kvg, j, 0))
         dkv_grid = (bh, nk, q_steps)
     # the transposed experiment kernel has no triangular-grid or
     # segment support
@@ -973,12 +998,12 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     dkv_kwargs = ({} if dkv is _dkv_kernel_t
                   else {"tri": tri_k, "chunk": chunk,
                         "has_seg": seg is not None})
-    dkv_in_specs = [_SMEM_SPEC, spec_q_t, spec_k_t, spec_k_t, spec_q_t,
+    dkv_in_specs = [_SMEM_SPEC, spec_q_t, spec_k_in, spec_k_in, spec_q_t,
                     spec_r_t, spec_r_t]
     dkv_args = [off, q3, k3, v3, do3, lse, delta]
     if seg is not None:
         dkv_in_specs += [_seg_spec(spec_q_t, bq, h),
-                         _seg_spec(spec_k_t, bk, h)]
+                         _seg_spec(spec_k_in, bk, hkv)]
         dkv_args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
     dk, dv = pl.pallas_call(
         functools.partial(dkv, scale=scale, causal=causal,
@@ -1003,8 +1028,16 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         interpret=_backend.pallas_interpret_mode(),
     )(*dkv_args)
 
+    if kvg > 1:
+        # group-sum the per-q-head dK/dV partials (f32 accumulation —
+        # cheaper error than chaining kvg−1 bf16 adds)
+        dk = dk.reshape(b, hkv, kvg, sk, d).astype(jnp.float32).sum(2)
+        dv = dv.reshape(b, hkv, kvg, sk, d).astype(jnp.float32).sum(2)
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
     shp = (b, h, sq, d)
-    return dq.reshape(shp), dk.reshape(b, h, sk, d), dv.reshape(b, h, sk, d)
+    return (dq.reshape(shp), dk.reshape(b, hkv, sk, d),
+            dv.reshape(b, hkv, sk, d))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -1087,7 +1120,11 @@ def _off_pair(q_offset, k_offset):
 
 def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
                     k_offset=None, window=None, segment_ids=None):
-    """Flash scaled-dot-product attention; ``q, k, v``: [B, H, S, D].
+    """Flash scaled-dot-product attention; ``q``: [B, H, S, D];
+    ``k, v``: [B, Hkv, S, D] with H % Hkv == 0 (GQA/MQA read natively —
+    the kernels' KV index maps share each compact head across its query
+    group, so the repeated K/V are never materialized in HBM and the
+    saved residuals stay at Hkv width).
 
     ``q_offset``/``k_offset`` (traced scalars ok) are the global
     positions of this Q shard's first row / K chunk's first column —
@@ -1152,7 +1189,9 @@ def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,
 def attention(q, k, v, *, causal=False, scale=None, window=None,
               segment_ids=None):
     """Backend entry: flash kernel when shapes qualify, XLA oracle
-    otherwise.  ``window=W`` bounds how far BACK a row attends (blocks
+    otherwise.  K/V may carry fewer heads than Q (GQA/MQA,
+    H % Hkv == 0): the flash kernels read the compact heads natively;
+    the oracle broadcasts them.  ``window=W`` bounds how far BACK a row attends (blocks
     fully behind the window are skipped, so compute scales O(S·W)
     instead of O(S²)); combine with ``causal=True`` for the usual
     sliding-window "last W positions" semantics — without causal, future

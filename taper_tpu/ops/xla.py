@@ -189,6 +189,12 @@ def attention(q, k, v, *, causal=False, scale=None, window=None,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if k.shape[1] != q.shape[1]:
+        # GQA/MQA: broadcast the compact K/V heads up to the Q heads
+        # (the flash kernel reads them natively; the oracle materializes)
+        g = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal or window is not None:

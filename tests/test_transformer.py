@@ -117,6 +117,81 @@ def test_attention_dispatch_falls_back_for_unaligned_seq():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+def _gqa_qkv(key, b, hq, hkv, s, d):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (jax.random.normal(kq, (b, hq, s, d)),
+            jax.random.normal(kk, (b, hkv, s, d)),
+            jax.random.normal(kv, (b, hkv, s, d)))
+
+
+@pytest.mark.parametrize("causal,hkv", [(False, 2), (True, 2), (True, 1)])
+def test_flash_gqa_native_matches_oracle(causal, hkv):
+    # GQA/MQA: compact K/V heads read natively by the kernels' index
+    # maps (never materialized at q-head width); oracle broadcasts.
+    q, k, v = _gqa_qkv(jax.random.PRNGKey(11), 2, 4, hkv, 256, 32)
+    ref = X.attention(q, k, v, causal=causal)
+    got = A.flash_attention(q, k, v, causal)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flash_gqa_grads_match_repeat_path(monkeypatch):
+    # grads vs the explicit-repeat formulation through the SAME kernel:
+    # dK/dV must equal the repeat-VJP's group sum.  Multi-block so the
+    # g//kvg index maps are exercised across KV revisits.
+    monkeypatch.setattr(A, "_blocks",
+                        lambda sq, sk, window=None, **kw: (128, 128))
+    monkeypatch.setattr(A, "_blocks_bwd",
+                        lambda sq, sk, window=None, **kw: (128, 128))
+    b, hq, hkv, s, d = 1, 4, 2, 384, 16
+    q, k, v = _gqa_qkv(jax.random.PRNGKey(12), b, hq, hkv, s, d)
+    kr = jnp.repeat(k, hq // hkv, axis=1)
+    vr = jnp.repeat(v, hq // hkv, axis=1)
+
+    def f(att):
+        return lambda q, k, v: jnp.sum(jnp.sin(att(q, k, v)))
+
+    g1 = jax.grad(f(lambda q, k, v: A.flash_attention(q, k, v, True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f(lambda q, k, v: A.flash_attention(q, k, v, True)),
+                  argnums=(0, 1, 2))(q, kr, vr)
+    assert g1[1].shape == (b, hkv, s, d)
+    np.testing.assert_allclose(g1[0], g2[0], atol=1e-6)
+    np.testing.assert_allclose(
+        g1[1], g2[1].reshape(b, hkv, hq // hkv, s, d).sum(2), atol=1e-5)
+    np.testing.assert_allclose(
+        g1[2], g2[2].reshape(b, hkv, hq // hkv, s, d).sum(2), atol=1e-5)
+    # and against the oracle
+    gr = jax.grad(f(lambda q, k, v: X.attention(q, k, v, causal=True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(gr, g1):
+        np.testing.assert_allclose(bb, a, atol=5e-5)
+
+
+@pytest.mark.parametrize("mode", ["window", "segments"])
+def test_flash_gqa_masked_variants(mode):
+    q, k, v = _gqa_qkv(jax.random.PRNGKey(13), 2, 4, 2, 256, 32)
+    kw = (dict(window=100) if mode == "window"
+          else dict(segment_ids=jnp.concatenate(
+              [jnp.zeros((2, 128), jnp.int32),
+               jnp.ones((2, 128), jnp.int32)], axis=1)))
+    ref = X.attention(q, k, v, causal=True, **kw)
+    got = A.flash_attention(q, k, v, True, **kw)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_mha_gqa_module_end_to_end():
+    # the module layer passes compact K/V straight through (no repeat)
+    mha = nn.MultiHeadAttention(dim=32, num_heads=4, num_kv_heads=2,
+                                causal=True, max_seq=128, rope=True)
+    p = mha.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 32))
+    y = mha.apply(p, x)
+    assert y.shape == (2, 128, 32)
+    g = jax.grad(lambda p: jnp.sum(mha.apply(p, x) ** 2))(p)
+    assert g["wk"].shape == p["wk"].shape
+    assert float(jnp.abs(g["wk"]).max()) > 0
+
+
 def test_layernorm_statistics_and_affine():
     ln = nn.LayerNorm(64)
     p = ln.init(jax.random.PRNGKey(0))
