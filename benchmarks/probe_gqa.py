@@ -62,13 +62,20 @@ def main(b=4, hq=16, hkv=4, s=2048, d=128, dtype=jnp.bfloat16):
     ], scale=4 * b * hq * s * s * d / 2 / 1e12,
         unit="TFLOP/s(eff)")
 
-    # fwd+bwd: chain on q via dq
+    # fwd+bwd: chain on q via dq AND fold dk/dv into the carry — grad
+    # w.r.t. q only would let jit dead-code-eliminate the dK/dV kernel,
+    # the GQA group-sum, and the repeat contender's repeat-VJP, turning
+    # this into a fwd+dQ race with a misleading label.
     def fb(f):
         def step(c, k, v):
-            dq = jax.grad(
-                lambda q: jnp.sum(f(q, k, v).astype(jnp.float32) ** 2)
-            )(c)
-            return (c + 0.01 * dq.astype(c.dtype)).astype(c.dtype)
+            dq, dk, dv = jax.grad(
+                lambda q, k, v: jnp.sum(
+                    f(q, k, v).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2))(c, k, v)
+            mix = (jnp.sum(dk.astype(jnp.float32))
+                   + jnp.sum(dv.astype(jnp.float32)))
+            return (c + 0.01 * dq.astype(c.dtype)
+                    + (0.0 * mix).astype(c.dtype)).astype(c.dtype)
         return step
 
     print("forward+backward(dq,dk,dv):")

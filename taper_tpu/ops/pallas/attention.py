@@ -54,6 +54,23 @@ from taper_tpu.ops import backend as _backend
 
 _NEG_INF = float("-inf")
 
+# exp→exp2 trick (flash-attention-3 / splash style): the VPU's exp is
+# exp2 plus a multiply by log2(e), so computing softmax in base 2 with
+# log2(e) folded into the Q tile's scale saves one VPU op per score
+# element.  All running maxima are then BASE-2 logits; the exported lse
+# converts back with ln 2 at the (bq)-sized finalize.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _q_scaled(q_ref, scale, lowp):
+    """Load the (bq, d) Q tile with the softmax scale (and the exp2
+    log2(e) factor) pre-folded — one VPU multiply per head-dim column
+    instead of per score column (bk/d ≈ 32× fewer).  Scaled in f32,
+    then cast to the dot input dtype."""
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    return q.astype(jnp.bfloat16) if lowp else q
+
 
 def _dot_bf16_default() -> bool:
     """f32 inputs run their MXU dots as single-pass bf16 unless
@@ -223,12 +240,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    def body():
-        q = _dot_in(q_ref[0], lowp)
+    def body(masked=True):
+        # scores are BASE-2 logits: scale·log2(e) is pre-folded into the
+        # (bq, d) q tile (see _q_scaled) and the softmax runs on exp2 —
+        # two fewer VPU ops per (bq, bk) score element.
+        q = _q_scaled(q_ref, scale, lowp)
         s = jax.lax.dot_general(
             q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if causal or window is not None:
+            preferred_element_type=jnp.float32)
+        if masked and (causal or window is not None):
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         if has_seg:
             # packed sequences: rows attend only their own segment
@@ -240,8 +260,8 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
         # chunk) keep m_new = -inf; exp against a finite stand-in keeps
         # p = corr = 0 instead of NaN.
         m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        p = jnp.exp(s - m_safe)
-        corr = jnp.exp(m_prev - m_safe)
+        p = jnp.exp2(s - m_safe)
+        corr = jnp.exp2(m_prev - m_safe)
         l_sc[:] = jnp.broadcast_to(
             l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
             l_sc.shape)
@@ -259,7 +279,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
         # nor exp (at (512, 2048) tiles the full-tile diagonal wastes
         # ~44% of its units; chunks of width bq align exactly with the
         # bound, so only the last running chunk is triangle-masked).
-        q = _dot_in(q_ref[0], lowp)
+        q = _q_scaled(q_ref, scale, lowp)
         row_max = off + iq * bq + bq - 1
         for c in range(bk // chunk):
             @pl.when(koff + ik * bk + c * chunk <= row_max)
@@ -268,15 +288,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
                 s = jax.lax.dot_general(
                     q, _dot_in(k_ref[0, sl, :], lowp),
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
                 s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
                           causal, window)
                 m_prev = m_sc[:, :1]
                 m_new = jnp.maximum(m_prev,
                                     jnp.max(s, axis=1, keepdims=True))
                 m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-                p = jnp.exp(s - m_safe)
-                corr = jnp.exp(m_prev - m_safe)
+                p = jnp.exp2(s - m_safe)
+                corr = jnp.exp2(m_prev - m_safe)
                 l_sc[:] = jnp.broadcast_to(
                     l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True),
                     l_sc.shape)
@@ -299,7 +319,14 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
     if tri is not None and chunk is not None and chunk < bk:
         # only the last (diagonal) step pays the chunked bookkeeping
         pl.when(last)(body_chunked)
-        pl.when(jnp.logical_not(last))(body)
+        pl.when(jnp.logical_not(last))(lambda: body(False))
+    elif tri is not None:
+        # triangular grid: only the LAST (diagonal-containing) tile has
+        # masked positions — bk % bq == 0 makes every earlier tile
+        # strictly sub-diagonal (max col = ik·bk+bk−1 < iq·bq = min
+        # row), so those skip the iota/compare/select mask entirely.
+        pl.when(last)(lambda: body(True))
+        pl.when(jnp.logical_not(last))(lambda: body(False))
     elif run is True:
         body()
     else:
@@ -313,8 +340,10 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
                              0.0).astype(o_ref.dtype)
         # lse rows are replicated over 8 sublanes: Mosaic requires output
         # block sublane dims divisible by 8, and (1, bq) blocks are not.
+        # m is a BASE-2 running max (exp2 softmax) — ln 2 converts the
+        # exported lse back to natural log (the API/ring-merge unit).
         lse_ref[0] = jnp.broadcast_to(
-            jnp.where(l > 0, m_sc[:, :1] + jnp.log(safe),
+            jnp.where(l > 0, m_sc[:, :1] * _LN2 + jnp.log(safe),
                       _NEG_INF)[:, 0][None, :], lse_ref.shape[1:])
 
 
@@ -355,13 +384,16 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         delta_ref[0] = jnp.broadcast_to(drow[None, :],
                                         delta_ref.shape[1:])
 
-    def body():
-        q = _dot_in(q_ref[0], lowp)
+    def body(masked=True):
+        # base-2 logits (scale·log2 e folded into q — see _q_scaled);
+        # the ds·scale multiply is deferred to one (bq, d) multiply at
+        # the finalize instead of a (bq, bk) multiply per tile.
+        q = _q_scaled(q_ref, scale, lowp)
         k = _dot_in(k_ref[0], lowp)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if causal or window is not None:
+            preferred_element_type=jnp.float32)
+        if masked and (causal or window is not None):
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         if has_seg:
             same = (sq_ref[0, 0, :][:, None] == sk_ref[0, 0, :][None, :])
@@ -371,13 +403,13 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         # finite stand-in makes p = exp(-inf - 0) = 0 for those rows
         # (mirrors the forward's m_safe guard).
         lse_row = lse_ref[0, 0, :]
-        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
-        p = jnp.exp(s - lse_safe[:, None])
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
+        p = jnp.exp2(s - lse2[:, None])
         dp = jax.lax.dot_general(
             _dot_in(do_ref[0], lowp), _dot_in(v_ref[0], lowp),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - dl_sc[:, :1]) * scale
+        ds = p * (dp - dl_sc[:, :1])
         dq_sc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -386,10 +418,10 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         # diagonal tile, chunk-skipped (see _fwd_kernel.body_chunked);
         # no online-softmax coupling here — lse is saved, so chunks are
         # independent accumulations into dq_sc.
-        q = _dot_in(q_ref[0], lowp)
+        q = _q_scaled(q_ref, scale, lowp)
         do = _dot_in(do_ref[0], lowp)
         lse_row = lse_ref[0, 0, :]
-        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
         row_max = off + iq * bq + bq - 1
         for c in range(bk // chunk):
             @pl.when(koff + ik * bk + c * chunk <= row_max)
@@ -398,15 +430,15 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 k_c = _dot_in(k_ref[0, sl, :], lowp)
                 s = jax.lax.dot_general(
                     q, k_c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
                 s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
                           causal, window)
-                p = jnp.exp(s - lse_safe[:, None])
+                p = jnp.exp2(s - lse2[:, None])
                 dp = jax.lax.dot_general(
                     do, _dot_in(v_ref[0, sl, :], lowp),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                ds = p * (dp - dl_sc[:, :1]) * scale
+                ds = p * (dp - dl_sc[:, :1])
                 dq_sc[:] += jax.lax.dot_general(
                     ds.astype(k_c.dtype), k_c, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -422,7 +454,12 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             run = in_win if run is True else run & in_win
     if tri is not None and chunk is not None and chunk < bk:
         pl.when(last)(body_chunked)
-        pl.when(jnp.logical_not(last))(body)
+        pl.when(jnp.logical_not(last))(lambda: body(False))
+    elif tri is not None:
+        # mask-free fast path for strictly sub-diagonal tiles (see
+        # _fwd_kernel's dispatch comment)
+        pl.when(last)(lambda: body(True))
+        pl.when(jnp.logical_not(last))(lambda: body(False))
     elif run is True:
         body()
     else:
@@ -430,7 +467,8 @@ def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
     @pl.when(last)
     def _fin():
-        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+        # the deferred ds·scale (see body): one multiply on (bq, d)
+        dq_ref[0] = (dq_sc[:] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
@@ -458,12 +496,12 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
     def body():
-        q = _dot_in(q_ref[0], lowp)
+        q = _q_scaled(q_ref, scale, lowp)
         k = _dot_in(k_ref[0], lowp)
         do = _dot_in(do_ref[0], lowp)
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (bk, bq)
+            preferred_element_type=jnp.float32)           # (bk, bq)
         if causal or window is not None:
             # transposed tile: axis 0 = kv cols, axis 1 = q rows
             kcols = koff + ik * bk + jax.lax.broadcasted_iota(
@@ -477,15 +515,15 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 ok &= kcols > qrows - window
             st = jnp.where(ok, st, _NEG_INF)
         lse_row = lse_ref[0, 0, :]
-        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
-        pt = jnp.exp(st - lse_safe[None, :])
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
+        pt = jnp.exp2(st - lse2[None, :])
         dv_sc[:] += jax.lax.dot_general(
             pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(
             _dot_in(v_ref[0], lowp), do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dst = pt * (dpt - dl_ref[0, 0, :][None, :]) * scale
+        dst = pt * (dpt - dl_ref[0, 0, :][None, :])
         dk_sc[:] += jax.lax.dot_general(
             dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -504,7 +542,8 @@ def _dkv_kernel_t(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
     @pl.when(pl.program_id(2) == nsteps - 1)
     def _fin():
-        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        # ln 2 recovers ds·scale·q from the scaled-q accumulation
+        dk_ref[0] = (dk_sc[:] * _LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
@@ -529,6 +568,10 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         # q blocks ending before this k block's last column leave the
         # tile's right side fully masked — the chunk-skip targets
         partial = loc < (bk // bq) - 1
+        # tiles past the diagonal span (loc ≥ bk/bq) are FULL — every
+        # row of the q block sees every column of this k block, so the
+        # causal mask is the identity there and is skipped entirely.
+        diag = loc < (bk // bq)
     else:
         ik, iq = pl.program_id(1), pl.program_id(2)
         first = pl.program_id(2) == 0
@@ -546,22 +589,26 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dk_sc[:] = jnp.zeros_like(dk_sc)
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
-    def body():
-        q = _dot_in(q_ref[0], lowp)
+    def body(masked=True):
+        # base-2 logits from the pre-scaled q (see _q_scaled).  dK is
+        # accumulated against the SCALED q, so the finalize multiplies
+        # by ln 2 (= scale/(scale·log2 e)) to recover ds·scale·q — no
+        # per-tile (bq, bk) scale multiply anywhere.
+        q = _q_scaled(q_ref, scale, lowp)
         k = _dot_in(k_ref[0], lowp)
         do = _dot_in(do_ref[0], lowp)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if causal or window is not None:
+            preferred_element_type=jnp.float32)
+        if masked and (causal or window is not None):
             s = _mask(s, iq, ik, bq, bk, off, koff, causal, window)
         if has_seg:
             same = (sq_ref[0, 0, :][:, None] == sk_ref[0, 0, :][None, :])
             s = jnp.where(same, s, _NEG_INF)
         # same -inf lse guard as _dq_kernel (fully-masked rows)
         lse_row = lse_ref[0, 0, :]
-        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
-        p = jnp.exp(s - lse_safe[:, None])
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
+        p = jnp.exp2(s - lse2[:, None])
         pv = p.astype(do.dtype)
         dv_sc[:] += jax.lax.dot_general(
             pv, do, (((0,), (0,)), ((), ())),
@@ -569,7 +616,7 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dp = jax.lax.dot_general(
             do, _dot_in(v_ref[0], lowp), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - dl_ref[0, 0, :][:, None]) * scale
+        ds = p * (dp - dl_ref[0, 0, :][:, None])
         dk_sc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -578,10 +625,10 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         # partial tile: chunk the KV (column) axis and skip chunks past
         # the q block's last row (see _fwd_kernel.body_chunked); each
         # chunk accumulates into its slice of the dk/dv scratch.
-        q = _dot_in(q_ref[0], lowp)
+        q = _q_scaled(q_ref, scale, lowp)
         do = _dot_in(do_ref[0], lowp)
         lse_row = lse_ref[0, 0, :]
-        lse_safe = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0)
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
         dl_row = dl_ref[0, 0, :]
         row_max = off + iq * bq + bq - 1
         for c in range(bk // chunk):
@@ -591,10 +638,10 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                 s = jax.lax.dot_general(
                     q, _dot_in(k_ref[0, sl, :], lowp),
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
                 s = _mask(s, iq, ik, bq, bk, off, koff + c * chunk,
                           causal, window)
-                p = jnp.exp(s - lse_safe[:, None])
+                p = jnp.exp2(s - lse2[:, None])
                 pv = p.astype(do.dtype)
                 dv_sc[sl, :] += jax.lax.dot_general(
                     pv, do, (((0,), (0,)), ((), ())),
@@ -603,7 +650,7 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                     do, _dot_in(v_ref[0, sl, :], lowp),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                ds = p * (dp - dl_row[:, None]) * scale
+                ds = p * (dp - dl_row[:, None])
                 dk_sc[sl, :] += jax.lax.dot_general(
                     ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -621,6 +668,11 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
             and partial is not None):
         pl.when(partial)(body_chunked)
         pl.when(jnp.logical_not(partial))(body)
+    elif tri is not None:
+        # mask only diagonal-straddling tiles (loc < bk/bq); the rest
+        # of each k block's q span is strictly below the diagonal
+        pl.when(diag)(lambda: body(True))
+        pl.when(jnp.logical_not(diag))(lambda: body(False))
     elif run is True:
         body()
     else:
@@ -628,7 +680,9 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 
     @pl.when(last)
     def _fin():
-        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        # ln 2 recovers ds·scale·q from the scaled-q accumulation (see
+        # body); dV is scale-free.
+        dk_ref[0] = (dk_sc[:] * _LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
@@ -835,7 +889,9 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d // (2 if causal else 1),
-            bytes_accessed=q.dtype.itemsize * bh * (sq + 2 * sk + sq) * d,
+            # K/V are read at their compact Hkv width under GQA
+            bytes_accessed=q.dtype.itemsize
+            * (bh * 2 * sq + b * hkv * 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
     )(*args)
@@ -948,7 +1004,8 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * sq * sk * d // (2 if causal else 1),
-            bytes_accessed=q.dtype.itemsize * bh * (3 * sq + 2 * sk) * d,
+            bytes_accessed=q.dtype.itemsize
+            * (bh * 3 * sq + b * hkv * 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
     )(*dq_args)
@@ -1023,7 +1080,8 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * sq * sk * d // (2 if causal else 1),
-            bytes_accessed=q.dtype.itemsize * bh * (2 * sq + 4 * sk) * d,
+            bytes_accessed=q.dtype.itemsize
+            * (bh * (2 * sq + 2 * sk) + b * hkv * 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
     )(*dkv_args)

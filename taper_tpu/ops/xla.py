@@ -192,6 +192,9 @@ def attention(q, k, v, *, causal=False, scale=None, window=None,
     if k.shape[1] != q.shape[1]:
         # GQA/MQA: broadcast the compact K/V heads up to the Q heads
         # (the flash kernel reads them natively; the oracle materializes)
+        assert q.shape[1] % k.shape[1] == 0, (
+            f"GQA needs H % Hkv == 0; got H={q.shape[1]}, "
+            f"Hkv={k.shape[1]}")
         g = q.shape[1] // k.shape[1]
         k = jnp.repeat(k, g, axis=1)
         v = jnp.repeat(v, g, axis=1)
