@@ -31,13 +31,16 @@ from taper_tpu.quantization.config import (
 )
 
 # NormalFloat4 codebook: 16 quantiles of N(0,1) normalized to [-1, 1].
-NF4_CODE = jnp.asarray([
+# numpy (not jnp) on purpose: a module-level jnp.asarray initializes the
+# XLA backend at import, which breaks pod programs that must call
+# jax.distributed.initialize() before any backend touch.
+NF4_CODE = np.asarray([
     -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
     0.7229568362236023, 1.0,
-], dtype=jnp.float32)
+], dtype=np.float32)
 
 NF4_BLOCK = 64
 
@@ -200,7 +203,7 @@ def dequantize(qt: QuantizedTensor) -> jnp.ndarray:
     if t == QuantizationType.NF4:
         n = int(np.prod(qt.shape))
         idx = _unpack_nibbles(qt.values, -(-n // NF4_BLOCK) * NF4_BLOCK)
-        vals = NF4_CODE[idx].reshape(-1, NF4_BLOCK) * qt.scale[:, None]
+        vals = jnp.asarray(NF4_CODE)[idx].reshape(-1, NF4_BLOCK) * qt.scale[:, None]
         return vals.reshape(-1)[:n].reshape(qt.shape)
 
     raise ValueError(f"unsupported qtype {t}")
