@@ -347,6 +347,115 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
                       _NEG_INF)[:, 0][None, :], lse_ref.shape[1:])
 
 
+def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
+                      lse_ref, m_sc, acc_sc, *, scale, bq, bk,
+                      tri, lowp, kvg):
+    """Bound-max causal forward (the VPU-diet fast path) with an
+    in-kernel per-q-block exact-max fallback.
+
+    Softmax is shift-invariant: any upper bound b ≥ max(s) yields the
+    exact acc/l ratio (numerator and denominator both carry 2^(m−b),
+    which cancels in the finalize divide).  Using the per-row
+    Cauchy–Schwarz bound ``b = ‖q̂_row‖₂ · max‖k‖₂`` instead of the
+    running max deletes, per score element, the max-reduce pass AND all
+    cross-tile corr bookkeeping (no corr exp2, no acc rescale) — and
+    the row-sum ``l`` rides the PV matmul for free via a ones-padded V
+    (at D≤64 the PV dot leaves ≥half of the MXU's 128 output lanes
+    idle; a ones column turns one of them into Σp).  The body collapses
+    to dot → exp2(s−b) → cast → dot.
+
+    Numerical envelope: worst-case overshoot b − max(s) ≤ 2b (full
+    anti-alignment), so p_max ≥ 2^(−2b); the dispatcher's guard
+    ``max‖q̂‖·max‖k‖ ≤ 60`` keeps p_max ≥ 2^(−120), above f32/bf16
+    min-normal 2^(−126).  Past the guard, ``pred_ref[0] == 0`` flips
+    every block to the classic running-max update — the exact arm IS
+    the fast arm plus the max/corr/rescale block, sharing the scores
+    dot, the PV dot, the ones-column ``l`` and the finalize.  The
+    branch must be (a) top-level per grid step (nesting the exact
+    update between the two dots breaks Mosaic's software pipelining:
+    34 vs 52 TFLOP/s measured) and (b) keyed on an SMEM INPUT — a
+    per-block SMEM-scratch flag serializes the pipeline the same way,
+    and a device-side lax.cond around two pallas_calls costs a flat
+    ~250 µs flush (benchmarks/probe_bound_overhead.py).  Measured v5e
+    B4 H8 S=4096 D=64 bf16 causal: 58.4 (bound) vs 43.9 TFLOP/s (exact
+    at its tuned blocks); lax.cond dispatch reached only 47
+    (benchmarks/proto_attn_boundmax.py, probe_bound_overhead.py)."""
+    r = bk // bq
+    iq, ik = _tri_unrank(pl.program_id(2), tri)
+    first = ik == 0
+    last = ik == iq // r
+    d = q_ref.shape[-1]
+
+    q = _q_scaled(q_ref, scale, lowp)
+    lp = jnp.bfloat16 if lowp else jnp.float32
+
+    fast = pred_ref[0] != 0
+
+    def body(masked, blk_fast):
+        s = jax.lax.dot_general(
+            q, _dot_in(k_ref[0], lowp), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if masked:
+            # bk % bq == 0 ⇒ only the last (diagonal-containing) tile
+            # has masked positions; earlier tiles skip the mask.
+            s = _mask(s, iq, ik, bq, bk, 0, 0, True, None)
+        if blk_fast:
+            # m is the immutable per-row bound (finite): no max-reduce,
+            # no corr, no rescale
+            p = jnp.exp2(s - m_sc[:, :1])
+        else:
+            # classic running-max bookkeeping (guarded-out blocks)
+            m_prev = m_sc[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1,
+                                                keepdims=True))
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp2(s - m_safe)
+            acc_sc[:] = acc_sc[:] * jnp.exp2(m_prev - m_safe)
+            m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+        vp = jnp.pad(_dot_in(v_ref[0], lowp).astype(jnp.float32),
+                     ((0, 0), (0, 128 - d)), constant_values=1.0)
+        pv = jax.lax.dot_general(
+            p.astype(lp), vp.astype(lp), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] + pv
+
+    def arm(blk_fast):
+        # NOTE the branch layout: the fast/exact split is the OUTERMOST
+        # pl.when, with first/last handled inside each arm.  Both a
+        # flat 4-arm logical_and layout and a nested pl.when between
+        # the two dots break Mosaic's software pipelining (34 vs 52
+        # TFLOP/s measured, with 10× the compile time).
+        @pl.when(first)
+        def _init():
+            # per-row bound (base-2 logits: q̂ carries scale·log2e)
+            qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1,
+                                  keepdims=True))
+            b_row = qn * kn_ref[pl.program_id(0) // kvg]
+            m_sc[:] = jnp.broadcast_to(
+                b_row if blk_fast else jnp.full_like(b_row, _NEG_INF),
+                m_sc.shape)
+            acc_sc[:] = jnp.zeros_like(acc_sc)
+
+        pl.when(last)(lambda: body(True, blk_fast))
+        pl.when(jnp.logical_not(last))(lambda: body(False, blk_fast))
+
+        @pl.when(last)
+        def _fin():
+            l = acc_sc[:, d:d + 1]
+            safe = jnp.maximum(l, 1e-30)
+            o_ref[0] = jnp.where(l > 0, acc_sc[:, :d] / safe,
+                                 0.0).astype(o_ref.dtype)
+            # lse in natural log (the API/ring-merge unit); m is the
+            # bound (fast) or the running max (exact) — the shift
+            # either way
+            lse_ref[0] = jnp.broadcast_to(
+                jnp.where(l > 0, m_sc[:, :1] * _LN2 + jnp.log(safe),
+                          _NEG_INF)[:, 0][None, :], lse_ref.shape[1:])
+
+    pl.when(fast)(lambda: arm(True))
+    pl.when(jnp.logical_not(fast))(lambda: arm(False))
+
+
 def _dq_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                dl_ref, *rest, scale, causal, window, bq, bk, nk, lowp,
                grid_banded=False, tri=None, chunk=None, has_seg=False):
@@ -864,37 +973,104 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         # the kv spec's rows run over b·hkv, so its batch divisor is hkv
         in_specs += [_seg_spec(q_spec, bq, h), _seg_spec(kv_spec, bk, hkv)]
         args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
+    # Bound-max FAST PATH (causal tri grid, no window/segments/offsets,
+    # D ≤ 64 so the ones-padded V rides the PV dot's idle lanes): see
+    # _fwd_kernel_bound.  A runtime SMEM predicate selects it in-kernel
+    # whenever the numerical envelope holds (an XLA-level lax.cond costs
+    # a flat ~250 µs pipeline flush — benchmarks/probe_bound_overhead).
+    # bf16-only: the ones-column ``l`` is accumulated from the SAME
+    # bf16-rounded p as the PV products (self-consistent weights), but
+    # that costs ~1e-2 absolute vs the exact kernel's f32 VPU row-sums —
+    # below bf16 noise, above what f32 callers expect.
+    use_bound = (tri is not None and seg is None and d <= 64
+                 and q.dtype == jnp.bfloat16
+                 and _os.environ.get("TAPER_ATTN_BOUNDMAX", "1") == "1")
+    if not use_bound:
+        o3, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                              window=window, bq=bq, bk=bk, nk=nk,
+                              lowp=_dot_bf16_default(),
+                              grid_banded=grid_banded, tri=tri,
+                              chunk=chunk, has_seg=seg is not None),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, bq, d), q_idx),
+                pl.BlockSpec((1, 8, bq), lse_idx),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * sq * sk * d // (2 if causal else 1),
+                # K/V are read at their compact Hkv width under GQA
+                bytes_accessed=q.dtype.itemsize
+                * (bh * 2 * sq + b * hkv * 2 * sk) * d,
+                transcendentals=bh * sq * sk),
+            interpret=_backend.pallas_interpret_mode(),
+        )(*args)
+        return o3.reshape(b, h, sq, d), lse
+
+    def bestdiv(s, caps):
+        for c in caps:
+            if s % c == 0:
+                return c
+        return s
+    bqf = bestdiv(sq, (1024, 512, 256, 128))
+    trif = _tri_counts_fwd(sq // bqf, 1)
+    qf_idx = lambda g, i, t: (g, _tri_unrank(t, trif)[0], 0)
+    kvf_idx = lambda g, i, t: (g // kvg, _tri_unrank(t, trif)[1], 0)
+    lsef_idx = lambda g, i, t: (g, 0, _tri_unrank(t, trif)[0])
+
+    # guard: max‖q̂‖·max‖k‖ ≤ 60 keeps p_max ≥ 2^(−120) (above f32/bf16
+    # min-normal) even under full anti-alignment — past it, pred = 0
+    # flips the kernel to its exact-max arms.  The norm pre-pass is one
+    # serialized HBM sweep of Q and K (~40 µs at B4 S=4096); pred must
+    # be an SMEM INPUT, not an in-kernel per-block decision — a pl.when
+    # on SMEM scratch written by an earlier grid step serializes the
+    # Mosaic pipeline (34 vs 52 TFLOP/s measured) and a lax.cond
+    # around two pallas_calls costs a flat ~250 µs flush.
+    kn = jnp.sqrt(jnp.max(
+        jnp.sum(k3.astype(jnp.float32) ** 2, axis=-1), axis=-1))
+    qn_max = jnp.sqrt(jnp.max(
+        jnp.sum(q3.astype(jnp.float32) ** 2, axis=-1)))
+    pred = (qn_max * (scale * _LOG2E) * jnp.max(kn)
+            <= 60.0).astype(jnp.int32)[None]
     o3, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          window=window, bq=bq, bk=bk, nk=nk,
-                          lowp=_dot_bf16_default(),
-                          grid_banded=grid_banded, tri=tri, chunk=chunk,
-                          has_seg=seg is not None),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bq, d), q_idx),
-            pl.BlockSpec((1, 8, bq), lse_idx),
-        ],
+        functools.partial(_fwd_kernel_bound, scale=scale, bq=bqf,
+                          bk=bqf, tri=trif, lowp=True, kvg=kvg),
+        grid=(bh, 1, sum(trif)),
+        in_specs=[_SMEM_SPEC, _SMEM_SPEC,
+                  pl.BlockSpec((1, bqf, d), qf_idx),
+                  pl.BlockSpec((1, bqf, d), kvf_idx),
+                  pl.BlockSpec((1, bqf, d), kvf_idx)],
+        out_specs=[pl.BlockSpec((1, bqf, d), qf_idx),
+                   pl.BlockSpec((1, 8, bqf), lsef_idx)],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((bqf, 128), jnp.float32),
+                        pltpu.VMEM((bqf, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq * sk * d // (2 if causal else 1),
-            # K/V are read at their compact Hkv width under GQA
+            flops=4 * bh * sq * sk * d // 2,
             bytes_accessed=q.dtype.itemsize
             * (bh * 2 * sq + b * hkv * 2 * sk) * d,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
-    )(*args)
+    )(pred, kn, q3, k3, v3)
     return o3.reshape(b, h, sq, d), lse
 
 
