@@ -795,6 +795,114 @@ def _dkv_kernel(off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                      dl_ref, dq_ref, dk_ref, dv_ref, dq_sc, dk_sc,
+                      dv_sc, delta_sc, *, scale, bq, bk, tri, lowp,
+                      nq):
+    """Single-sweep fused backward: dQ, dK and dV from ONE pass over
+    the causal band (k-major triangular grid).
+
+    The split formulation (``_dq_kernel`` + ``_dkv_kernel``) sweeps the
+    band twice, recomputing the score and dP tiles in each kernel —
+    7 MXU passes per tile pair and 2 exp2 sweeps where the math needs
+    5 and 1.  Here every (iq, ik) tile computes s/p/dp once and feeds
+    all three grads:
+
+      * dV and dK accumulate in per-k-block VMEM scratch (as in
+        ``_dkv_kernel``), written back when the k block's q span ends;
+      * dQ accumulates into a FULL-LENGTH (sq, d) f32 VMEM scratch at
+        dynamic row offset iq·bq — the revisit order over q blocks is
+        non-contiguous under the k-major grid, which is exactly why
+        the split design needed a second kernel; a resident accumulator
+        removes that constraint.  Written once at the row's final grid
+        step.  VMEM cost sq·d·4 (1 MB at S=4096 D=64) — the dispatcher
+        falls back to the split kernels past 4 MB;
+      * δ = rowsum(dO∘O) − dlse is computed once per q block during the
+        ik == 0 span (which visits EVERY q block) into a (nq, 8, bq)
+        scratch, and read back on later k rows — the split design's
+        export/import through HBM becomes a VMEM-resident table.
+
+    Only the causal tri-grid no-window/no-segment case (the training
+    hot path) dispatches here; everything else keeps the split kernels.
+    """
+    r = bk // bq
+    ik, loc = _tri_unrank(pl.program_id(2), tri)
+    iq = ik * r + loc
+    first_k = loc == 0
+    last_k = loc == nq - 1 - ik * r
+    diag = loc < r          # tile straddles the diagonal → mask
+    t = pl.program_id(2)
+    first_g = t == 0
+    last_g = t == sum(tri) - 1
+
+    @pl.when(first_g)
+    def _init_dq():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    @pl.when(first_k)
+    def _init_dkv():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    @pl.when(ik == 0)
+    def _delta():
+        # ik == 0 visits q blocks 0..nq−1 in order: compute δ on first
+        # touch, reuse from scratch on every later k row.
+        drow = jnp.sum(do_ref[0].astype(jnp.float32)
+                       * o_ref[0].astype(jnp.float32), axis=1)
+        drow = drow - dl_ref[0, 0, :]
+        delta_sc[iq] = jnp.broadcast_to(drow[None, :],
+                                        delta_sc.shape[1:])
+
+    def body(masked):
+        q = _q_scaled(q_ref, scale, lowp)
+        k = _dot_in(k_ref[0], lowp)
+        do = _dot_in(do_ref[0], lowp)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if masked:
+            s = _mask(s, iq, ik, bq, bk, 0, 0, True, None)
+        # fully-masked rows saved lse = −inf; finite stand-in keeps
+        # p = 0 instead of NaN (same guard as the split kernels)
+        lse_row = lse_ref[0, 0, :]
+        lse2 = jnp.where(jnp.isfinite(lse_row), lse_row, 0.0) * _LOG2E
+        p = jnp.exp2(s - lse2[:, None])
+        dp = jax.lax.dot_general(
+            do, _dot_in(v_ref[0], lowp), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_sc[iq, 0, :][:, None])
+        dv_sc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_sc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dq accumulates at dynamic LEADING index (the cheap indexing
+        # form — a 2D pl.ds sublane-offset RMW lowered ~1.7× slower)
+        dq_sc[iq] = dq_sc[iq] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # only diagonal-straddling tiles (loc < r) carry masked positions
+    pl.when(diag)(lambda: body(True))
+    pl.when(jnp.logical_not(diag))(lambda: body(False))
+
+    @pl.when(last_k)
+    def _fin_dkv():
+        # ln 2 recovers ds·scale·q from the scaled-q accumulation;
+        # dV is scale-free (see _dkv_kernel)
+        dk_ref[0] = (dk_sc[:] * _LN2).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+    @pl.when(last_g)
+    def _fin_dq():
+        # deferred ds·scale (see _dq_kernel), one multiply on (sq, d);
+        # (nq, bq, d) row-major is memory-identical to (sq, d)
+        dq_ref[0] = (dq_sc[...].reshape(dq_ref.shape[1:])
+                     * scale).astype(dq_ref.dtype)
+
+
 _SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
@@ -1150,6 +1258,64 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         ]
 
     import os as _os
+    # FUSED single-sweep backward (see _bwd_fused_kernel): causal
+    # tri-grid, no window/segments, dQ accumulator fits VMEM.  One pass
+    # computes all three grads — 5 MXU dots + 1 exp2 per tile pair vs
+    # the split kernels' 7 + 2.
+    use_fused = (tri_q is not None and seg is None
+                 and sq * d * 4 <= 4 * 1024 * 1024
+                 and _os.environ.get("TAPER_ATTN_FUSED_BWD", "1") == "1")
+    if use_fused:
+        r = bk // bq
+        tri_f = _tri_counts_dkv(nq, nk, r)
+        kf = lambda t: _tri_unrank(t, tri_f)[0]
+        qf = lambda t: (_tri_unrank(t, tri_f)[0] * r
+                        + _tri_unrank(t, tri_f)[1])
+        fq_spec = pl.BlockSpec((1, bq, d), lambda g, i, t: (g, qf(t), 0))
+        fr_spec = pl.BlockSpec((1, 8, bq), lambda g, i, t: (g, 0, qf(t)))
+        fk_in = pl.BlockSpec((1, bk, d),
+                             lambda g, i, t: (g // kvg, kf(t), 0))
+        fk_out = pl.BlockSpec((1, bk, d), lambda g, i, t: (g, kf(t), 0))
+        # dQ lives in scratch for the whole sweep; its HBM block is the
+        # full row, flushed once at the g boundary
+        fdq_out = pl.BlockSpec((1, sq, d), lambda g, i, t: (g, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale, bq=bq,
+                              bk=bk, tri=tri_f,
+                              lowp=_dot_bf16_default(), nq=nq),
+            grid=(bh, 1, sum(tri_f)),
+            in_specs=[fq_spec, fk_in, fk_in, fq_spec, fq_spec,
+                      fr_spec, fr_spec],
+            out_specs=[fdq_out, fk_out, fk_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((nq, bq, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((nq, 8, bq), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bh * sq * sk * d // 2,
+                bytes_accessed=q.dtype.itemsize
+                * (bh * 5 * sq + b * hkv * 2 * sk) * d,
+                transcendentals=bh * sq * sk // 2),
+            interpret=_backend.pallas_interpret_mode(),
+        )(q3, k3, v3, o3, do3, lse, dl_in)
+        if kvg > 1:
+            dk = dk.reshape(b, hkv, kvg, sk, d).astype(jnp.float32)\
+                .sum(2).astype(k.dtype)
+            dv = dv.reshape(b, hkv, kvg, sk, d).astype(jnp.float32)\
+                .sum(2).astype(v.dtype)
+        else:
+            dk = dk.reshape(b, hkv, sk, d)
+            dv = dv.reshape(b, hkv, sk, d)
+        return dq.reshape(b, h, sq, d), dk, dv
+
     # TAPER_ATTN_CHUNK=1: chunk-skip the masked side of diagonal tiles
     # (see _flash_fwd) — measured NEGATIVE, off by default.
     chunk = (bq if tri_q is not None and seg is None
