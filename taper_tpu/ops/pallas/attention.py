@@ -348,8 +348,8 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, *rest, scale, causal,
 
 
 def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
-                      lse_ref, m_sc, acc_sc, *, scale, bq, bk,
-                      tri, lowp, kvg):
+                      lse_ref, m_sc, acc_sc, l_sc=None, *, scale, bq,
+                      bk, tri, lowp, kvg):
     """Bound-max causal forward (the VPU-diet fast path) with an
     in-kernel per-q-block exact-max fallback.
 
@@ -362,7 +362,9 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
     the row-sum ``l`` rides the PV matmul for free via a ones-padded V
     (at D≤64 the PV dot leaves ≥half of the MXU's 128 output lanes
     idle; a ones column turns one of them into Σp).  The body collapses
-    to dot → exp2(s−b) → cast → dot.
+    to dot → exp2(s−b) → cast → dot.  At D == 128 (``l_sc`` given) the
+    PV dot has no idle lanes to ride — ``l`` is an explicit VPU row-sum
+    instead; the max-reduce/corr/rescale savings still apply.
 
     Numerical envelope: worst-case overshoot b − max(s) ≤ 2b (full
     anti-alignment), so p_max ≥ 2^(−2b); the dispatcher's guard
@@ -382,6 +384,9 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
     (benchmarks/proto_attn_boundmax.py, probe_bound_overhead.py)."""
     r = bk // bq
     iq, ik = _tri_unrank(pl.program_id(2), tri)
+    # hoisted: program_id may not be bound inside pl.when closures
+    # under interpret mode (CPU tests)
+    g_kv = pl.program_id(0) // kvg
     first = ik == 0
     last = ik == iq // r
     d = q_ref.shape[-1]
@@ -403,6 +408,8 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
             # m is the immutable per-row bound (finite): no max-reduce,
             # no corr, no rescale
             p = jnp.exp2(s - m_sc[:, :1])
+            if l_sc is not None:
+                l_sc[:] = l_sc[:] + jnp.sum(p, axis=1, keepdims=True)
         else:
             # classic running-max bookkeeping (guarded-out blocks)
             m_prev = m_sc[:, :1]
@@ -410,12 +417,19 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
                                                 keepdims=True))
             m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
             p = jnp.exp2(s - m_safe)
-            acc_sc[:] = acc_sc[:] * jnp.exp2(m_prev - m_safe)
+            corr = jnp.exp2(m_prev - m_safe)
+            acc_sc[:] = acc_sc[:] * corr
+            if l_sc is not None:
+                l_sc[:] = (l_sc[:] * corr
+                           + jnp.sum(p, axis=1, keepdims=True))
             m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
-        vp = jnp.pad(_dot_in(v_ref[0], lowp).astype(jnp.float32),
-                     ((0, 0), (0, 128 - d)), constant_values=1.0)
+        if l_sc is None:
+            v = jnp.pad(_dot_in(v_ref[0], lowp).astype(jnp.float32),
+                        ((0, 0), (0, 128 - d)), constant_values=1.0)
+        else:
+            v = _dot_in(v_ref[0], lowp).astype(jnp.float32)
         pv = jax.lax.dot_general(
-            p.astype(lp), vp.astype(lp), (((1,), (0,)), ((), ())),
+            p.astype(lp), v.astype(lp), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_sc[:] = acc_sc[:] + pv
 
@@ -430,18 +444,21 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
             # per-row bound (base-2 logits: q̂ carries scale·log2e)
             qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1,
                                   keepdims=True))
-            b_row = qn * kn_ref[pl.program_id(0) // kvg]
+            b_row = qn * kn_ref[g_kv]
             m_sc[:] = jnp.broadcast_to(
                 b_row if blk_fast else jnp.full_like(b_row, _NEG_INF),
                 m_sc.shape)
             acc_sc[:] = jnp.zeros_like(acc_sc)
+            if l_sc is not None:
+                l_sc[:] = jnp.zeros_like(l_sc)
 
         pl.when(last)(lambda: body(True, blk_fast))
         pl.when(jnp.logical_not(last))(lambda: body(False, blk_fast))
 
         @pl.when(last)
         def _fin():
-            l = acc_sc[:, d:d + 1]
+            l = (acc_sc[:, d:d + 1] if l_sc is None
+                 else l_sc[:, :1])
             safe = jnp.maximum(l, 1e-30)
             o_ref[0] = jnp.where(l > 0, acc_sc[:, :d] / safe,
                                  0.0).astype(o_ref.dtype)
@@ -1081,16 +1098,18 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         # the kv spec's rows run over b·hkv, so its batch divisor is hkv
         in_specs += [_seg_spec(q_spec, bq, h), _seg_spec(kv_spec, bk, hkv)]
         args += [_seg8(seg, b, sq), _seg8(seg, b, sk)]
-    # Bound-max FAST PATH (causal tri grid, no window/segments/offsets,
-    # D ≤ 64 so the ones-padded V rides the PV dot's idle lanes): see
-    # _fwd_kernel_bound.  A runtime SMEM predicate selects it in-kernel
-    # whenever the numerical envelope holds (an XLA-level lax.cond costs
-    # a flat ~250 µs pipeline flush — benchmarks/probe_bound_overhead).
+    # Bound-max FAST PATH (causal tri grid, no window/segments/offsets):
+    # see _fwd_kernel_bound.  At D ≤ 64 the ones-padded V rides the PV
+    # dot's idle lanes (``l`` for free); at D == 128 ``l`` is an
+    # explicit VPU row-sum (the max-reduce/corr/rescale savings remain).
+    # A runtime SMEM predicate selects it in-kernel whenever the
+    # numerical envelope holds (an XLA-level lax.cond costs a flat
+    # ~250 µs pipeline flush — benchmarks/probe_bound_overhead).
     # bf16-only: the ones-column ``l`` is accumulated from the SAME
     # bf16-rounded p as the PV products (self-consistent weights), but
     # that costs ~1e-2 absolute vs the exact kernel's f32 VPU row-sums —
     # below bf16 noise, above what f32 callers expect.
-    use_bound = (tri is not None and seg is None and d <= 64
+    use_bound = (tri is not None and seg is None and d <= 128
                  and q.dtype == jnp.bfloat16
                  and _os.environ.get("TAPER_ATTN_BOUNDMAX", "1") == "1")
     if not use_bound:
@@ -1168,7 +1187,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
             jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bqf, 128), jnp.float32),
-                        pltpu.VMEM((bqf, 128), jnp.float32)],
+                        pltpu.VMEM((bqf, 128), jnp.float32)]
+        + ([pltpu.VMEM((bqf, 128), jnp.float32)] if d == 128 else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel",
                                  "arbitrary")),

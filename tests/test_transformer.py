@@ -49,6 +49,43 @@ def test_flash_multiblock_online_softmax(causal, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_boundmax_bf16_matches_oracle(d):
+    """bf16 causal hits the bound-max fast path (ones-padded-V ``l`` at
+    D=64, explicit VPU row-sum at D=128); both must match the oracle to
+    bf16 noise, fwd AND bwd (the bwd consumes the bound-shifted lse)."""
+    q, k, v = _qkv(jax.random.PRNGKey(11), 1, 2, 256, d, jnp.bfloat16)
+    ref = X.attention(q, k, v, causal=True)
+    got = A.flash_attention(q, k, v, True)
+    np.testing.assert_allclose(got.astype(jnp.float32),
+                               ref.astype(jnp.float32), atol=3e-2)
+    f = lambda att: lambda q: jnp.sum(
+        att(q, k, v).astype(jnp.float32) ** 2)
+    gr = jax.grad(f(lambda q, k, v: X.attention(q, k, v, causal=True)))(q)
+    gf = jax.grad(f(lambda q, k, v: A.flash_attention(q, k, v, True)))(q)
+    np.testing.assert_allclose(gf.astype(jnp.float32),
+                               gr.astype(jnp.float32), atol=0.35,
+                               rtol=0.05)
+
+
+def test_flash_boundmax_guard_falls_back_exact():
+    """Inputs past the numerical envelope (max‖q̂‖·max‖k‖ > 60) must
+    flip the in-kernel predicate to the exact running-max arm — output
+    still correct on wildly-scaled inputs."""
+    q, k, v = _qkv(jax.random.PRNGKey(12), 1, 1, 256, 64, jnp.bfloat16)
+    # ×3 puts max‖q̂‖·max‖k‖ ≈ 9× the typical ~13, past the 60 guard,
+    # WITHOUT saturating the softmax (saturated rows are argmax-
+    # unstable under reordered bf16 dots — any kernel would flip them)
+    q = q * 3.0
+    k = k * 3.0
+    ref = X.attention(q, k, v, causal=True)
+    got = A.flash_attention(q, k, v, True)
+    # 9×-sharper softmax amplifies bf16 score noise on near-tie rows;
+    # the wider atol prices that, not the kernel
+    np.testing.assert_allclose(got.astype(jnp.float32),
+                               ref.astype(jnp.float32), atol=6e-2)
+
+
 def test_flash_grads_match_oracle():
     q, k, v = _qkv(jax.random.PRNGKey(2), 1, 2, 256, 16)
 
@@ -631,6 +668,67 @@ def test_beam_search_eos_freezes_beams():
             if hit.size:
                 assert np.all(row[5 + hit[0] + 1:] == 0), row
     assert out.shape == (2, 3, 15) and scores.shape == (2, 3)
+
+
+def test_speculative_lockstep_matches_greedy():
+    """per_row=False (the lockstep-min scheme) must also emit exactly
+    the target's greedy tokens — regression for the legacy path now
+    that per-row is the default."""
+    target = models.TinyGPT(vocab_size=12, dim=32, depth=2, num_heads=2,
+                            max_seq=64)
+    draft = models.TinyGPT(vocab_size=12, dim=16, depth=1, num_heads=2,
+                           max_seq=64)
+    pt = target.init(jax.random.PRNGKey(0))
+    pd = draft.init(jax.random.PRNGKey(7))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, 12)
+    ref = target.generate(pt, prompt, 12)
+    out = target.speculative_generate(pt, draft, pd, prompt, 12,
+                                      gamma=3, per_row=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_per_row_no_slower_than_lockstep():
+    """Per-row acceptance commits at least as many tokens per round as
+    lockstep-min on the same inputs, so its dispatch count is ≤ —
+    with a real (mismatched-acceptance) batch it should be strictly <."""
+    target = models.TinyGPT(vocab_size=24, dim=32, depth=2, num_heads=2,
+                            max_seq=128)
+    draft = models.TinyGPT(vocab_size=24, dim=16, depth=1, num_heads=2,
+                           max_seq=128)
+    pt = target.init(jax.random.PRNGKey(0))
+    pd = draft.init(jax.random.PRNGKey(7))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 0, 24)
+    ref = target.generate(pt, prompt, 24)
+    out_r, st_r = target.speculative_generate(
+        pt, draft, pd, prompt, 24, gamma=3, return_stats=True)
+    out_l, st_l = target.speculative_generate(
+        pt, draft, pd, prompt, 24, gamma=3, per_row=False,
+        return_stats=True)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(ref))
+    assert int(st_r["rounds"]) <= int(st_l["rounds"]), (st_r, st_l)
+
+
+def test_spec_accept_rows_rejection_sampling_lemma():
+    """Per-row variant of the rejection-sampling lemma: emitted tokens
+    (accepted draft or residual sample) distributed exactly as p."""
+    from taper_tpu.models.transformer import _spec_accept_rows
+    v = 8
+    q = jax.nn.softmax(jnp.arange(v, dtype=jnp.float32) * 0.4)
+    p = jax.nn.softmax(-jnp.arange(v, dtype=jnp.float32) * 0.3)
+    bonus = jnp.full((v,), 1.0 / v)
+    pfull = jnp.stack([p, bonus])[None]          # [1, 2, V]
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        d = jax.random.categorical(kd, jnp.log(q))[None, None]
+        n_acc, nxt, _ = _spec_accept_rows(ka, d, q[None, None], pfull)
+        return jnp.where(n_acc[0] == 1, d[0, 0], nxt[0])
+
+    toks = jax.jit(jax.vmap(one))(
+        jax.random.split(jax.random.PRNGKey(0), 20000))
+    freq = np.bincount(np.asarray(toks), minlength=v) / 20000.0
+    np.testing.assert_allclose(freq, np.asarray(p), atol=0.02)
 
 
 def test_spec_accept_rejection_sampling_lemma():
