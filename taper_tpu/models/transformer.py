@@ -122,6 +122,38 @@ def _spec_accept(key, drafts, q, p):
     return n_acc, nxt, key
 
 
+def _spec_accept_rows(key, drafts, q, p):
+    """Per-row speculative sampling verification (see
+    :func:`_spec_accept` for the scheme): each row keeps its OWN
+    accepted count instead of truncating to the batch minimum, so a row
+    with a good draft commits γ+1 tokens even when a neighbour rejects
+    at 0.  The committed token at each row's ``cur + n_acc[b]`` is
+    always the residual sample (per-row, the rejection happens exactly
+    at ``n_acc[b]``; full acceptance degrades to a bonus sample from
+    ``p[γ]`` since the residual of q = 0 is p itself).
+
+    Returns ``(n_acc [B] int32, nxt [B] int32, key)``."""
+    b, g, v = q.shape
+    key, ku, kr = jax.random.split(key, 3)
+    qx = jnp.take_along_axis(q, drafts[..., None], -1)[..., 0]
+    px = jnp.take_along_axis(p[:, :g], drafts[..., None], -1)[..., 0]
+    u = jax.random.uniform(ku, (b, g))
+    acc = u * qx < px
+    n_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1),
+                    axis=1)                                      # [B]
+    p_at = jnp.take_along_axis(p, n_acc[:, None, None],
+                               axis=1)[:, 0]                     # [B, V]
+    q_at = jnp.take_along_axis(
+        q, jnp.minimum(n_acc, g - 1)[:, None, None], axis=1)[:, 0]
+    q_at = jnp.where((n_acc >= g)[:, None], jnp.zeros_like(q_at), q_at)
+    r = jnp.maximum(p_at - q_at, 0.0)
+    rsum = jnp.sum(r, axis=-1, keepdims=True)
+    r = jnp.where(rsum > 0, r / rsum, p_at)
+    nxt = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(r, 1e-38))).astype(jnp.int32)
+    return n_acc, nxt, key
+
+
 class TinyGPT(Module):
     """Causal LM over integer tokens ``[B, S] -> logits [B, S, vocab]``."""
 
@@ -444,16 +476,19 @@ class TinyGPT(Module):
 
     def decode_chunk(self, params, toks, pos, caches):
         """Multi-token cache-backed step: ``toks`` [B, C] at positions
-        [pos, pos+C) (traced scalar ``pos``).  Returns
-        ``(logits [B, C, vocab], new_caches)``.  The speculative-decoding
-        verifier: the target model scores a γ-token draft in one
-        dispatch instead of γ sequential decode steps."""
+        [pos, pos+C) (traced scalar ``pos``, or a [B] vector — per-row
+        speculative verification: each row's chunk at its own start).
+        Returns ``(logits [B, C, vocab], new_caches)``.  The
+        speculative-decoding verifier: the target model scores a
+        γ-token draft in one dispatch instead of γ sequential decode
+        steps."""
         from taper_tpu.nn.transformer import block_apply_chunk
         b, c = toks.shape
         x = self.tok.apply(params["tok"], toks)
         if not self.rope:
-            x = x + self.pos.apply(params["pos"],
-                                   pos + jnp.arange(c))
+            pp = (pos[:, None] if jnp.ndim(pos) == 1 else pos) \
+                + jnp.arange(c)
+            x = x + self.pos.apply(params["pos"], pp)
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
         new_caches = []
@@ -796,7 +831,8 @@ class TinyGPT(Module):
                              top_k=None, top_p=None,
                              quantized_cache: bool = False,
                              eos_token=None, pad_token=None,
-                             return_stats: bool = False):
+                             return_stats: bool = False,
+                             per_row: bool = True):
         """Speculative (draft-verify) decoding: a small draft model
         proposes ``gamma`` tokens autoregressively, then THIS (target)
         model scores all of them in one :meth:`decode_chunk` dispatch
@@ -818,10 +854,18 @@ class TinyGPT(Module):
         costs barely more than one and the wall-clock win ≈ mean
         accepted length.
 
-        Batched: rows advance in lockstep at the MINIMUM acceptance
-        across the batch (never wrong, only conservative — an accepted
-        prefix stays target-distributed under truncation, and greedy
-        rows simply re-derive the same tokens next round).
+        Batched (``per_row=True``, the default): every row commits its
+        OWN accepted length each round — positions are [B] vectors
+        through the draft steps, the verify chunk and the cache writes
+        (the ragged-decode machinery).  At B ≥ 4 lockstep's min() makes
+        progress collapse toward one token/round (P(all rows accept)
+        decays geometrically in B), which is why it loses to plain
+        decode; per-row keeps the mean acceptance per row.  Rows that
+        finish (length/EOS) freeze: their ``n_acc`` is forced to 0 and
+        their positions stop advancing (the dead rows' dispatches are
+        the price of static shapes — same as plain batched decode).
+        ``per_row=False`` keeps the lockstep-min scheme (scalar
+        positions; marginally cheaper per round at B = 1).
 
         Returns ``[B, P + max_new]`` tokens (``return_stats=True``: also
         a dict with the target-dispatch count ``rounds`` — sequential
@@ -859,15 +903,37 @@ class TinyGPT(Module):
         tokens = jax.lax.dynamic_update_index_in_dim(
             tokens, first, plen, 1)
         cur0 = jnp.int32(plen + 1)    # tokens[:, :cur] are final
+        if per_row:
+            cur0 = jnp.full((b,), cur0)
+        rows = jnp.arange(b)
+
+        def tok_at(tokens, p):
+            """tokens[:, p] for scalar p, tokens[b, p[b]] for vector."""
+            if per_row:
+                return jnp.take_along_axis(tokens, p[:, None], 1)[:, 0]
+            return jax.lax.dynamic_index_in_dim(tokens, p, 1,
+                                                keepdims=False)
+
+        def put_at(tokens, p, val):
+            if per_row:
+                return tokens.at[rows, p].set(val)
+            return jax.lax.dynamic_update_index_in_dim(tokens, val, p, 1)
+
+        def row_done(tokens, cur):
+            """[B] bool: row finished by length or by an emitted EOS."""
+            done = cur >= total
+            if eos_token is not None:
+                idx = jnp.arange(buf)[None, :]
+                gen = (idx >= plen) & (idx < cur[:, None])
+                done |= jnp.any((tokens == eos_token) & gen, axis=1)
+            return done
 
         def draft_round(tokens, cur, cd, key):
             def step(carry, j):
                 tokens, cd, key = carry
-                p = cur - 1 + j
-                tok = jax.lax.dynamic_index_in_dim(tokens, p, 1,
-                                                   keepdims=False)
+                p = cur - 1 + j        # scalar, or [B] per-row
                 logits, cd = draft_model.decode_step(
-                    draft_params, tok, p, cd)
+                    draft_params, tok_at(tokens, p), p, cd)
                 if sampled:
                     q = dist(logits)
                     key, sk = jax.random.split(key)
@@ -877,8 +943,7 @@ class TinyGPT(Module):
                 else:
                     q = jnp.zeros((b, 1), jnp.float32)   # unused
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                tokens = jax.lax.dynamic_update_index_in_dim(
-                    tokens, nxt, p + 1, 1)
+                tokens = put_at(tokens, p + 1, nxt)
                 return (tokens, cd, key), q
             (tokens, cd, key), qs = jax.lax.scan(
                 step, (tokens, cd, key), jnp.arange(gamma))
@@ -887,39 +952,63 @@ class TinyGPT(Module):
         def body(carry):
             tokens, cur, ct, cd, rounds, key = carry
             tokens, cd, key, q = draft_round(tokens, cur, cd, key)
-            chunk = jax.lax.dynamic_slice_in_dim(
-                tokens, cur - 1, gamma + 1, 1)          # [B, γ+1]
+            if per_row:
+                cidx = (cur - 1)[:, None] + jnp.arange(gamma + 1)[None]
+                chunk = jnp.take_along_axis(tokens, cidx, axis=1)
+            else:
+                chunk = jax.lax.dynamic_slice_in_dim(
+                    tokens, cur - 1, gamma + 1, 1)      # [B, γ+1]
             logits, ct = self.decode_chunk(params, chunk, cur - 1, ct)
-            drafts = jax.lax.dynamic_slice_in_dim(tokens, cur, gamma, 1)
+            drafts = chunk[:, 1:]                       # [B, γ]
             if sampled:
-                n_acc, nxt, key = _spec_accept(key, drafts, q,
-                                               dist(logits))
+                accept = _spec_accept_rows if per_row else _spec_accept
+                n_acc, nxt, key = accept(key, drafts, q, dist(logits))
             else:
                 tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 match = (tgt[:, :gamma] == drafts)      # [B, γ]
-                n_acc = jnp.min(jnp.sum(jnp.cumprod(
-                    match.astype(jnp.int32), axis=1), axis=1))
-                nxt = jnp.take_along_axis(
-                    tgt, jnp.full((b, 1), n_acc), axis=1)[:, 0]
-            tokens = jax.lax.dynamic_update_index_in_dim(
-                tokens, nxt, cur + n_acc, 1)
+                n_row = jnp.sum(jnp.cumprod(
+                    match.astype(jnp.int32), axis=1), axis=1)
+                n_acc = n_row if per_row else jnp.min(n_row)
+                gi = (n_acc[:, None] if per_row
+                      else jnp.full((b, 1), n_acc))
+                nxt = jnp.take_along_axis(tgt, gi, axis=1)[:, 0]
             # full acceptance (n_acc == γ): the next round starts
             # drafting at cur+γ, so position cur+γ-1 (the last accepted
             # draft) would never be written into the DRAFT cache — a
             # permanent zero-K/V row every subsequent draft step
             # attends, degrading q and the acceptance rate over long
             # generations.  Backfill it with one draft decode step.
-            def backfill(cd):
-                tok = jax.lax.dynamic_index_in_dim(
-                    tokens, cur + gamma - 1, 1, keepdims=False)
+            if per_row:
+                done = row_done(tokens, cur)
+                n_acc = jnp.where(done, 0, n_acc)
+                tokens = jnp.where(done[:, None], tokens,
+                                   put_at(tokens, cur + n_acc, nxt))
+                # per-row backfill, unconditional: full-acceptance rows
+                # fill their cur+γ−1 hole; every other row (re)writes
+                # position cur+n_acc — the entry next round's first
+                # draft step recomputes identically (overwrite-by-
+                # position cache), so the rewrite is never read stale.
+                pb = cur + jnp.where(n_acc == gamma, gamma - 1, n_acc)
                 _, cd = draft_model.decode_step(
-                    draft_params, tok, cur + gamma - 1, cd)
-                return cd
-            cd = jax.lax.cond(n_acc == gamma, backfill, lambda c: c, cd)
-            return tokens, cur + n_acc + 1, ct, cd, rounds + 1, key
+                    draft_params, tok_at(tokens, pb), pb, cd)
+                cur = jnp.where(done, cur, cur + n_acc + 1)
+            else:
+                tokens = put_at(tokens, cur + n_acc, nxt)
+                def backfill(cd):
+                    tok = jax.lax.dynamic_index_in_dim(
+                        tokens, cur + gamma - 1, 1, keepdims=False)
+                    _, cd = draft_model.decode_step(
+                        draft_params, tok, cur + gamma - 1, cd)
+                    return cd
+                cd = jax.lax.cond(n_acc == gamma, backfill,
+                                  lambda c: c, cd)
+                cur = cur + n_acc + 1
+            return tokens, cur, ct, cd, rounds + 1, key
 
         def cond(carry):
             tokens, cur = carry[0], carry[1]
+            if per_row:
+                return jnp.any(~row_done(tokens, cur))
             go = cur < total
             if eos_token is not None:
                 idx = jnp.arange(buf)[None, :]
@@ -937,8 +1026,9 @@ class TinyGPT(Module):
                 out, plen, eos_token,
                 eos_token if pad_token is None else pad_token)
         if return_stats:
+            adv = jnp.mean(cur - cur0) if per_row else cur - cur0
             return out, {"rounds": rounds,
-                         "tokens_per_round": (cur - cur0) / jnp.maximum(
+                         "tokens_per_round": adv / jnp.maximum(
                              rounds, 1)}
         return out
 

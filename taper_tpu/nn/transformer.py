@@ -436,7 +436,10 @@ def _cache_write(cache, k, v, pos, ring=False):
             return new
         pos = slot
     if jnp.ndim(pos) == 1:
-        assert k.shape[2] == 1, "per-row cache writes are single-token"
+        # per-row positions: row b's C tokens land at [pos[b], pos[b]+C)
+        # (ragged serving C == 1; per-row speculative verification
+        # C == γ+1 — callers guarantee pos[b] + C ≤ Smax so the
+        # dynamic_update_slice clamp never fires)
         upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
             c, u, (0, p, 0)))
         new = {"k": upd(cache["k"], k.astype(cache["k"].dtype), pos),
@@ -636,9 +639,10 @@ def mha_apply_prefill(mha: MultiHeadAttention, params, x, cache):
 
 def mha_apply_chunk(mha: MultiHeadAttention, params, x_c, cache, pos):
     """Chunked decode: ``x_c`` [B, C, E] at positions [pos, pos+C)
-    (``pos`` a traced scalar), attending the cache through each query's
-    own position.  Writes cache entries [pos, pos+C) and returns
-    ``(y [B, C, E], new_cache)``.
+    (``pos`` a traced scalar, or a [B] vector — per-row speculative
+    verification: row b's chunk starts at its own ``pos[b]``), attending
+    the cache through each query's own position.  Writes cache entries
+    [pos, pos+C) and returns ``(y [B, C, E], new_cache)``.
 
     The multi-token cache-backed step speculative decoding's verifier
     needs: the target model scores a γ-token draft in ONE dispatch — a
@@ -659,8 +663,10 @@ def mha_apply_chunk(mha: MultiHeadAttention, params, x_c, cache, pos):
     v = heads("wv", "bv", mha.num_kv_heads)
     if mha.rope:
         cos, sin = mha._rope
-        q = apply_rope(q, cos, sin, offset=pos)
-        k = apply_rope(k, cos, sin, offset=pos)
+        roff = (pos[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+                if jnp.ndim(pos) == 1 else pos)
+        q = apply_rope(q, cos, sin, offset=roff)
+        k = apply_rope(k, cos, sin, offset=roff)
     new_cache = _cache_write(cache, k, v, pos)
     k_cache, v_cache = new_cache["k"], new_cache["v"]
     scales = ({"k_scale": new_cache["k_scale"],
