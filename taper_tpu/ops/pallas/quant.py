@@ -350,6 +350,54 @@ def matmul_int8(xq, q):
     return out[:m, :n] if (mp, np_) != (m, n) else out
 
 
+def _rowquant_kernel(x_ref, xq_ref, sx_ref, xs_ref):
+    x = x_ref[:].astype(jnp.float32)
+    a = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    qc = jnp.round(x / s)
+    xq_ref[:] = qc.astype(jnp.int8)
+    # scale/codes-sum exported on the (8, bm) lse-style layout (lane
+    # dim = rows): a [bm, 1] column output would pad to 128 lanes
+    sx_ref[:] = jnp.broadcast_to(s[:, 0][None, :], sx_ref.shape)
+    xs_ref[:] = jnp.broadcast_to(jnp.sum(qc, axis=1)[None, :],
+                                 xs_ref.shape)
+
+
+def quantize_rows(x):
+    """One-pass dynamic per-row activation quantization:
+    ``x [M, K] -> (xq int8 [M, K], sx f32 [M], xsum f32 [M])`` with
+    ``sx = absmax/127`` (symmetric) and ``xsum = Σ_k xq`` (the
+    zero-point correction term of :func:`linear_w8a8`).
+
+    At the XLA level the same computation is an absmax reduce pass plus
+    a round pass plus a codes-sum pass — ≥3 HBM sweeps of ``x``; here
+    the row block stays VMEM-resident for all three (1 read + ¼ write).
+    Rows must fit VMEM, so K is capped (callers fall back to the XLA
+    form past it)."""
+    m, k = x.shape
+    bm = max(8, min(512, (2 * 1024 * 1024) // (4 * k)))
+    if m % bm != 0:
+        bm = next(c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+                  if m % c == 0)
+    xq, sx, xs = pl.pallas_call(
+        _rowquant_kernel,
+        grid=(m // bm,),
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
+                   pl.BlockSpec((8, bm), lambda i: (0, i)),
+                   pl.BlockSpec((8, bm), lambda i: (0, i))],
+        out_shape=[jax.ShapeDtypeStruct((m, k), jnp.int8),
+                   jax.ShapeDtypeStruct((8, m), jnp.float32),
+                   jax.ShapeDtypeStruct((8, m), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k,
+            bytes_accessed=x.dtype.itemsize * m * k + m * k + 8 * m,
+            transcendentals=0),
+        interpret=_backend.pallas_interpret_mode(),
+    )(x)
+    return xq, sx[0], xs[0]
+
+
 def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
     """W8A8 linear: activations dynamically quantized PER ROW
     (symmetric absmax/127), weights the PTQ int8 codes — the whole
@@ -364,15 +412,21 @@ def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
     path.  Use for COMPUTE-bound shapes (prefill, training batches) —
     the decode matvec stays bandwidth-bound and keeps dequant-on-load.
     """
-    xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-    xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
+    if x.shape[-1] <= 16384 and x.shape[0] % 2 == 0:
+        # one-pass Pallas row quant (absmax + round + codes-sum in a
+        # single HBM read; ~3 XLA sweeps otherwise)
+        xq, sx, corr = quantize_rows(x)
+    else:
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+        xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
+        corr = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(
+            jnp.float32)
     acc = matmul_int8(xq, q).astype(jnp.float32)
     sw = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
                           (q.shape[0],))
     zw = jnp.broadcast_to(jnp.asarray(zp, jnp.float32).reshape(-1),
                           (q.shape[0],))
-    corr = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(jnp.float32)
     y = sx[:, None] * sw[None, :] * (acc - zw[None, :] * corr[:, None])
     if b is not None:
         y = y + b

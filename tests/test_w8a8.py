@@ -47,3 +47,32 @@ def test_linear_w8a8_relu_epilogue_and_per_channel():
     scale = float(jnp.max(jnp.abs(ref))) + 1e-6
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
     assert float(jnp.min(got)) >= 0.0
+
+
+def test_quantize_rows_matches_xla_form():
+    """The one-pass Pallas row-quant kernel must agree exactly with the
+    reference XLA absmax/round/codes-sum form (same fp ops, one read)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 2, (34, 192)).astype(np.float32))
+    xq, sx, xsum = Q.quantize_rows(x)
+    xf = x.astype(jnp.float32)
+    sx_ref = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    xq_ref = jnp.round(xf / sx_ref[:, None]).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(xq_ref))
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sx_ref),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xsum),
+        np.asarray(jnp.sum(xq_ref.astype(jnp.int32), axis=-1),
+                   dtype=np.float32), rtol=0)
+
+
+def test_quantize_rows_bf16_input():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (16, 256))).astype(jnp.bfloat16)
+    xq, sx, xsum = Q.quantize_rows(x)
+    assert xq.dtype == jnp.int8 and xq.shape == x.shape
+    back = np.asarray(xq, np.float32) * np.asarray(sx)[:, None]
+    np.testing.assert_allclose(back, np.asarray(x, np.float32),
+                               atol=float(np.max(np.asarray(sx))) / 2
+                               + 1e-6)
