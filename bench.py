@@ -361,6 +361,33 @@ def main():
     except Exception as e:
         print(f"[bench] paged decode failed: {e}", file=sys.stderr)
 
+    # Same-host CPU-torch reference numbers (VERDICT r3 item 3).  The
+    # CNN epoch is ~7 min of single-core torch, so the measurement is
+    # cached by benchmarks/pytorch_baseline.py --json (rerun it to
+    # refresh); TAPER_BENCH_TORCH=1 forces a fresh run inline.
+    try:
+        import os as _os
+        import subprocess
+        tj = _os.path.join("benchmarks", "pytorch_same_host.json")
+        if _os.environ.get("TAPER_BENCH_TORCH") == "1" \
+                or not _os.path.exists(tj):
+            subprocess.run([sys.executable,
+                            "benchmarks/pytorch_baseline.py",
+                            "--json", tj], check=True, timeout=3000)
+        with open(tj) as f:
+            t = json.load(f)
+        attn.update({k: t[k] for k in
+                     ("pytorch_same_host_mlp_s",
+                      "pytorch_same_host_cnn_epoch_s",
+                      "pytorch_threads") if k in t})
+        attn["cnn_vs_same_host_torch"] = round(
+            t["pytorch_same_host_cnn_epoch_s"] / epoch_s, 1)
+        attn["mlp_vs_same_host_torch"] = round(
+            t["pytorch_same_host_mlp_s"] / mlp_total, 1)
+    except Exception as e:
+        print(f"[bench] same-host torch baseline failed: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "mnist_cnn_epoch_time",
         "value": round(epoch_s, 4),
