@@ -508,7 +508,7 @@ def bench_speculative(hi=192, lo=48, plen=64):
     pt = train(target, 1200)
     pd = train(draft, 1200)
 
-    for batch in (1, 4):
+    for batch in (1, 4, 8):
         start = int(len(corpus) * 0.92)
         prompts = np.stack([corpus[start + i * 97:
                                    start + i * 97 + plen]
@@ -520,6 +520,10 @@ def bench_speculative(hi=192, lo=48, plen=64):
         jspec = jax.jit(
             lambda p, d, q, n, g: target.speculative_generate(
                 p, draft, d, q, n, gamma=g),
+            static_argnums=(3, 4))
+        jspec_lk = jax.jit(
+            lambda p, d, q, n, g: target.speculative_generate(
+                p, draft, d, q, n, gamma=g, per_row=False),
             static_argnums=(3, 4))
 
         def t_run(fn, *a):
@@ -540,6 +544,11 @@ def bench_speculative(hi=192, lo=48, plen=64):
                   f" tokens accepted/round "
                   f"({int(st['rounds'])} rounds for {hi} tokens)",
                   flush=True)
+        if batch > 1:
+            # the r3 lockstep-min scheme, kept for the per-row A/B
+            variants.append(("speculative γ=4 lockstep",
+                             lambda n: t_run(jspec_lk, pt, pd, pr,
+                                             n, 4)))
 
         for _, f in variants:          # compile both lengths
             f(lo), f(hi)

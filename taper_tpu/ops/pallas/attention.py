@@ -1152,7 +1152,9 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
             if s % c == 0:
                 return c
         return s
-    bqf = bestdiv(sq, (1024, 512, 256, 128))
+    # square r=1 tiles; TAPER_ATTN_FWD_BLOCKS=bq,bq overrides for sweeps
+    ovf = _blocks_env("TAPER_ATTN_FWD_BLOCKS", sq, sq)
+    bqf = ovf[0] if ovf else bestdiv(sq, (1024, 512, 256, 128))
     trif = _tri_counts_fwd(sq // bqf, 1)
     qf_idx = lambda g, i, t: (g, _tri_unrank(t, trif)[0], 0)
     kvf_idx = lambda g, i, t: (g // kvg, _tri_unrank(t, trif)[1], 0)

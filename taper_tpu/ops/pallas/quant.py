@@ -412,7 +412,7 @@ def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
     path.  Use for COMPUTE-bound shapes (prefill, training batches) —
     the decode matvec stays bandwidth-bound and keeps dequant-on-load.
     """
-    if x.shape[-1] <= 16384 and x.shape[0] % 2 == 0:
+    if x.shape[-1] <= 16384 and x.shape[0] % 8 == 0:
         # one-pass Pallas row quant (absmax + round + codes-sum in a
         # single HBM read; ~3 XLA sweeps otherwise)
         xq, sx, corr = quantize_rows(x)
