@@ -43,27 +43,33 @@ def main():
         params, QuantizationConfig(qtype=QuantizationType.INT8))
     toks = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, vocab)
 
-    def fwd_bf16(t):
-        return model.apply(params, t)[:, -1]
+    def dep(t, out):
+        # scan carry must keep toks' int dtype: fold a runtime-zero
+        # (not compile-foldable) data dependency on the logits back in
+        return t + (jnp.sum(out) * 1e-30).astype(t.dtype)
 
-    def fwd_w8a16(t):
+    def fwd_bf16(t, p):
+        return dep(t, model.apply(p, t)[:, -1])
+
+    def fwd_w8a16(t, p):
         os.environ["TAPER_W8A8"] = "0"
-        return model.apply(qparams, t)[:, -1]
+        return dep(t, model.apply(p, t)[:, -1])
 
-    def fwd_w8a8(t):
+    def fwd_w8a8(t, p):
         os.environ["TAPER_W8A8"] = "1"
-        return model.apply(qparams, t)[:, -1]
+        return dep(t, model.apply(p, t)[:, -1])
 
     # analytic linear flops (ignoring attention/embed): 2*P_lin*tokens
     n_lin = depth * (4 + 8) * dim * dim    # qkvo + 2 mlp (ratio 4)
     flops = 2 * n_lin * b * s
     print(f"dim={dim} depth={depth} B={b} S={s} "
           f"(linear flops {flops/1e12:.2f} T)", flush=True)
-    race([Contender("bf16 dense", fwd_bf16, toks, (), n_hi=20, n_lo=4),
-          Contender("w8a16 dequant-on-load", fwd_w8a16, toks, (),
+    race([Contender("bf16 dense", fwd_bf16, toks, (params,),
                     n_hi=20, n_lo=4),
-          Contender("w8a8 int8-MXU", fwd_w8a8, toks, (), n_hi=20,
-                    n_lo=4)],
+          Contender("w8a16 dequant-on-load", fwd_w8a16, toks, (qparams,),
+                    n_hi=20, n_lo=4),
+          Contender("w8a8 int8-MXU", fwd_w8a8, toks, (qparams,),
+                    n_hi=20, n_lo=4)],
          rounds=3, scale=flops / 1e12, unit="TFLOP/s(linear)")
     os.environ.pop("TAPER_W8A8", None)
 

@@ -49,17 +49,21 @@ def main():
         "all-short": jnp.full((b,), 256, jnp.int32),
     }
     for name, lengths in mixes.items():
-        def xla(qc):
+        # pools/tables/lengths ride as jit ARGUMENTS via consts —
+        # closure capture would constant-fold the 134MB pool into the
+        # HLO and blow the remote compiler's upload limit (timing.py)
+        consts = (k_pool, v_pool, tables, lengths)
+
+        def xla(qc, kp, vp, tb, ln):
             return qc + 0.001 * P.paged_decode_attention(
-                qc, k_pool, v_pool, tables, lengths, scale=scale,
-                impl="xla")
-        cs = [Contender("xla gather", xla, q, (), n_hi=60, n_lo=10)]
+                qc, kp, vp, tb, ln, scale=scale, impl="xla")
+        cs = [Contender("xla gather", xla, q, consts, n_hi=60, n_lo=10)]
         for nsub in (2, 4, 8, 16):
-            def pk(qc, nsub=nsub):
+            def pk(qc, kp, vp, tb, ln, nsub=nsub):
                 return qc + 0.001 * P.paged_decode_attention(
-                    qc, k_pool, v_pool, tables, lengths, scale=scale,
+                    qc, kp, vp, tb, ln, scale=scale,
                     impl="pallas", nsub=nsub)
-            cs.append(Contender(f"pallas nsub={nsub}", pk, q, (),
+            cs.append(Contender(f"pallas nsub={nsub}", pk, q, consts,
                                 n_hi=60, n_lo=10))
         print(f"--- {name} ---", flush=True)
         race(cs, rounds=3, scale=None, unit="s")

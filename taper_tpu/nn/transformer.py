@@ -400,10 +400,15 @@ def kv_quantize(x):
 
 def _cache_write(cache, k, v, pos, ring=False):
     """Write new K/V rows ``[B, kvh, C, D]`` into the cache at positions
-    ``[pos, pos+C)`` (scalar ``pos``) or at per-row positions (``pos``
-    a [B] vector, requires C == 1 — ragged serving).  Quantizes the
-    rows when the cache is int8 (``k_scale`` present).  The single
-    write path shared by decode, prefill and chunked-decode.
+    ``[pos, pos+C)``.  ``pos`` may be a scalar (all rows aligned —
+    prefill, lockstep decode) or a [B] vector of per-row starts (ragged
+    serving and per-row speculative verification, where row ``b``'s C
+    tokens land at ``[pos[b], pos[b]+C)``; C > 1 is supported).  Caller
+    obligation for vector ``pos``: ``pos[b] + C <= Smax`` for every row —
+    ``dynamic_update_slice`` clamps the start silently otherwise, which
+    would overwrite the tail rows rather than raise.  Quantizes the rows
+    when the cache is int8 (``k_scale`` present).  The single write path
+    shared by decode, prefill and chunked-decode.
 
     ``ring=True``: the cache is a W-slot ring (W = its length); absolute
     position ``p`` lands in slot ``p % W`` and rows older than the last

@@ -114,6 +114,13 @@ def _blocks_env(var: str, sq: int, sk: int):
             f"{var}={ov!r} invalid for Sq={sq}, Sk={sk}: need "
             f"sq%bq==0, sk%bk==0, bk%bq==0 "
             f"(after clipping to ({bq}, {bk}))")
+    if bq >= 2048:
+        # hard refusal, not a clamp: bq=2048 wedges the Mosaic compile
+        # (>25 min, never returns — ROUND4.md) on the bound forward;
+        # nothing in the swept space ever wanted a 2048-row q tile
+        raise ValueError(
+            f"{var}={ov!r}: bq >= 2048 is refused (known Mosaic "
+            f"compile wedge at 2048-row q tiles; use bq <= 1024)")
     return bq, bk
 
 
@@ -459,7 +466,11 @@ def _fwd_kernel_bound(pred_ref, kn_ref, q_ref, k_ref, v_ref, o_ref,
         def _fin():
             l = (acc_sc[:, d:d + 1] if l_sc is None
                  else l_sc[:, :1])
-            safe = jnp.maximum(l, 1e-30)
+            # clamp at f32-tiny, NOT 1e-30: the bound arm admits rows
+            # with p_max down to 2^-120 ≈ 7.5e-37 (dispatcher guard
+            # ≤ 60), so a 1e-30 floor would silently mis-scale fully
+            # anti-aligned rows inside the envelope by up to ~1e6
+            safe = jnp.maximum(l, 1e-37)
             o_ref[0] = jnp.where(l > 0, acc_sc[:, :d] / safe,
                                  0.0).astype(o_ref.dtype)
             # lse in natural log (the API/ring-merge unit); m is the

@@ -377,8 +377,11 @@ def quantize_rows(x):
     m, k = x.shape
     bm = max(8, min(512, (2 * 1024 * 1024) // (4 * k)))
     if m % bm != 0:
+        # stay under the VMEM-derived cap: for non-power-of-two caps
+        # (e.g. K=10000 -> cap 52) picking a larger divisor like 256
+        # would build a ~10 MB input block and fail at compile time
         bm = next(c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1)
-                  if m % c == 0)
+                  if m % c == 0 and c <= bm)
     xq, sx, xs = pl.pallas_call(
         _rowquant_kernel,
         grid=(m // bm,),
