@@ -43,6 +43,13 @@ def main():
     tables = jnp.asarray(perm, jnp.int32)
     scale = d ** -0.5
 
+    # int8 pools + per-position scales (the serving int8-KV form)
+    k8 = jnp.clip(jnp.round(k_pool.astype(jnp.float32) * 127 / 4), -127,
+                  127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v_pool.astype(jnp.float32) * 127 / 4), -127,
+                  127).astype(jnp.int8)
+    ksc = jnp.full((nblocks, kvh, bs), 4 / 127, jnp.float32)
+
     mixes = {
         "mixed": jnp.asarray([256, 4032] * (b // 2), jnp.int32),
         "all-long": jnp.full((b,), smax, jnp.int32),
@@ -53,6 +60,7 @@ def main():
         # closure capture would constant-fold the 134MB pool into the
         # HLO and blow the remote compiler's upload limit (timing.py)
         consts = (k_pool, v_pool, tables, lengths)
+        consts8 = (k8, v8, tables, lengths, ksc)
 
         def xla(qc, kp, vp, tb, ln):
             return qc + 0.001 * P.paged_decode_attention(
@@ -65,8 +73,28 @@ def main():
                     impl="pallas", nsub=nsub)
             cs.append(Contender(f"pallas nsub={nsub}", pk, q, consts,
                                 n_hi=60, n_lo=10))
+        for nsub in (2, 4, 8):
+            def pk8(qc, kp, vp, tb, ln, sc, nsub=nsub):
+                return qc + 0.001 * P.paged_decode_attention(
+                    qc, kp, vp, tb, ln, scale=scale, impl="pallas",
+                    nsub=nsub, k_scales=sc, v_scales=sc)
+            cs.append(Contender(f"pallas int8 nsub={nsub}", pk8, q,
+                                consts8, n_hi=60, n_lo=10))
         print(f"--- {name} ---", flush=True)
-        race(cs, rounds=3, scale=None, unit="s")
+        # pre-warm and DROP contenders whose compile fails (nsub=2 at
+        # B=16 puts 16.09 MB of pipelined pool blocks on the VMEM
+        # stack, 96 KB over the 16 MB scoped limit) so one bad point
+        # doesn't kill the whole sweep
+        ok = []
+        for c in cs:
+            try:
+                c.warm()
+                ok.append(c)
+            except Exception as e:
+                print(f"  {c.name:42s} SKIPPED "
+                      f"({type(e).__name__}: {str(e)[:80]}...)",
+                      flush=True)
+        race(ok, rounds=3, scale=None, unit="s")
 
 
 if __name__ == "__main__":

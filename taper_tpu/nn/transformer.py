@@ -179,6 +179,38 @@ class MultiHeadAttention(Module):
         b, s, e = x.shape
         x2 = x.reshape(b * s, e)
 
+        # TRANSPOSE-FREE path (lane-tile-aligned heads): q/k/v stay in
+        # the projections' [B, S, H·D] layout end to end — the flash
+        # kernels slice heads out of the lane dim via index maps
+        # (ops.attention_bshd), RoPE rotates through a contiguous
+        # reshape view, and the output projection consumes the
+        # attention output directly.  Kills the [B,S,HD] → [B,H,S,D]
+        # relayout copies around every attention call — the largest
+        # non-matmul item in the 170M train-step budget
+        # (benchmarks/probe_mfu_budget.py).
+        import os
+        if (self.head_dim % 128 == 0 and segment_ids is None
+                and self.window is None
+                and (positions is None or jnp.ndim(positions) != 1)
+                and os.environ.get("TAPER_ATTN_BSHD", "1") == "1"):
+            qf = _proj(x2, params["wq"], params.get("bq")).reshape(b, s, e)
+            kf = _proj(x2, params["wk"], params.get("bk"))\
+                .reshape(b, s, self.kv_dim)
+            vf = _proj(x2, params["wv"], params.get("bv"))\
+                .reshape(b, s, self.kv_dim)
+            if self.rope:
+                cos, sin = self._rope
+                off = 0 if positions is None else positions
+                qf = apply_rope_bshd(qf, cos, sin, self.num_heads,
+                                     offset=off)
+                kf = apply_rope_bshd(kf, cos, sin, self.num_kv_heads,
+                                     offset=off)
+            o2 = ops.attention_bshd(qf, kf, vf, self.num_heads,
+                                    causal=self.causal)
+            out = _proj(o2.reshape(b * s, e), params["wo"],
+                        params.get("bo"))
+            return out.reshape(b, s, e)
+
         def heads(w_name, b_name, n_heads):
             y = _proj(x2, params[w_name], params.get(b_name))
             return y.reshape(b, s, n_heads,
@@ -769,6 +801,31 @@ def apply_rope(x, cos, sin, offset=0):
     si = si.astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * c - x2 * si, x2 * c + x1 * si], axis=-1)
+
+
+def apply_rope_bshd(x, cos, sin, n_heads, offset=0):
+    """Rotate ``x`` [B, S, H·D] by position — the projection-layout twin
+    of :func:`apply_rope` (used by the transpose-free attention path;
+    the [B,S,H·D] ↔ [B,S,H,D] reshapes here are contiguous views, not
+    copies).  ``offset``: scalar (traced ok) or [B, S] per-token
+    positions (packed sequences)."""
+    b, s, e = x.shape
+    d = e // n_heads
+    half = d // 2
+    x4 = x.reshape(b, s, n_heads, d)
+    if jnp.ndim(offset) == 2:
+        c = jnp.take(cos, offset, axis=0)[:, :, None]     # [B, S, 1, half]
+        si = jnp.take(sin, offset, axis=0)[:, :, None]
+    else:
+        assert jnp.ndim(offset) == 0, \
+            "per-row [B] offsets are a decode form; use apply_rope"
+        c = jax.lax.dynamic_slice_in_dim(cos, offset, s, 0)[None, :, None]
+        si = jax.lax.dynamic_slice_in_dim(sin, offset, s, 0)[None, :, None]
+    c = c.astype(x.dtype)
+    si = si.astype(x.dtype)
+    x1, x2 = x4[..., :half], x4[..., half:]
+    out = jnp.concatenate([x1 * c - x2 * si, x2 * c + x1 * si], axis=-1)
+    return out.reshape(b, s, e)
 
 
 class MoEMLP(Module):

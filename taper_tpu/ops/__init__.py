@@ -118,7 +118,12 @@ def linear(x, w, b=None, *, activation=None):
         # COMPUTE-bound shapes; decode matvecs stay dequant-on-load
         # (bandwidth-bound — int8 compute buys nothing there).  Opt-in
         # because activation rounding changes numerics (~0.4%/element).
-        if (w.qtype == QuantizationType.INT8 and _W8A8 == "1"
+        # Read at TRACE time (unlike import-time _Q8_KERNEL) so A/B
+        # benches can flip it per-contender; r5 found the import-time
+        # read made bench_w8a8_prefill's "w8a8" row silently rerun the
+        # dequant-on-load path.
+        if (w.qtype == QuantizationType.INT8
+                and os.environ.get("TAPER_W8A8", _W8A8 or "") == "1"
                 and x.shape[0] >= 256):
             from taper_tpu.ops.pallas import quant as _q
             name8 = (activation if isinstance(activation, str)
@@ -212,9 +217,38 @@ def attention(q, k, v, *, causal=False, scale=None, window=None,
                              window=window, segment_ids=segment_ids)
 
 
+def attention_bshd(q, k, v, num_heads, *, causal=False, scale=None):
+    """Attention in the PROJECTION layout: ``q`` [B, S, H·D], ``k``/``v``
+    [B, S, Hkv·D], output [B, S, H·D] — the layout the QKV projection
+    GEMMs produce and the output projection consumes.  On the pallas
+    backend with lane-aligned shapes (D % 128 == 0, S % 128 == 0,
+    S ≥ TAPER_FLASH_MIN) this runs the flash kernels DIRECTLY on the
+    fused-head layout (index maps slice each head out of the lane dim),
+    eliminating the [B,S,HD] ↔ [B,H,S,D] relayout copies around every
+    attention call; otherwise it transposes and defers to
+    :func:`attention` (numerically identical)."""
+    import os
+
+    b, s, e = q.shape
+    d = e // num_heads
+    min_sk = int(os.environ.get("TAPER_FLASH_MIN", "1024"))
+    if (get_backend() == "pallas" and d % 128 == 0 and e % num_heads == 0
+            and s % 128 == 0 and s >= min_sk):
+        from taper_tpu.ops.pallas.attention import flash_attention_bshd
+        return flash_attention_bshd(q, k, v, num_heads, causal=causal,
+                                    scale=scale)
+    hkv = k.shape[-1] // d
+    q4 = q.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+    k4 = k.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+    v4 = v.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+    o = attention(q4, k4, v4, causal=causal, scale=scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, e)
+
+
 __all__ = [
     "set_backend", "get_backend", "use_backend", "on_tpu",
     "relu", "sigmoid", "add", "mul", "fma", "sub", "div", "matmul",
     "linear",
     "conv2d", "conv2d_relu", "max_pool2d", "avg_pool2d", "attention",
+    "attention_bshd",
 ]

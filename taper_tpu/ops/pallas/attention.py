@@ -1032,10 +1032,35 @@ def _seg8(seg, b, s):
 
 
 def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
-               seg=None):
+               seg=None, heads=None):
     # ``off``: f32[2] = (q_offset, k_offset)
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    #
+    # ``heads=H`` switches to the TRANSPOSE-FREE layout: q [B, Sq, H·D],
+    # k/v [B, Sk, Hkv·D] (the projection GEMMs' natural output), with o
+    # returned [B, Sq, H·D].  The kernel bodies are IDENTICAL — a
+    # (1, bq, d) block read from [B·H, S, D] at (g, row, 0) and from
+    # [B, S, H·D] at (g//H, row, g%H) is the same VMEM tile — only the
+    # BlockSpec index maps change, so the [B,S,HD]→[B,H,S,D] relayout
+    # copies around every attention call (the largest non-matmul item
+    # in the 170M train-step budget, benchmarks/probe_mfu_budget.py)
+    # disappear.  Requires D % 128 == 0 (lane-tile-aligned head slices;
+    # enforced by the public wrapper).
+    if heads is None:
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+        hkv = k.shape[1]
+        assert h % hkv == 0 and v.shape[1] == hkv, \
+            (q.shape, k.shape, v.shape)
+    else:
+        b, sq, e = q.shape
+        h = heads
+        assert e % h == 0, (q.shape, h)
+        d = e // h
+        sk = k.shape[1]
+        hkv = k.shape[2] // d
+        assert h % hkv == 0 and k.shape[2] == hkv * d \
+            and v.shape[2] == hkv * d, (q.shape, k.shape, v.shape, h)
+        assert seg is None, "segment_ids require the [B,H,S,D] layout"
     assert sq % 128 == 0 and sk % 128 == 0, (
         f"flash_attention needs lane-aligned sequence lengths "
         f"(multiples of 128); got Sq={sq}, Sk={sk} — use ops.attention, "
@@ -1045,8 +1070,6 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     # group size (q heads kvh·g..kvh·g+g−1 share kv head kvh), so the
     # compact K/V are never materialized at q-head width in HBM (the
     # jnp.repeat the module layer used to do).
-    hkv = k.shape[1]
-    assert h % hkv == 0 and v.shape[1] == hkv, (q.shape, k.shape, v.shape)
     kvg = h // hkv
     bq, bk = _blocks(sq, sk, window,
                      bf16_inputs=q.dtype == jnp.bfloat16)
@@ -1055,9 +1078,18 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         f"no-fully-masked-row invariant)")
     nq, nk = sq // bq, sk // bk
     bh = b * h
-    q3 = q.reshape(bh, sq, d)
-    k3 = k.reshape(b * hkv, sk, d)
-    v3 = v.reshape(b * hkv, sk, d)
+    if heads is None:
+        q3 = q.reshape(bh, sq, d)
+        k3 = k.reshape(b * hkv, sk, d)
+        v3 = v.reshape(b * hkv, sk, d)
+        # batch/head block coordinates of grid index g for q-side and
+        # kv-side arrays (rank-3 either way; see the layout note above)
+        qb, qh_ = (lambda g: g), (lambda g: 0)
+        kb, kh_ = (lambda g: g // kvg), (lambda g: 0)
+    else:
+        q3, k3, v3 = q, k, v
+        qb, qh_ = (lambda g: g // h), (lambda g: g % h)
+        kb, kh_ = (lambda g: g // h), (lambda g: (g % h) // kvg)
 
     # banded GRIDS assume causal geometry (no future blocks); a
     # non-causal window keeps the full sweep with clipped fetches.
@@ -1068,8 +1100,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         # pairs; (qi, ki) recovered by _tri_unrank in kernel AND maps.
         tri = _tri_counts_fwd(nq, bk // bq)
         steps = sum(tri)
-        q_idx = lambda g, i, t: (g, _tri_unrank(t, tri)[0], 0)
-        kv_idx = lambda g, i, t: (g // kvg, _tri_unrank(t, tri)[1], 0)
+        q_idx = lambda g, i, t: (qb(g), _tri_unrank(t, tri)[0], qh_(g))
+        kv_idx = lambda g, i, t: (kb(g), _tri_unrank(t, tri)[1], kh_(g))
         lse_idx = lambda g, i, t: (g, 0, _tri_unrank(t, tri)[0])
         grid = (bh, 1, steps)
     elif grid_banded:
@@ -1077,17 +1109,17 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         steps = min(_nkb(bq, bk, window), nk)
         start = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
                                   window=window, steps=steps)
-        kv_idx = lambda g, i, j: (g // kvg, start(i) + j, 0)
+        kv_idx = lambda g, i, j: (kb(g), start(i) + j, kh_(g))
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
-        kv_idx = lambda g, i, j: (g // kvg, kvmap(i, j), 0)
+        kv_idx = lambda g, i, j: (kb(g), kvmap(i, j), kh_(g))
         steps = nk
     else:
-        kv_idx = lambda g, i, j: (g // kvg, j, 0)
+        kv_idx = lambda g, i, j: (kb(g), j, kh_(g))
         steps = nk
     if tri is None:
-        q_idx = lambda g, i, j: (g, i, 0)
+        q_idx = lambda g, i, j: (qb(g), i, qh_(g))
         lse_idx = lambda g, i, j: (g, 0, i)
         grid = (bh, nq, steps)
 
@@ -1123,6 +1155,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     use_bound = (tri is not None and seg is None and d <= 128
                  and q.dtype == jnp.bfloat16
                  and _os.environ.get("TAPER_ATTN_BOUNDMAX", "1") == "1")
+    o_shape = jax.ShapeDtypeStruct(
+        (bh, sq, d) if heads is None else (b, sq, h * d), q.dtype)
     if not use_bound:
         o3, lse = pl.pallas_call(
             functools.partial(_fwd_kernel, scale=scale, causal=causal,
@@ -1137,7 +1171,7 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
                 pl.BlockSpec((1, 8, bq), lse_idx),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                o_shape,
                 jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
             ],
             scratch_shapes=[
@@ -1156,7 +1190,7 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
                 transcendentals=bh * sq * sk),
             interpret=_backend.pallas_interpret_mode(),
         )(*args)
-        return o3.reshape(b, h, sq, d), lse
+        return (o3.reshape(b, h, sq, d) if heads is None else o3), lse
 
     def bestdiv(s, caps):
         for c in caps:
@@ -1167,8 +1201,8 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     ovf = _blocks_env("TAPER_ATTN_FWD_BLOCKS", sq, sq)
     bqf = ovf[0] if ovf else bestdiv(sq, (1024, 512, 256, 128))
     trif = _tri_counts_fwd(sq // bqf, 1)
-    qf_idx = lambda g, i, t: (g, _tri_unrank(t, trif)[0], 0)
-    kvf_idx = lambda g, i, t: (g // kvg, _tri_unrank(t, trif)[1], 0)
+    qf_idx = lambda g, i, t: (qb(g), _tri_unrank(t, trif)[0], qh_(g))
+    kvf_idx = lambda g, i, t: (kb(g), _tri_unrank(t, trif)[1], kh_(g))
     lsef_idx = lambda g, i, t: (g, 0, _tri_unrank(t, trif)[0])
 
     # guard: max‖q̂‖·max‖k‖ ≤ 60 keeps p_max ≥ 2^(−120) (above f32/bf16
@@ -1179,10 +1213,20 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
     # on SMEM scratch written by an earlier grid step serializes the
     # Mosaic pipeline (34 vs 52 TFLOP/s measured) and a lax.cond
     # around two pallas_calls costs a flat ~250 µs flush.
-    kn = jnp.sqrt(jnp.max(
-        jnp.sum(k3.astype(jnp.float32) ** 2, axis=-1), axis=-1))
-    qn_max = jnp.sqrt(jnp.max(
-        jnp.sum(q3.astype(jnp.float32) ** 2, axis=-1)))
+    if heads is None:
+        kn = jnp.sqrt(jnp.max(
+            jnp.sum(k3.astype(jnp.float32) ** 2, axis=-1), axis=-1))
+        qn_max = jnp.sqrt(jnp.max(
+            jnp.sum(q3.astype(jnp.float32) ** 2, axis=-1)))
+    else:
+        # per-head norms from the head-fused layout; the flat (b·hkv,)
+        # ordering matches the kernel's kn_ref[g // kvg] index either
+        # way ((b·h + qh)//kvg == b·hkv + qh//kvg since kvg | h)
+        kn = jnp.sqrt(jnp.max(jnp.sum(
+            k3.astype(jnp.float32).reshape(b, sk, hkv, d) ** 2,
+            axis=-1), axis=1)).reshape(-1)
+        qn_max = jnp.sqrt(jnp.max(jnp.sum(
+            q3.astype(jnp.float32).reshape(b, sq, h, d) ** 2, axis=-1)))
     pred = (qn_max * (scale * _LOG2E) * jnp.max(kn)
             <= 60.0).astype(jnp.int32)[None]
     o3, lse = pl.pallas_call(
@@ -1196,7 +1240,7 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
         out_specs=[pl.BlockSpec((1, bqf, d), qf_idx),
                    pl.BlockSpec((1, 8, bqf), lsef_idx)],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            o_shape,
             jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bqf, 128), jnp.float32),
@@ -1212,20 +1256,33 @@ def _flash_fwd(q, k, v, off, causal, scale, window=None, banded=False,
             transcendentals=bh * sq * sk),
         interpret=_backend.pallas_interpret_mode(),
     )(pred, kn, q3, k3, v3)
-    return o3.reshape(b, h, sq, d), lse
+    return (o3.reshape(b, h, sq, d) if heads is None else o3), lse
 
 
 def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
-                    dlse=None, window=None, banded=False, seg=None):
+                    dlse=None, window=None, banded=False, seg=None,
+                    heads=None):
     # (banded grids need statically-zero offsets; guaranteed by callers)
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    #
+    # ``heads=H``: transpose-free [B, S, H·D] layout for q/k/v/o/do and
+    # the returned dq/dk/dv — see the layout note on _flash_fwd.  The
+    # internal lse/δ tables stay [B·H, 8, S] either way.
+    if heads is None:
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+        hkv = k.shape[1]
+    else:
+        b, sq, e = q.shape
+        h = heads
+        d = e // h
+        sk = k.shape[1]
+        hkv = k.shape[2] // d
+        assert seg is None, "segment_ids require the [B,H,S,D] layout"
     # GQA (see _flash_fwd): K/V are read compactly via g//kvg index
     # maps; dK/dV are produced at q-head width (each q head of a group
     # contributes an independent partial) and group-summed after the
     # kernel — the same reduction jnp.repeat's VJP would do, without
     # ever materializing repeated K/V on the forward side.
-    hkv = k.shape[1]
     kvg = h // hkv
     bq, bk = _blocks_bwd(sq, sk, window,
                          bf16_inputs=q.dtype == jnp.bfloat16)
@@ -1240,11 +1297,18 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
             dlse.reshape(bh, 1, sq).astype(jnp.float32), (bh, 8, sq))
     else:
         dl_in = jnp.zeros((bh, 8, sq), jnp.float32)
-    q3 = q.reshape(bh, sq, d)
-    k3 = k.reshape(b * hkv, sk, d)
-    v3 = v.reshape(b * hkv, sk, d)
-    do3 = do.reshape(bh, sq, d)
-    o3 = o.reshape(bh, sq, d)
+    if heads is None:
+        q3 = q.reshape(bh, sq, d)
+        k3 = k.reshape(b * hkv, sk, d)
+        v3 = v.reshape(b * hkv, sk, d)
+        do3 = do.reshape(bh, sq, d)
+        o3 = o.reshape(bh, sq, d)
+        qb, qh_ = (lambda g: g), (lambda g: 0)
+        kb, kh_ = (lambda g: g // kvg), (lambda g: 0)
+    else:
+        q3, k3, v3, do3, o3 = q, k, v, do, o
+        qb, qh_ = (lambda g: g // h), (lambda g: g % h)
+        kb, kh_ = (lambda g: g // h), (lambda g: (g % h) // kvg)
 
     grid_banded = banded == "band" and window is not None and causal
     tri_q = tri_k = None
@@ -1254,29 +1318,30 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         r = bk // bq
         tri_q = _tri_counts_fwd(nq, r)
         tri_k = _tri_counts_dkv(nq, nk, r)
-    spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0))
+    spec_q = pl.BlockSpec((1, bq, d), lambda g, i, j: (qb(g), i, qh_(g)))
     if tri_q is not None:
         row = lambda t: _tri_unrank(t, tri_q)[0]
         loc = lambda t: _tri_unrank(t, tri_q)[1]
-        spec_q = pl.BlockSpec((1, bq, d), lambda g, i, t: (g, row(t), 0))
+        spec_q = pl.BlockSpec((1, bq, d),
+                              lambda g, i, t: (qb(g), row(t), qh_(g)))
         spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, t: (g // kvg, loc(t), 0))
+                              lambda g, i, t: (kb(g), loc(t), kh_(g)))
         kv_steps = sum(tri_q)
     elif grid_banded:
         kv_steps = min(_nkb(bq, bk, window), nk)
         kstart = functools.partial(_kv_band_start, bq=bq, bk=bk, nk=nk,
                                    window=window, steps=kv_steps)
-        spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, j: (g // kvg, kstart(i) + j, 0))
+        spec_k = pl.BlockSpec(
+            (1, bk, d), lambda g, i, j: (kb(g), kstart(i) + j, kh_(g)))
     elif banded:
         kvmap = functools.partial(_kv_band, bq=bq, bk=bk, nk=nk,
                                   causal=causal, window=window)
-        spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, j: (g // kvg, kvmap(i, j), 0))
+        spec_k = pl.BlockSpec(
+            (1, bk, d), lambda g, i, j: (kb(g), kvmap(i, j), kh_(g)))
         kv_steps = nk
     else:
         spec_k = pl.BlockSpec((1, bk, d),
-                              lambda g, i, j: (g // kvg, j, 0))
+                              lambda g, i, j: (kb(g), j, kh_(g)))
         kv_steps = nk
     if tri_q is not None:
         spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, t: (g, 0, row(t)))
@@ -1286,7 +1351,7 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         spec_r = pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i))
         dq_grid = (bh, nq, kv_steps)
         dq_out = [
-            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (qb(g), i, qh_(g))),
             pl.BlockSpec((1, 8, bq), lambda g, i, j: (g, 0, i)),
         ]
 
@@ -1304,14 +1369,19 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         kf = lambda t: _tri_unrank(t, tri_f)[0]
         qf = lambda t: (_tri_unrank(t, tri_f)[0] * r
                         + _tri_unrank(t, tri_f)[1])
-        fq_spec = pl.BlockSpec((1, bq, d), lambda g, i, t: (g, qf(t), 0))
+        fq_spec = pl.BlockSpec((1, bq, d),
+                               lambda g, i, t: (qb(g), qf(t), qh_(g)))
         fr_spec = pl.BlockSpec((1, 8, bq), lambda g, i, t: (g, 0, qf(t)))
         fk_in = pl.BlockSpec((1, bk, d),
-                             lambda g, i, t: (g // kvg, kf(t), 0))
-        fk_out = pl.BlockSpec((1, bk, d), lambda g, i, t: (g, kf(t), 0))
+                             lambda g, i, t: (kb(g), kf(t), kh_(g)))
+        # dK/dV emit at q-head width (group-summed below under GQA), so
+        # their output coordinates are the Q-side ones
+        fk_out = pl.BlockSpec((1, bk, d),
+                              lambda g, i, t: (qb(g), kf(t), qh_(g)))
         # dQ lives in scratch for the whole sweep; its HBM block is the
         # full row, flushed once at the g boundary
-        fdq_out = pl.BlockSpec((1, sq, d), lambda g, i, t: (g, 0, 0))
+        fdq_out = pl.BlockSpec((1, sq, d),
+                               lambda g, i, t: (qb(g), 0, qh_(g)))
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, scale=scale, bq=bq,
                               bk=bk, tri=tri_f,
@@ -1321,9 +1391,15 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
                       fr_spec, fr_spec],
             out_specs=[fdq_out, fk_out, fk_out],
             out_shape=[
-                jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-                jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
-                jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+                jax.ShapeDtypeStruct(
+                    (bh, sq, d) if heads is None else (b, sq, h * d),
+                    q.dtype),
+                jax.ShapeDtypeStruct(
+                    (bh, sk, d) if heads is None else (b, sk, h * d),
+                    k.dtype),
+                jax.ShapeDtypeStruct(
+                    (bh, sk, d) if heads is None else (b, sk, h * d),
+                    v.dtype),
             ],
             scratch_shapes=[pltpu.VMEM((nq, bq, d), jnp.float32),
                             pltpu.VMEM((bk, d), jnp.float32),
@@ -1339,6 +1415,17 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
                 transcendentals=bh * sq * sk // 2),
             interpret=_backend.pallas_interpret_mode(),
         )(q3, k3, v3, o3, do3, lse, dl_in)
+        if heads is not None:
+            if kvg > 1:
+                # lane order within H·D is [hkv][kvg][d] (q head
+                # qh = kvh·kvg + gi), so the group axis is contiguous
+                dk = dk.reshape(b, sk, hkv, kvg, d)\
+                    .astype(jnp.float32).sum(3)\
+                    .reshape(b, sk, hkv * d).astype(k.dtype)
+                dv = dv.reshape(b, sk, hkv, kvg, d)\
+                    .astype(jnp.float32).sum(3)\
+                    .reshape(b, sk, hkv * d).astype(v.dtype)
+            return dq, dk, dv
         if kvg > 1:
             dk = dk.reshape(b, hkv, kvg, sk, d).astype(jnp.float32)\
                 .sum(2).astype(k.dtype)
@@ -1370,7 +1457,9 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         in_specs=dq_in_specs,
         out_specs=dq_out,
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct(
+                (bh, sq, d) if heads is None else (b, sq, h * d),
+                q.dtype),
             jax.ShapeDtypeStruct((bh, 8, sq), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32),
@@ -1390,38 +1479,43 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         krow = lambda t: _tri_unrank(t, tri_k)[0]
         qblk = lambda t: (_tri_unrank(t, tri_k)[0] * (bk // bq)
                           + _tri_unrank(t, tri_k)[1])
-        spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, t: (g, qblk(t), 0))
+        spec_q_t = pl.BlockSpec((1, bq, d),
+                                lambda g, j, t: (qb(g), qblk(t), qh_(g)))
         spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, t: (g, 0, qblk(t)))
         q_steps = sum(tri_k)
     elif grid_banded:
         q_steps = min((bk + window - 2) // bq + 2, nq)
         qstart = functools.partial(_q_band_start, bq=bq, bk=bk, nq=nq,
                                    steps=q_steps)
-        spec_q_t = pl.BlockSpec((1, bq, d),
-                                lambda g, j, i: (g, qstart(j) + i, 0))
+        spec_q_t = pl.BlockSpec(
+            (1, bq, d), lambda g, j, i: (qb(g), qstart(j) + i, qh_(g)))
         spec_r_t = pl.BlockSpec((1, 8, bq),
                                 lambda g, j, i: (g, 0, qstart(j) + i))
     elif banded:
         qmap = functools.partial(_q_band, bq=bq, bk=bk, nq=nq,
                                  causal=causal, window=window)
-        spec_q_t = pl.BlockSpec((1, bq, d),
-                                lambda g, j, i: (g, qmap(j, i), 0))
+        spec_q_t = pl.BlockSpec(
+            (1, bq, d), lambda g, j, i: (qb(g), qmap(j, i), qh_(g)))
         spec_r_t = pl.BlockSpec((1, 8, bq),
                                 lambda g, j, i: (g, 0, qmap(j, i)))
         q_steps = nq
     else:
-        spec_q_t = pl.BlockSpec((1, bq, d), lambda g, j, i: (g, i, 0))
+        spec_q_t = pl.BlockSpec((1, bq, d),
+                                lambda g, j, i: (qb(g), i, qh_(g)))
         spec_r_t = pl.BlockSpec((1, 8, bq), lambda g, j, i: (g, 0, i))
         q_steps = nq
     if tri_k is not None:
-        spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, t: (g, krow(t), 0))
+        # dK/dV out at q-head width → Q-side coordinates (see fk_out)
+        spec_k_t = pl.BlockSpec((1, bk, d),
+                                lambda g, j, t: (qb(g), krow(t), qh_(g)))
         spec_k_in = pl.BlockSpec((1, bk, d),
-                                 lambda g, j, t: (g // kvg, krow(t), 0))
+                                 lambda g, j, t: (kb(g), krow(t), kh_(g)))
         dkv_grid = (bh, 1, q_steps)
     else:
-        spec_k_t = pl.BlockSpec((1, bk, d), lambda g, j, i: (g, j, 0))
+        spec_k_t = pl.BlockSpec((1, bk, d),
+                                lambda g, j, i: (qb(g), j, qh_(g)))
         spec_k_in = pl.BlockSpec((1, bk, d),
-                                 lambda g, j, i: (g // kvg, j, 0))
+                                 lambda g, j, i: (kb(g), j, kh_(g)))
         dkv_grid = (bh, nk, q_steps)
     # the transposed experiment kernel has no triangular-grid or
     # segment support
@@ -1446,8 +1540,12 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         in_specs=dkv_in_specs,
         out_specs=[spec_k_t, spec_k_t],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+            jax.ShapeDtypeStruct(
+                (bh, sk, d) if heads is None else (b, sk, h * d),
+                k.dtype),
+            jax.ShapeDtypeStruct(
+                (bh, sk, d) if heads is None else (b, sk, h * d),
+                v.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
                         pltpu.VMEM((bk, d), jnp.float32)],
@@ -1461,6 +1559,13 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
         interpret=_backend.pallas_interpret_mode(),
     )(*dkv_args)
 
+    if heads is not None:
+        if kvg > 1:
+            dk = dk.reshape(b, sk, hkv, kvg, d).astype(jnp.float32)\
+                .sum(3).reshape(b, sk, hkv * d).astype(k.dtype)
+            dv = dv.reshape(b, sk, hkv, kvg, d).astype(jnp.float32)\
+                .sum(3).reshape(b, sk, hkv * d).astype(v.dtype)
+        return dq, dk, dv
     if kvg > 1:
         # group-sum the per-q-head dK/dV partials (f32 accumulation —
         # cheaper error than chaining kvg−1 bf16 adds)
@@ -1492,6 +1597,30 @@ def _flash_vjp_bwd(causal, scale, window, banded, res, do):
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bshd(q, k, v, heads, causal, scale, banded):
+    o, _ = _flash_fwd(q, k, v, _off_pair(None, None), causal, scale,
+                      None, banded, heads=heads)
+    return o
+
+
+def _flash_bshd_vjp_fwd(q, k, v, heads, causal, scale, banded):
+    o, lse = _flash_fwd(q, k, v, _off_pair(None, None), causal, scale,
+                        None, banded, heads=heads)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bshd_vjp_bwd(heads, causal, scale, banded, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, _off_pair(None, None), o, lse,
+                                 do, causal, scale, banded=banded,
+                                 heads=heads)
+    return dq, dk, dv
+
+
+_flash_bshd.defvjp(_flash_bshd_vjp_fwd, _flash_bshd_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -1603,6 +1732,35 @@ def flash_attention(q, k, v, causal=False, scale=None, q_offset=None,
             banded = True
     return _flash(q, k, v, _off_pair(q_offset, k_offset), causal, scale,
                   window, banded)
+
+
+def flash_attention_bshd(q, k, v, num_heads, causal=False, scale=None):
+    """Transpose-free flash attention in the PROJECTION layout:
+    ``q`` [B, S, H·D], ``k``/``v`` [B, S, Hkv·D] (H % Hkv == 0), output
+    [B, S, H·D].  Numerically identical to :func:`flash_attention` on
+    the transposed inputs — the same kernel bodies run with index maps
+    that slice head ``g % H`` out of the fused lane dimension, so the
+    [B,S,HD] ↔ [B,H,S,D] relayout copies around every attention call
+    (the largest non-matmul item in the 170M train-step budget,
+    benchmarks/probe_mfu_budget.py) never happen.
+
+    Requires D % 128 == 0 (head slices must be lane-tile-aligned; the
+    module layer falls back to the transposed path otherwise) and
+    lane-aligned S.  Windows/offsets/segment-ids: use
+    :func:`flash_attention`."""
+    import os
+
+    d = q.shape[-1] // num_heads
+    assert d % 128 == 0, (
+        f"flash_attention_bshd needs head_dim % 128 == 0 (lane-aligned "
+        f"head slices); got D={d} — use flash_attention")
+    if scale is None:
+        scale = d ** -0.5
+    banded = False
+    if causal:
+        banded = ("tri" if os.environ.get("TAPER_ATTN_GRID", "tri")
+                  == "tri" else True)
+    return _flash_bshd(q, k, v, num_heads, causal, scale, banded)
 
 
 def flash_attention_lse(q, k, v, causal=False, scale=None, q_offset=None,

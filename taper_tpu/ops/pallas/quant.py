@@ -305,7 +305,11 @@ def _i8mm_kernel(x_ref, q_ref, o_ref, acc_ref, *, n_k):
     dynamic activation-quant passes (two extra sweeps over x per
     linear) cancel the MXU gain; the win needs large contractions
     (K ≳ 4-8K, i.e. genuinely large models).  Hence opt-in
-    (TAPER_W8A8=1), not a default."""
+    (TAPER_W8A8=1), not a default.  r5: linear_w8a8 no longer uses
+    this split form — matmul_int8_scaled fuses the affine epilogue
+    into the kernel so the int32 [M, N] accumulator never round-trips
+    HBM; this plain variant stays as the exact-integer primitive (and
+    its unit-test oracle)."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -315,6 +319,95 @@ def _i8mm_kernel(x_ref, q_ref, o_ref, acc_ref, *, n_k):
     @pl.when(pl.program_id(2) == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:]
+
+
+def _i8mm_scaled_kernel(x_ref, q_ref, sx_ref, corr_ref, sw_ref, zw_ref,
+                        *rest, n_k, relu, has_bias):
+    """int8·int8 → int32 with the W8A8 affine algebra fused into the
+    final k-step:  y = s_x ⊙ s_w ⊙ (acc − zp_w·Σxq) (+ bias) (+ relu),
+    emitted in the OUTPUT dtype directly.
+
+    The split formulation (matmul_int8 then XLA scaling) round-trips
+    the int32 [M, N] accumulator through HBM and reads it back for the
+    scale pass — at the dim-2048 prefill shape that is ~200 MB of extra
+    traffic per MLP linear, which measured as W8A8 LOSING to bf16 dense
+    (benchmarks/bench_w8a8_prefill.py r5: 26.4 vs 40.3 ms).  Here acc
+    never leaves VMEM."""
+    if has_bias:
+        b_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        y = sx_ref[:] * sw_ref[:] * (acc - zw_ref[:] * corr_ref[:])
+        if has_bias:
+            y = y + b_ref[:]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def matmul_int8_scaled(xq, q, sx, corr, sw, zw, bias=None, relu=False,
+                       out_dtype=jnp.float32):
+    """Fused W8A8 linear core: ``xq [M,K] i8 @ q [N,K] i8ᵀ`` with the
+    per-row activation scale ``sx [M]``, codes-sum ``corr [M]``, weight
+    scale ``sw [N]`` and zero point ``zw [N]`` applied in the kernel's
+    epilogue (plus optional bias/ReLU) — output ``[M, N] out_dtype``,
+    int32 accumulator VMEM-resident throughout."""
+    m, k = xq.shape
+    n, k2 = q.shape
+    assert k == k2, (xq.shape, q.shape)
+    bm = min(512, _round_up(m, 128))
+    bn = min(1024, _round_up(n, 128))
+    bk = min(512, _round_up(k, 128))
+    mp, np_, kp = (_round_up(m, bm), _round_up(n, bn), _round_up(k, bk))
+    xp = _pad2(xq, mp, kp)
+    qp = _pad2(q, np_, kp)
+    # row vectors ride as (mp, 1) / (1, np) blocks (tiny; the lane/
+    # sublane padding is noise next to the deleted acc round-trip)
+    sx2 = _pad2(sx.astype(jnp.float32).reshape(m, 1), mp, 1)
+    cr2 = _pad2(corr.astype(jnp.float32).reshape(m, 1), mp, 1)
+    sw2 = _pad2(sw.astype(jnp.float32).reshape(1, n), 1, np_)
+    zw2 = _pad2(zw.astype(jnp.float32).reshape(1, n), 1, np_)
+    n_k = kp // bk
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk)),
+                pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0)),
+                pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0)),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j))]
+    args = [xp, qp, sx2, cr2, sw2, zw2]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)))
+        args.append(_pad2(jnp.asarray(bias, jnp.float32)
+                          .reshape(1, n), 1, np_))
+    out = pl.pallas_call(
+        functools.partial(_i8mm_scaled_kernel, n_k=n_k, relu=relu,
+                          has_bias=bias is not None),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + np_ * kp
+            + jnp.dtype(out_dtype).itemsize * mp * np_,
+            transcendentals=0),
+        interpret=_backend.pallas_interpret_mode(),
+    )(*args)
+    return out[:m, :n] if (mp, np_) != (m, n) else out
 
 
 def matmul_int8(xq, q):
@@ -425,16 +518,15 @@ def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
         xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
         corr = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(
             jnp.float32)
-    acc = matmul_int8(xq, q).astype(jnp.float32)
     sw = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
                           (q.shape[0],))
     zw = jnp.broadcast_to(jnp.asarray(zp, jnp.float32).reshape(-1),
                           (q.shape[0],))
-    y = sx[:, None] * sw[None, :] * (acc - zw[None, :] * corr[:, None])
-    if b is not None:
-        y = y + b
-    if epilogue == "relu":
-        y = jnp.maximum(y, 0.0)
-    elif epilogue == "sigmoid":
+    # bf16 activations emit bf16 (halves the output write; matches the
+    # trunk dtype); f32 callers keep f32
+    out_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    y = matmul_int8_scaled(xq, q, sx, corr, sw, zw, bias=b,
+                           relu=epilogue == "relu", out_dtype=out_dtype)
+    if epilogue == "sigmoid":
         y = jax.nn.sigmoid(y)
     return y

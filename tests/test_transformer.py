@@ -154,11 +154,11 @@ def test_attention_dispatch_falls_back_for_unaligned_seq():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
-def _gqa_qkv(key, b, hq, hkv, s, d):
+def _gqa_qkv(key, b, hq, hkv, s, d, dtype=jnp.float32):
     kq, kk, kv = jax.random.split(key, 3)
-    return (jax.random.normal(kq, (b, hq, s, d)),
-            jax.random.normal(kk, (b, hkv, s, d)),
-            jax.random.normal(kv, (b, hkv, s, d)))
+    return (jax.random.normal(kq, (b, hq, s, d), dtype),
+            jax.random.normal(kk, (b, hkv, s, d), dtype),
+            jax.random.normal(kv, (b, hkv, s, d), dtype))
 
 
 @pytest.mark.parametrize("causal,hkv", [(False, 2), (True, 2), (True, 1)])
@@ -214,6 +214,86 @@ def test_flash_gqa_masked_variants(mode):
     ref = X.attention(q, k, v, causal=True, **kw)
     got = A.flash_attention(q, k, v, True, **kw)
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("hkv,fused", [(4, True), (4, False), (2, True),
+                                       (2, False), (1, True)])
+def test_flash_bshd_matches_transposed(hkv, fused, monkeypatch):
+    """Transpose-free [B,S,H·D] layout: same kernel bodies, index maps
+    slice heads out of the lane dim — must be BIT-IDENTICAL to the
+    [B,H,S,D] path on the same values (fwd and all three grads), for
+    both the fused and the split backward, dense and GQA/MQA."""
+    monkeypatch.setenv("TAPER_ATTN_FUSED_BWD", "1" if fused else "0")
+    b, h, s, d = 2, 4, 256, 128
+    q, k, v = _gqa_qkv(jax.random.PRNGKey(20), b, h, hkv, s, d,
+                       jnp.bfloat16)
+    qb = q.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    kb = k.transpose(0, 2, 1, 3).reshape(b, s, hkv * d)
+    vb = v.transpose(0, 2, 1, 3).reshape(b, s, hkv * d)
+    o4 = A.flash_attention(q, k, v, True)
+    ob = A.flash_attention_bshd(qb, kb, vb, h, causal=True)
+    np.testing.assert_array_equal(
+        np.asarray(o4), np.asarray(
+            ob.reshape(b, s, h, d).transpose(0, 2, 1, 3)))
+
+    def f4(q, k, v):
+        return jnp.sum(A.flash_attention(q, k, v, True)
+                       .astype(jnp.float32) ** 2)
+
+    def fb(q, k, v):
+        return jnp.sum(A.flash_attention_bshd(q, k, v, h, causal=True)
+                       .astype(jnp.float32) ** 2)
+
+    g4 = jax.grad(f4, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(fb, argnums=(0, 1, 2))(qb, kb, vb)
+    np.testing.assert_array_equal(
+        np.asarray(g4[0]), np.asarray(
+            gb[0].reshape(b, s, h, d).transpose(0, 2, 1, 3)))
+    for i in (1, 2):
+        np.testing.assert_array_equal(
+            np.asarray(g4[i]), np.asarray(
+                gb[i].reshape(b, s, hkv, d).transpose(0, 2, 1, 3)))
+
+
+def test_rope_bshd_matches_transposed():
+    from taper_tpu.nn.transformer import (apply_rope, apply_rope_bshd,
+                                          rope_angles)
+    b, h, s, d = 2, 4, 64, 16
+    cos, sin = rope_angles(d, 128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d))
+    xb = x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    for off in (0, 32, jnp.tile(jnp.arange(s)[None], (b, 1)) % 17):
+        r4 = apply_rope(x, cos, sin, offset=off)
+        rb = apply_rope_bshd(xb, cos, sin, h, offset=off)
+        np.testing.assert_allclose(
+            np.asarray(rb.reshape(b, s, h, d).transpose(0, 2, 1, 3)),
+            np.asarray(r4), atol=1e-6)
+
+
+def test_mha_bshd_path_matches_segment_controlled(monkeypatch):
+    """The module's transpose-free path (head_dim % 128 == 0) against
+    the transposed path, forced via all-zero segment_ids (same
+    semantics), on both backends, output and grads."""
+    monkeypatch.setenv("TAPER_FLASH_MIN", "128")
+    seg0 = jnp.zeros((2, 256), jnp.int32)
+    for backend in ("xla", "pallas"):
+        with ops.use_backend(backend):
+            mha = nn.MultiHeadAttention(dim=512, num_heads=4,
+                                        num_kv_heads=2, causal=True,
+                                        max_seq=256, rope=True)
+            p = mha.init(jax.random.PRNGKey(0))
+            x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 512))
+            o_new = mha.apply(p, x)
+            o_old = mha.apply(p, x, segment_ids=seg0)
+            np.testing.assert_allclose(np.asarray(o_new),
+                                       np.asarray(o_old), atol=2e-5)
+            g_new = jax.grad(lambda p: jnp.sum(mha.apply(p, x) ** 2))(p)
+            g_old = jax.grad(lambda p: jnp.sum(
+                mha.apply(p, x, segment_ids=seg0) ** 2))(p)
+            for a, bb in zip(jax.tree_util.tree_leaves(g_new),
+                             jax.tree_util.tree_leaves(g_old)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                           rtol=1e-4, atol=1e-4)
 
 
 def test_mha_gqa_module_end_to_end():
