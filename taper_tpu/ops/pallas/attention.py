@@ -1359,10 +1359,15 @@ def _flash_bwd_impl(q, k, v, off, o, lse, do, causal, scale,
     # FUSED single-sweep backward (see _bwd_fused_kernel): causal
     # tri-grid, no window/segments, dQ accumulator fits VMEM.  One pass
     # computes all three grads — 5 MXU dots + 1 exp2 per tile pair vs
-    # the split kernels' 7 + 2.
+    # the split kernels' 7 + 2.  Default OFF: the r5 block sweep
+    # (benchmarks/sweep_attn_fused.py, v5e) raced both in one process —
+    # split 1400 µs vs fused 2012 µs at its best blocks at the gate
+    # shape (B2 H8 S4096 D64).  The fused kernel's fewer dots lose to
+    # the ~1.6 MB of resident dQ/δ scratch that starves the Mosaic
+    # pipeliner; TAPER_ATTN_FUSED_BWD=1 opts back in.
     use_fused = (tri_q is not None and seg is None
                  and sq * d * 4 <= 4 * 1024 * 1024
-                 and _os.environ.get("TAPER_ATTN_FUSED_BWD", "1") == "1")
+                 and _os.environ.get("TAPER_ATTN_FUSED_BWD", "0") == "1")
     if use_fused:
         r = bk // bq
         tri_f = _tri_counts_dkv(nq, nk, r)
