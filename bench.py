@@ -318,6 +318,103 @@ def bench_w8a8_prefill(dim=2048, depth=4, b=4, s=1024):
             "w8a8_prefill_us": round(t["w8a8"] * 1e6)}
 
 
+def bench_speculative_b8(hi=192, lo=48, plen=64, gamma=4):
+    """B=8 speculative decode: plain vs lockstep-min vs per-row commit
+    (VERDICT r4 item 7 — the per-row rejection-sampling path is
+    correctness-proven; this row records whether it WINS tokens/s).
+
+    Trains a real target (512x6) / draft (128x2) byte-LM pair on the
+    repo's own markdown so the acceptance rate is a genuine two-model
+    property.  Timing is whole-generation differencing:
+    t(max_new=hi) - t(max_new=lo) over (hi - lo) tokens cancels
+    prefill, compile and tunnel constants (benchmarks/timing.py)."""
+    import pathlib
+
+    import jax.numpy as jnp
+    import numpy as np
+    from taper_tpu import models
+
+    ops.set_backend("xla")
+    parts = [pathlib.Path(n).read_bytes()
+             for n in ("README.md", "PARITY.md", "SURVEY.md", "ROUND2.md")
+             if pathlib.Path(n).exists()]
+    corpus = np.frombuffer(b"\n\n".join(parts), np.uint8).astype(np.int32)
+    c = jnp.asarray(corpus)
+    smax = plen + hi + 16
+    target = models.TinyGPT(vocab_size=256, dim=512, depth=6,
+                            num_heads=8, max_seq=smax, rope=True)
+    draft = models.TinyGPT(vocab_size=256, dim=128, depth=2,
+                           num_heads=4, max_seq=smax, rope=True)
+
+    def train(model, steps, batch=32, seq=128):
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optim.Adam(1e-3)
+        state = opt.init(params)
+
+        def loss_fn(p, key):
+            starts = jax.random.randint(key, (batch,), 0,
+                                        c.shape[0] - seq - 1)
+            w = jnp.take(c, starts[:, None] + jnp.arange(seq + 1),
+                         axis=0)
+            logits = model.apply(p, w[:, :-1])
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, w[:, 1:, None], axis=-1))
+
+        def body(carry, _):
+            p, s, key = carry
+            key, k = jax.random.split(key)
+            _, g = jax.value_and_grad(loss_fn)(p, k)
+            p, s = opt.update(g, s, p)
+            return (p, s, key), None
+
+        (params, _, _), _ = jax.jit(
+            lambda p, s, k: jax.lax.scan(body, (p, s, k), None,
+                                         length=steps))(
+            params, state, jax.random.PRNGKey(1))
+        return params
+
+    pt = train(target, 1200)
+    pd = train(draft, 1200)
+
+    batch = 8
+    start = int(len(corpus) * 0.92)
+    pr = jnp.asarray(np.stack([corpus[start + i * 97:
+                                      start + i * 97 + plen]
+                               for i in range(batch)]))
+    jgen = jax.jit(lambda p, q, n: target.generate(p, q, n),
+                   static_argnums=2)
+    jspec = jax.jit(
+        lambda p, d, q, n, pr_: target.speculative_generate(
+            p, draft, d, q, n, gamma=gamma, per_row=pr_),
+        static_argnums=(3, 4))
+
+    def t_run(fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        float(jnp.sum(out[0][:1]))
+        return time.perf_counter() - t0
+
+    variants = {"plain": lambda n: t_run(jgen, pt, pr, n),
+                "perrow": lambda n: t_run(jspec, pt, pd, pr, n, True),
+                "lockstep": lambda n: t_run(jspec, pt, pd, pr, n, False)}
+    for f in variants.values():        # compile both lengths
+        f(lo), f(hi)
+    times = {k: [1e9, 1e9] for k in variants}
+    for _ in range(3):                 # interleaved (device drift)
+        for k, f in variants.items():
+            times[k][0] = min(times[k][0], f(lo))
+            times[k][1] = min(times[k][1], f(hi))
+    tps = {k: batch * (hi - lo) / max(t_hi - t_lo, 1e-9)
+           for k, (t_lo, t_hi) in times.items()}
+    return {"spec_b8_plain_tok_s": round(tps["plain"]),
+            "spec_b8_lockstep_tok_s": round(tps["lockstep"]),
+            "spec_b8_perrow_tok_s": round(tps["perrow"]),
+            "spec_b8_speedup": round(tps["perrow"] / tps["plain"], 2),
+            "spec_b8_perrow_vs_lockstep": round(
+                tps["perrow"] / tps["lockstep"], 2)}
+
+
 def main():
     enable_compilation_cache()
     train_ds = data.MNISTDataset(train=True)
@@ -439,6 +536,11 @@ def main():
         attn.update(bench_w8a8_prefill())
     except Exception as e:
         print(f"[bench] w8a8 prefill failed: {e}", file=sys.stderr)
+
+    try:
+        attn.update(bench_speculative_b8())
+    except Exception as e:
+        print(f"[bench] speculative b8 failed: {e}", file=sys.stderr)
 
     # Same-host CPU-torch reference numbers (VERDICT r3 item 3).  The
     # CNN epoch is ~7 min of single-core torch, so the measurement is

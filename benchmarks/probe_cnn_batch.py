@@ -60,6 +60,12 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [256, 512, 1024, 2048]
     train_ds = data.MNISTDataset(train=True)
     test_ds = data.MNISTDataset(train=False)
+    # upload once (same as bench.py): the host tunnel is slow enough
+    # that re-uploading 188 MB per fit() call dominates epoch times
+    train_ds.images = jnp.asarray(train_ds.images)
+    train_ds.labels = jnp.asarray(train_ds.labels)
+    test_ds.images = jnp.asarray(test_ds.images)
+    test_ds.labels = jnp.asarray(test_ds.labels)
     for b in batches:
         run(train_ds, test_ds, b)
 

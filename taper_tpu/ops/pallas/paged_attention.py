@@ -241,7 +241,11 @@ def _pallas_paged(q, k_pool, v_pool, tables, lengths, scale, nsub=4,
     b, kvh, g, d = q.shape
     mb = tables.shape[1]
     bs = k_pool.shape[2]
-    nsub = max(1, min(nsub, mb))
+    # clamp to 8: nsub=16 wedges the Mosaic compile in this
+    # environment (HTTP 500, benchmarks/sweep_paged.py r5), and the
+    # sweep shows nothing past 8 ever wins (nsub=4 is the mixed-profile
+    # optimum at the 53%-active-bytes roofline — docs/SERVING.md)
+    nsub = max(1, min(nsub, mb, 8))
     quant = k_scales is not None
     # pad the (tiny) query-group dim up to a full sublane tile
     gp = max(8, -(-g // 8) * 8)
