@@ -1,0 +1,194 @@
+"""Speculative decoding at serving scale: 200M HBM-bound target +
+distilled 1.7M draft (VERDICT r4 item 7, second half).
+
+The 19M-target bench row (`bench.py bench_speculative_b8`) measures
+spec decode LOSING (0.29x): at that scale the target step is
+op-overhead-bound (~160 us vs a 46 us weight-stream floor), the draft
+step is floor-bound too (NOT 45x cheaper), and an independently
+trained draft accepts only ~1.5 tokens/round against a ~5-step round
+cost (benchmarks/probe_spec_b8.py).  Speculation pays when
+
+  1. the target step is weight-stream-bound (params >> overhead floor:
+     a bf16 200M model reads 402 MB/step -> ~500 us at 819 GB/s), and
+  2. the draft tracks the target: distilling the draft on the TARGET's
+     argmax (not the corpus) directly optimizes the greedy acceptance
+     probability.
+
+This script trains that pair and races {plain, lockstep, per-row}
+B=8 decode with whole-generation differencing (benchmarks/timing.py
+methodology: t(hi) - t(lo) cancels prefill/compile/tunnel constants).
+
+Run: python benchmarks/bench_spec_scale.py
+"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taper_tpu import models, ops, optim
+from taper_tpu.utils.cache import enable_compilation_cache
+
+
+def _corpus():
+    parts = [pathlib.Path(n).read_bytes()
+             for n in ("README.md", "PARITY.md", "SURVEY.md",
+                       "ROUND2.md")
+             if pathlib.Path(n).exists()]
+    return np.frombuffer(b"\n\n".join(parts), np.uint8).astype(np.int32)
+
+
+def _train_lm(model, c, steps, lr=1e-3, batch=16, seq=128):
+    """Next-byte LM training (scanned; one dispatch)."""
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optim.Adam(lr)
+    state = opt.init(params)
+
+    def loss_fn(p, key):
+        starts = jax.random.randint(key, (batch,), 0,
+                                    c.shape[0] - seq - 1)
+        w = jnp.take(c, starts[:, None] + jnp.arange(seq + 1), axis=0)
+        logits = model.apply(p, w[:, :-1])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.mean(jnp.take_along_axis(logp, w[:, 1:, None],
+                                             axis=-1))
+
+    def body(carry, _):
+        p, s, key = carry
+        key, k = jax.random.split(key)
+        l, g = jax.value_and_grad(loss_fn)(p, k)
+        p, s = opt.update(g, s, p)
+        return (p, s, key), l
+
+    (params, _, _), ls = jax.jit(
+        lambda p, s, k: jax.lax.scan(body, (p, s, k), None,
+                                     length=steps))(
+        params, state, jax.random.PRNGKey(1))
+    return params, float(ls[-1])
+
+
+def _distill_draft(draft, tparams, target, c, steps, batch=32,
+                   seq=128):
+    """Train the draft to match the TARGET's greedy next-byte choice:
+    CE against argmax(target logits) == the acceptance probability of
+    greedy speculative decoding, optimized directly."""
+    params = draft.init(jax.random.PRNGKey(7))
+    opt = optim.Adam(1e-3)
+    state = opt.init(params)
+
+    def loss_fn(p, key):
+        starts = jax.random.randint(key, (batch,), 0,
+                                    c.shape[0] - seq - 1)
+        w = jnp.take(c, starts[:, None] + jnp.arange(seq), axis=0)
+        labels = jnp.argmax(
+            jax.lax.stop_gradient(target.apply(tparams, w)), axis=-1)
+        logits = draft.apply(p, w)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        agree = jnp.mean((jnp.argmax(logits, -1) == labels))
+        return -jnp.mean(jnp.take_along_axis(
+            logp, labels[..., None], axis=-1)), agree
+
+    def body(carry, _):
+        p, s, key = carry
+        key, k = jax.random.split(key)
+        (_, agree), g = jax.value_and_grad(loss_fn, has_aux=True)(p, k)
+        p, s = opt.update(g, s, p)
+        return (p, s, key), agree
+
+    (params, _, _), agree = jax.jit(
+        lambda p, s, k: jax.lax.scan(body, (p, s, k), None,
+                                     length=steps))(
+        params, state, jax.random.PRNGKey(8))
+    return params, float(agree[-1])
+
+
+def bench_spec_scale(hi=192, lo=48, plen=64, gamma=4, batch=8,
+                    dim_t=1024, depth_t=16, train_steps=800,
+                    distill_steps=800, verbose=True):
+    """Returns the spec_scale_* result dict (also used by bench.py)."""
+    ops.set_backend("xla")
+    corpus = _corpus()
+    c = jnp.asarray(corpus)
+    smax = plen + hi + 16
+    target = models.TinyGPT(vocab_size=256, dim=dim_t, depth=depth_t,
+                            num_heads=8, max_seq=smax, rope=True,
+                            compute_dtype=jnp.bfloat16)
+    draft = models.TinyGPT(vocab_size=256, dim=256, depth=2,
+                           num_heads=4, max_seq=smax, rope=True,
+                           compute_dtype=jnp.bfloat16)
+
+    t0 = time.time()
+    pt, tloss = _train_lm(target, c, train_steps, lr=3e-4)
+    t1 = time.time()
+    pd, agree = _distill_draft(draft, pt, target, c, distill_steps)
+    t2 = time.time()
+    if verbose:
+        print(f"target {target.param_count(pt)/1e6:.1f}M params, "
+              f"final loss {tloss:.3f} ({t1-t0:.0f}s); draft "
+              f"{draft.param_count(pd)/1e6:.1f}M, teacher-forced "
+              f"argmax agreement {agree:.2f} ({t2-t1:.0f}s)")
+
+    # serve in bf16: decode is a weight stream; bf16 halves the bytes
+    bf = lambda p: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, p)
+    pt, pd = bf(pt), bf(pd)
+
+    start = int(len(corpus) * 0.92)
+    pr = jnp.asarray(np.stack([corpus[start + i * 97:
+                                      start + i * 97 + plen]
+                               for i in range(batch)]))
+
+    jgen = jax.jit(lambda p, q, n: target.generate(p, q, n),
+                   static_argnums=2)
+    jspec = jax.jit(
+        lambda p, d, q, n, pr_: target.speculative_generate(
+            p, draft, d, q, n, gamma=gamma, per_row=pr_),
+        static_argnums=(3, 4))
+
+    def t_run(fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        float(jnp.sum(out[0][:1]))
+        return time.perf_counter() - t0
+
+    variants = {"plain": lambda n: t_run(jgen, pt, pr, n),
+                "perrow": lambda n: t_run(jspec, pt, pd, pr, n, True),
+                "lockstep": lambda n: t_run(jspec, pt, pd, pr, n,
+                                            False)}
+    for f in variants.values():        # compile both lengths
+        f(lo), f(hi)
+    times = {k: [1e9, 1e9] for k in variants}
+    for _ in range(3):                 # interleaved (device drift)
+        for k, f in variants.items():
+            times[k][0] = min(times[k][0], f(lo))
+            times[k][1] = min(times[k][1], f(hi))
+    tps = {k: batch * (hi - lo) / max(t_hi - t_lo, 1e-9)
+           for k, (t_lo, t_hi) in times.items()}
+
+    # acceptance stats (cheap: one generation with stats on)
+    _, st = jax.jit(
+        lambda p, d, q: target.speculative_generate(
+            p, draft, d, q, hi, gamma=gamma, per_row=True,
+            return_stats=True))(pt, pd, pr)
+    res = {"spec_scale_plain_tok_s": round(tps["plain"]),
+           "spec_scale_lockstep_tok_s": round(tps["lockstep"]),
+           "spec_scale_perrow_tok_s": round(tps["perrow"]),
+           "spec_scale_speedup": round(tps["perrow"] / tps["plain"],
+                                       2),
+           "spec_scale_tokens_per_round": round(
+               float(st["tokens_per_round"]), 2),
+           "spec_scale_draft_agreement": round(agree, 2)}
+    if verbose:
+        for k, v in res.items():
+            print(f"  {k}: {v}")
+    return res
+
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    bench_spec_scale()

@@ -116,7 +116,20 @@ def _proj(x2, w, b):
         live = (w.ids >= 0).astype(delta.dtype)[:, None]
         return (y + w.scale * delta * live).astype(x2.dtype)
     if _is_qt(w):
-        y = ops.linear(x2.astype(jnp.float32), w, b)
+        import os
+        from taper_tpu.quantization.config import QuantizationType
+        if (os.environ.get("TAPER_W8A8") == "1"
+                and w.qtype == QuantizationType.INT8
+                and x2.shape[0] >= 256):
+            # W8A8 quantizes the activations immediately — keep them
+            # bf16: an f32 upcast would MATERIALIZE a 2x HBM copy
+            # (converts cannot fuse into a pallas_call input) and the
+            # row-quant kernel casts to f32 in VMEM anyway, where the
+            # bf16->f32 cast is exact.  Condition mirrors ops.linear's
+            # W8A8 engage test so non-engaging shapes keep f32.
+            y = ops.linear(x2, w, b)
+        else:
+            y = ops.linear(x2.astype(jnp.float32), w, b)
     else:
         y = ops.linear(x2, w.astype(x2.dtype),
                        None if b is None else b.astype(x2.dtype))

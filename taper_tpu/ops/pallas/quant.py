@@ -443,6 +443,20 @@ def matmul_int8(xq, q):
     return out[:m, :n] if (mp, np_) != (m, n) else out
 
 
+def _rowquant_block(m: int, k: int, itemsize: int):
+    """Row-block size for :func:`quantize_rows`, or ``None`` if no
+    Mosaic-legal block fits VMEM.  Legal means the scale outputs'
+    ``(8, bm)`` block satisfies the lane rule — ``bm == m`` (blocks
+    equal their arrays, one grid step) or ``bm`` a 128-multiple divisor
+    of ``m`` — under a ~6 MB per-buffer budget (Mosaic double-buffers:
+    input block ``bm*k*itemsize`` + int8 out ``bm*k``)."""
+    cap = (6 * 1024 * 1024) // max(k * (itemsize + 1), 1)
+    if m <= cap:
+        return m
+    return next((c for c in (512, 384, 256, 128)
+                 if c <= cap and m % c == 0), None)
+
+
 def _rowquant_kernel(x_ref, xq_ref, sx_ref, xs_ref):
     x = x_ref[:].astype(jnp.float32)
     a = jnp.max(jnp.abs(x), axis=1, keepdims=True)
@@ -465,16 +479,24 @@ def quantize_rows(x):
     At the XLA level the same computation is an absmax reduce pass plus
     a round pass plus a codes-sum pass — ≥3 HBM sweeps of ``x``; here
     the row block stays VMEM-resident for all three (1 read + ¼ write).
-    Rows must fit VMEM, so K is capped (callers fall back to the XLA
-    form past it)."""
+
+    Block-geometry constraint (Mosaic): the scale outputs live on an
+    ``(8, M)`` lane-major layout with block ``(8, bm)``, whose lane dim
+    must be a multiple of 128 OR the whole array — so ``bm`` is either
+    ``m`` itself (single grid step) or a 128-multiple divisor of ``m``
+    under the VMEM cap.  Shapes with neither (large ragged M at large
+    K) fall back to the XLA 3-sweep form HERE, so every caller gets the
+    correct result at every shape."""
     m, k = x.shape
-    bm = max(8, min(512, (2 * 1024 * 1024) // (4 * k)))
-    if m % bm != 0:
-        # stay under the VMEM-derived cap: for non-power-of-two caps
-        # (e.g. K=10000 -> cap 52) picking a larger divisor like 256
-        # would build a ~10 MB input block and fail at compile time
-        bm = next(c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1)
-                  if m % c == 0 and c <= bm)
+    bm = _rowquant_block(m, k, x.dtype.itemsize)
+    if bm is None:
+        # XLA fallback (3 sweeps) — correctness at any shape
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+        xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
+        xsum = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(
+            jnp.float32)
+        return xq, sx, xsum
     xq, sx, xs = pl.pallas_call(
         _rowquant_kernel,
         grid=(m // bm,),
@@ -508,16 +530,10 @@ def linear_w8a8(x, q, scale, zp, b=None, *, epilogue="none"):
     path.  Use for COMPUTE-bound shapes (prefill, training batches) —
     the decode matvec stays bandwidth-bound and keeps dequant-on-load.
     """
-    if x.shape[-1] <= 16384 and x.shape[0] % 8 == 0:
-        # one-pass Pallas row quant (absmax + round + codes-sum in a
-        # single HBM read; ~3 XLA sweeps otherwise)
-        xq, sx, corr = quantize_rows(x)
-    else:
-        xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-        xq = jnp.round(xf / sx[:, None]).astype(jnp.int8)
-        corr = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(
-            jnp.float32)
+    # one-pass Pallas row quant (absmax + round + codes-sum in a
+    # single HBM read; quantize_rows itself falls back to the ~3-sweep
+    # XLA form at block-infeasible shapes)
+    xq, sx, corr = quantize_rows(x)
     sw = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1),
                           (q.shape[0],))
     zw = jnp.broadcast_to(jnp.asarray(zp, jnp.float32).reshape(-1),

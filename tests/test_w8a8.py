@@ -76,3 +76,38 @@ def test_quantize_rows_bf16_input():
     np.testing.assert_allclose(back, np.asarray(x, np.float32),
                                atol=float(np.max(np.asarray(sx))) / 2
                                + 1e-6)
+
+
+def test_rowquant_block_selection_is_mosaic_legal():
+    """r5 regression: at K=8192 the old VMEM cap picked bm=64, an
+    illegal lane width for the (8, bm) scale-output blocks (Mosaic
+    requires %128==0 or ==M) — the W8A8 prefill at dim 2048 crashed at
+    lowering on real TPU while interpret-mode tests passed.  The
+    selection must return only legal blocks, at EVERY shape."""
+    from taper_tpu.ops.pallas.quant import _rowquant_block
+
+    for m in (1, 8, 16, 34, 52, 128, 256, 4096, 8192, 16384):
+        for k in (64, 192, 2048, 4096, 8192, 10000, 16384, 32768):
+            for itemsize in (2, 4):
+                bm = _rowquant_block(m, k, itemsize)
+                if bm is None:
+                    continue            # XLA fallback — always safe
+                assert bm == m or (bm % 128 == 0 and m % bm == 0), \
+                    (m, k, itemsize, bm)
+                assert bm * k * (itemsize + 1) <= 6 * 1024 * 1024 or \
+                    bm == m <= (6 * 1024 * 1024) // (k * (itemsize + 1)) or \
+                    m <= (6 * 1024 * 1024) // max(k * (itemsize + 1), 1), \
+                    (m, k, itemsize, bm)
+
+
+def test_quantize_rows_large_k_falls_back_correctly():
+    """K=8192 (the dim-2048 MLP w2 shape class, scaled down in M) must
+    produce the exact XLA-form result whichever path engages."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (256, 8192)).astype(np.float32))
+    xq, sx, xsum = Q.quantize_rows(x)
+    sx_ref = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-8) / 127.0
+    xq_ref = jnp.round(x / sx_ref[:, None]).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(xq_ref))
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sx_ref),
+                               rtol=1e-6)
