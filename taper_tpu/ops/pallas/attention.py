@@ -155,11 +155,11 @@ def _blocks(sq: int, sk: int, window=None, bf16_inputs=False):
         caps = tuple(c for c in caps if c <= wcap) or (128,)
     bk = best(sk, caps)
     if bf16_inputs and window is None and sk >= 2048:
-        # bf16 re-race: at S=2048 a 1024-wide KV block beats 2048 (326
-        # vs 356 µs — halved causal overcompute on the tri grid); at
-        # S=4096 the wider block still wins (849 vs 898).  Net rule:
-        # bk ≤ max(1024, sk/2).
-        bk = min(bk, max(1024, sk // 2))
+        # bf16 re-race: a 1024-wide KV block beats 2048 at BOTH S=2048
+        # (326 vs 356 µs) and S=4096 (r5 re-sweep after the bound-max/
+        # tri-grid changes: 633 vs 659 µs — the r3 sweep had the wider
+        # block winning at S=4096, since inverted).  Net rule: bk ≤ 1024.
+        bk = min(bk, 1024)
     bq_caps = (1024, 512, 256, 128) if bf16_inputs else (512, 256, 128)
     bq = best(sq, tuple(c for c in bq_caps if c <= bk))
     return bq, bk
