@@ -542,6 +542,15 @@ def main():
     except Exception as e:
         print(f"[bench] speculative b8 failed: {e}", file=sys.stderr)
 
+    try:
+        # serving-scale counterpart: 200M weight-bound target +
+        # distilled draft — where speculation is designed to win
+        # (the 19M row above documents the honest loss at small scale)
+        from benchmarks.bench_spec_scale import bench_spec_scale
+        attn.update(bench_spec_scale(verbose=False))
+    except Exception as e:
+        print(f"[bench] speculative scale failed: {e}", file=sys.stderr)
+
     # Same-host CPU-torch reference numbers (VERDICT r3 item 3).  The
     # CNN epoch is ~7 min of single-core torch, so the measurement is
     # cached by benchmarks/pytorch_baseline.py --json (rerun it to

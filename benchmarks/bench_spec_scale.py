@@ -72,25 +72,43 @@ def _train_lm(model, c, steps, lr=1e-3, batch=16, seq=128):
 
 
 def _distill_draft(draft, tparams, target, c, steps, batch=32,
-                   seq=128):
+                   seq=128, n_windows=512):
     """Train the draft to match the TARGET's greedy next-byte choice:
     CE against argmax(target logits) == the acceptance probability of
-    greedy speculative decoding, optimized directly."""
+    greedy speculative decoding, optimized directly.
+
+    Teacher labels are precomputed in their OWN small jit (one target
+    forward over a fixed window set) rather than inside the training
+    scan: the combined teacher+student graph exceeded what this
+    environment's remote-compile tunnel survives (broken-pipe at the
+    16-block-teacher × 800-step-scan program), and caching the labels
+    also deletes ``steps-1`` redundant teacher forwards."""
+    starts = jax.random.randint(jax.random.PRNGKey(6), (n_windows,), 0,
+                                c.shape[0] - seq - 1)
+    wins = jnp.take(c, starts[:, None] + jnp.arange(seq), axis=0)
+
+    @jax.jit
+    def teacher_labels(tp, wins):
+        def chunk(_, w):
+            return None, jnp.argmax(target.apply(tp, w), axis=-1)
+        _, lab = jax.lax.scan(chunk, None,
+                              wins.reshape(-1, 64, seq))
+        return lab.reshape(n_windows, seq)
+    labels = teacher_labels(tparams, wins)
+
     params = draft.init(jax.random.PRNGKey(7))
     opt = optim.Adam(1e-3)
     state = opt.init(params)
 
     def loss_fn(p, key):
-        starts = jax.random.randint(key, (batch,), 0,
-                                    c.shape[0] - seq - 1)
-        w = jnp.take(c, starts[:, None] + jnp.arange(seq), axis=0)
-        labels = jnp.argmax(
-            jax.lax.stop_gradient(target.apply(tparams, w)), axis=-1)
+        idx = jax.random.randint(key, (batch,), 0, n_windows)
+        w = jnp.take(wins, idx, axis=0)
+        lab = jnp.take(labels, idx, axis=0)
         logits = draft.apply(p, w)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        agree = jnp.mean((jnp.argmax(logits, -1) == labels))
+        agree = jnp.mean((jnp.argmax(logits, -1) == lab))
         return -jnp.mean(jnp.take_along_axis(
-            logp, labels[..., None], axis=-1)), agree
+            logp, lab[..., None], axis=-1)), agree
 
     def body(carry, _):
         p, s, key = carry
@@ -107,9 +125,14 @@ def _distill_draft(draft, tparams, target, c, steps, batch=32,
 
 
 def bench_spec_scale(hi=192, lo=48, plen=64, gamma=4, batch=8,
-                    dim_t=1024, depth_t=16, train_steps=800,
+                    dim_t=1024, depth_t=12, train_steps=800,
                     distill_steps=800, verbose=True):
-    """Returns the spec_scale_* result dict (also used by bench.py)."""
+    """Returns the spec_scale_* result dict (also used by bench.py).
+
+    Target = the 151M dim-1024 depth-12 config (the MFU bench's known-
+    good compile); its bf16 decode step reads ~302 MB of weights
+    (~370 us floor at 819 GB/s) — weight-stream-bound, the regime
+    speculation is designed for."""
     ops.set_backend("xla")
     corpus = _corpus()
     c = jnp.asarray(corpus)
@@ -124,13 +147,15 @@ def bench_spec_scale(hi=192, lo=48, plen=64, gamma=4, batch=8,
     t0 = time.time()
     pt, tloss = _train_lm(target, c, train_steps, lr=3e-4)
     t1 = time.time()
+    if verbose:
+        print(f"target {target.param_count(pt)/1e6:.1f}M params, "
+              f"final loss {tloss:.3f} ({t1-t0:.0f}s)", flush=True)
     pd, agree = _distill_draft(draft, pt, target, c, distill_steps)
     t2 = time.time()
     if verbose:
-        print(f"target {target.param_count(pt)/1e6:.1f}M params, "
-              f"final loss {tloss:.3f} ({t1-t0:.0f}s); draft "
-              f"{draft.param_count(pd)/1e6:.1f}M, teacher-forced "
-              f"argmax agreement {agree:.2f} ({t2-t1:.0f}s)")
+        print(f"draft {draft.param_count(pd)/1e6:.1f}M, teacher-forced "
+              f"argmax agreement {agree:.2f} ({t2-t1:.0f}s)",
+              flush=True)
 
     # serve in bf16: decode is a weight stream; bf16 halves the bytes
     bf = lambda p: jax.tree.map(

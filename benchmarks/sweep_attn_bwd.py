@@ -4,7 +4,8 @@ configs interleaved in ONE race (process drift otherwise dominates).
 The env knob is read at trace time, so each contender's step fn sets it
 at the top of its own trace.
 
-Run: python benchmarks/sweep_attn_bwd.py [bf16] [S]
+Run: python benchmarks/sweep_attn_bwd.py [bf16] [S] [b=B] [h=H] [d=D]
+(defaults B2 H8 D64 — pass b=8 d=128 for the 170M MFU config's shape)
 """
 
 import os
@@ -26,7 +27,9 @@ from benchmarks.timing import Contender, race            # noqa: E402
 def main():
     dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
     s = next((int(a) for a in sys.argv[1:] if a.isdigit()), 4096)
-    b, h, d = 2, 8, 64
+    kv = {a.split("=")[0]: int(a.split("=")[1])
+          for a in sys.argv[1:] if "=" in a}
+    b, h, d = kv.get("b", 2), kv.get("h", 8), kv.get("d", 64)
     causal = True
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, (b, h, s, d), dtype) for kk in ks)
