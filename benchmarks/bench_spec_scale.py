@@ -144,13 +144,15 @@ def bench_spec_scale(hi=192, lo=48, plen=64, gamma=4, batch=8,
                            num_heads=4, max_seq=smax, rope=True,
                            compute_dtype=jnp.bfloat16)
 
+    seq = min(128, smax - 1)
     t0 = time.time()
-    pt, tloss = _train_lm(target, c, train_steps, lr=3e-4)
+    pt, tloss = _train_lm(target, c, train_steps, lr=3e-4, seq=seq)
     t1 = time.time()
     if verbose:
         print(f"target {target.param_count(pt)/1e6:.1f}M params, "
               f"final loss {tloss:.3f} ({t1-t0:.0f}s)", flush=True)
-    pd, agree = _distill_draft(draft, pt, target, c, distill_steps)
+    pd, agree = _distill_draft(draft, pt, target, c, distill_steps,
+                               seq=seq)
     t2 = time.time()
     if verbose:
         print(f"draft {draft.param_count(pd)/1e6:.1f}M, teacher-forced "
