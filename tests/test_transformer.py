@@ -1608,3 +1608,25 @@ def test_ring_cache_short_prompt_and_guards():
     with pytest.raises(ValueError):
         model.generate(params, p, 4, prompt_lens=jnp.array([2, 3]),
                        ring_cache=True)
+
+
+def test_blocks_policy_defaults_and_env_refusal(monkeypatch):
+    """Block-selection policy (r5): bf16 KV blocks cap at 1024 at both
+    S=2048 and S=4096 (re-sweep after the bound-max/tri-grid changes:
+    633 vs 659 us at S=4096 — the r3 'wider wins at 4096' rule
+    inverted); f32 keeps (512, 2048); bq >= 2048 overrides are REFUSED
+    (known Mosaic compile wedge), as are non-dividing blocks."""
+    A = importlib.import_module("taper_tpu.ops.pallas.attention")
+
+    assert A._blocks(4096, 4096, bf16_inputs=True) == (1024, 1024)
+    assert A._blocks(2048, 2048, bf16_inputs=True) == (1024, 1024)
+    assert A._blocks(4096, 4096, bf16_inputs=False) == (512, 2048)
+
+    monkeypatch.setenv("TAPER_ATTN_FWD_BLOCKS", "2048,2048")
+    with pytest.raises(ValueError, match="refused"):
+        A._blocks(4096, 4096, bf16_inputs=True)
+    monkeypatch.setenv("TAPER_ATTN_FWD_BLOCKS", "384,512")
+    with pytest.raises(ValueError):
+        A._blocks(4096, 4096, bf16_inputs=True)   # 384 does not divide
+    monkeypatch.setenv("TAPER_ATTN_FWD_BLOCKS", "512,512")
+    assert A._blocks(4096, 4096, bf16_inputs=True) == (512, 512)
