@@ -840,7 +840,14 @@ class TinyGPT(Module):
 
         * ``temperature == 0`` (greedy): the accepted prefix is the
           longest run agreeing with the target's argmax; output is
-          EXACTLY the target model's own greedy decode.
+          EXACTLY the target model's own greedy decode.  Caveat for
+          bf16 ``compute_dtype``: the verify pass scores γ+1 positions
+          in one ``decode_chunk`` whose matmul shapes round differently
+          from ``generate``'s one-token ``decode_step``, so argmax ties
+          at bf16 precision can resolve differently between the two
+          (observed only on untrained/near-uniform logits; a trained
+          model's margins dominate the rounding).  Exactness is pinned
+          by tests at f32.
         * ``temperature > 0`` (sampled): the rejection-sampling scheme —
           draft token x accepted with probability min(1, p(x)/q(x)),
           rejection resampled from ``norm(max(p − q, 0))`` (see
@@ -950,7 +957,7 @@ class TinyGPT(Module):
             return tokens, cd, key, qs.transpose(1, 0, 2)  # [B, γ, V]
 
         def body(carry):
-            tokens, cur, ct, cd, rounds, key = carry
+            tokens, cur, ct, cd, rounds, hist, key = carry
             tokens, cd, key, q = draft_round(tokens, cur, cd, key)
             if per_row:
                 cidx = (cur - 1)[:, None] + jnp.arange(gamma + 1)[None]
@@ -981,6 +988,13 @@ class TinyGPT(Module):
             if per_row:
                 done = row_done(tokens, cur)
                 n_acc = jnp.where(done, 0, n_acc)
+                # acceptance telemetry: count each LIVE row's accepted
+                # length this round (serving observability; also the
+                # instrument that separates draft quality from round
+                # cost when tuning gamma)
+                hist = hist + jnp.sum(
+                    jax.nn.one_hot(n_acc, gamma + 1, dtype=jnp.int32)
+                    * (~done)[:, None].astype(jnp.int32), axis=0)
                 tokens = jnp.where(done[:, None], tokens,
                                    put_at(tokens, cur + n_acc, nxt))
                 # per-row backfill, unconditional: full-acceptance rows
@@ -1003,7 +1017,9 @@ class TinyGPT(Module):
                 cd = jax.lax.cond(n_acc == gamma, backfill,
                                   lambda c: c, cd)
                 cur = cur + n_acc + 1
-            return tokens, cur, ct, cd, rounds + 1, key
+                hist = hist + jax.nn.one_hot(n_acc, gamma + 1,
+                                             dtype=jnp.int32)
+            return tokens, cur, ct, cd, rounds + 1, hist, key
 
         def cond(carry):
             tokens, cur = carry[0], carry[1]
@@ -1017,9 +1033,10 @@ class TinyGPT(Module):
                 go &= ~jnp.all(done)
             return go
 
-        tokens, cur, _, _, rounds, _ = jax.lax.while_loop(
+        tokens, cur, _, _, rounds, hist, _ = jax.lax.while_loop(
             cond, body, (tokens, cur0, caches_t, caches_d,
-                         jnp.int32(0), key))
+                         jnp.int32(0),
+                         jnp.zeros((gamma + 1,), jnp.int32), key))
         out = tokens[:, :total]
         if eos_token is not None:
             out = _mask_after_eos(
@@ -1029,7 +1046,13 @@ class TinyGPT(Module):
             adv = jnp.mean(cur - cur0) if per_row else cur - cur0
             return out, {"rounds": rounds,
                          "tokens_per_round": adv / jnp.maximum(
-                             rounds, 1)}
+                             rounds, 1),
+                         # accept_hist[k] = live-row rounds that
+                         # accepted exactly k drafts; row_tokens =
+                         # per-row emitted counts (per_row mode)
+                         "accept_hist": hist,
+                         "row_tokens": (cur - cur0 if per_row
+                                        else None)}
         return out
 
     def _generate_ragged(self, params, prompt, max_new: int,
